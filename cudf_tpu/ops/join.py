@@ -1,0 +1,282 @@
+"""Joins: inner/left/full/semi/anti/cross — gather-map producing.
+
+TPU-native equivalent of libcudf join
+(reference: cpp/src/join/ — hash_join/hash_join.cu:123 cuco multiset
+build/probe, join.cu:49 build-smaller-side heuristic, semi/anti
+mixed_join_semi.cu, cross_join.cu).
+
+Design: sort-merge expansion instead of a device hash table.  The build
+side is sorted once by its row-operator keys (one variadic lax.sort); the
+probe side finds its match *range* [lo, hi) with two vectorized
+lexicographic binary searches; per-probe match counts = hi - lo.  Output
+size follows the reference's own two-phase pattern
+(inner_join_size.cu → inner_join_retrieve.cu): device count, one host
+sync, then a shaped ``segment_expand`` retrieve that emits
+(left_index, right_index) gather maps.  -1 marks a non-match; gathering
+with bounds_check nullifies it — exactly libcudf's
+out_of_bounds_policy::NULLIFY convention.
+
+On a vector machine this beats scalar hash probing: both phases run at
+full HBM bandwidth with zero data-dependent control flow.  A Pallas
+VMEM-tiled hash probe is the planned optimization for small build sides.
+Null keys never match (cudf null_equality::UNEQUAL default).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cudf_tpu.core import dtypes as dt
+from cudf_tpu.core.column import Column
+from cudf_tpu.ops._utils import materialize_validity, segment_expand
+from cudf_tpu.ops.row_ops import equality_keys
+from cudf_tpu.ops.stream_compaction import filter_indices
+
+
+# ----------------------------------------------------------------------
+# key alignment across two tables (validity flags / string chunk counts)
+# ----------------------------------------------------------------------
+
+def _aligned_keys(
+    left: Sequence[Column], right: Sequence[Column]
+) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    l_ops: List[jnp.ndarray] = []
+    r_ops: List[jnp.ndarray] = []
+    for lc, rc in zip(left, right):
+        lo, ro = _align_pair(lc, rc)
+        l_ops.extend(lo)
+        r_ops.extend(ro)
+    return l_ops, r_ops
+
+
+def _align_pair(a: Column, b: Column) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    # promote to common dtype first
+    if a.dtype != b.dtype:
+        if a.dtype.is_dictionary:
+            a = a.decode_dictionary()
+        if b.dtype.is_dictionary:
+            b = b.decode_dictionary()
+        if a.dtype != b.dtype:
+            target = dt.common_dtype(a.dtype, b.dtype)
+            from cudf_tpu.ops.unary import cast
+
+            a, b = cast(a, target), cast(b, target)
+    ka = equality_keys(a.with_validity(None))
+    kb = equality_keys(b.with_validity(None))
+    if a.dtype.is_string or (a.dtype.is_dictionary and (a.dtype.value_type or dt.STRING).is_string):
+        # string chunk counts may differ: pad shorter side (zero chunks sort
+        # below any content byte), keep trailing length operand aligned
+        if len(ka) != len(kb):
+            tgt = max(len(ka), len(kb))
+
+            def pad(ops, n):
+                head, ln = list(ops[:-1]), ops[-1]
+                while len(head) + 1 < tgt:
+                    head.append(jnp.full((n,), jnp.int64(-(2**63)), jnp.int64))
+                return [*head, ln]
+
+            ka = pad(ka, a.length)
+            kb = pad(kb, b.length)
+    return ka, kb
+
+
+def _null_row_mask(cols: Sequence[Column]) -> Optional[jnp.ndarray]:
+    """bool[n] True where any key is null (such rows never match)."""
+    mask = None
+    for c in cols:
+        if c.validity is not None:
+            nm = ~c.validity
+            mask = nm if mask is None else (mask | nm)
+    return mask
+
+
+# ----------------------------------------------------------------------
+# core sort-merge machinery
+# ----------------------------------------------------------------------
+
+def _probe_ranges(
+    l_ops: List[jnp.ndarray], r_ops: List[jnp.ndarray]
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sort right ops; return (right_order, lo, hi) match ranges per left row."""
+    nr = r_ops[0].shape[0]
+    ridx = jnp.arange(nr, dtype=jnp.int64)
+    sorted_all = jax.lax.sort([*r_ops, ridx], num_keys=len(r_ops), is_stable=True)
+    r_sorted = sorted_all[:-1]
+    r_order = sorted_all[-1]
+    lo = _lex_searchsorted(r_sorted, l_ops, "left")
+    hi = _lex_searchsorted(r_sorted, l_ops, "right")
+    return r_order, lo, hi
+
+
+def _lex_searchsorted(
+    sorted_ops: List[jnp.ndarray], needle_ops: List[jnp.ndarray], side: str
+) -> jnp.ndarray:
+    if len(sorted_ops) == 1:
+        return jnp.searchsorted(sorted_ops[0], needle_ops[0], side=side).astype(jnp.int64)
+    nh = sorted_ops[0].shape[0]
+    nn = needle_ops[0].shape[0]
+    operands = [jnp.concatenate([h, n]) for h, n in zip(sorted_ops, needle_ops)]
+    needle_tie = jnp.int8(0 if side == "left" else 1)
+    hay_tie = jnp.int8(1) - needle_tie
+    tie = jnp.concatenate([jnp.full((nh,), hay_tie), jnp.full((nn,), needle_tie)])
+    tag = jnp.concatenate([jnp.full((nh,), -1, jnp.int64), jnp.arange(nn, dtype=jnp.int64)])
+    out = jax.lax.sort([*operands, tie, tag], num_keys=len(operands) + 1, is_stable=True)
+    tag_sorted = out[-1]
+    pos = jnp.arange(nh + nn, dtype=jnp.int64)
+    is_needle = tag_sorted >= 0
+    needles_before = jnp.cumsum(is_needle.astype(jnp.int64)) - is_needle.astype(jnp.int64)
+    insert = pos - needles_before
+    res = jnp.zeros((nn,), jnp.int64)
+    res = res.at[jnp.where(is_needle, tag_sorted, 0)].set(jnp.where(is_needle, insert, 0))
+    return res
+
+
+def _expand_matches(
+    counts: jnp.ndarray,
+    lo: jnp.ndarray,
+    r_order: jnp.ndarray,
+    keep_unmatched_left: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """counts[i] matches for left row i starting at sorted-right position
+    lo[i] → (left_indices, right_indices)."""
+    nl = counts.shape[0]
+    emit = jnp.maximum(counts, 1) if keep_unmatched_left else counts
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int64), jnp.cumsum(emit)])
+    total = int(offsets[-1])  # count phase: one host sync
+    if total == 0:
+        z = jnp.zeros((0,), jnp.int64)
+        return z, z
+    row = segment_expand(offsets, total)
+    within = jnp.arange(total, dtype=jnp.int64) - jnp.take(offsets, row)
+    matched = jnp.take(counts, row) > 0
+    r_sorted_pos = jnp.take(lo, row) + within
+    nr = r_order.shape[0]
+    right_idx = jnp.where(
+        matched, jnp.take(r_order, jnp.clip(r_sorted_pos, 0, max(nr - 1, 0))), -1
+    )
+    return row, right_idx
+
+
+# ----------------------------------------------------------------------
+# public joins
+# ----------------------------------------------------------------------
+
+def inner_join(
+    left_keys: Sequence[Column], right_keys: Sequence[Column]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cudf::inner_join → (left gather map, right gather map)."""
+    return _join(left_keys, right_keys, how="inner")
+
+
+def left_join(
+    left_keys: Sequence[Column], right_keys: Sequence[Column]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return _join(left_keys, right_keys, how="left")
+
+
+def full_join(
+    left_keys: Sequence[Column], right_keys: Sequence[Column]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return _join(left_keys, right_keys, how="outer")
+
+
+def _join(left_keys, right_keys, how: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    left_keys, right_keys = list(left_keys), list(right_keys)
+    nl, nr = left_keys[0].length, right_keys[0].length
+    z = jnp.zeros((0,), jnp.int64)
+    if how == "inner" and (nl == 0 or nr == 0):
+        return z, z
+    if how == "left" and nl == 0:
+        return z, z
+    if nr == 0:
+        if how == "left":
+            li = jnp.arange(nl, dtype=jnp.int64)
+            return li, jnp.full((nl,), -1, jnp.int64)
+        if how == "outer":
+            li = jnp.arange(nl, dtype=jnp.int64)
+            return li, jnp.full((nl,), -1, jnp.int64)
+    if nl == 0 and how == "outer":
+        ri = jnp.arange(nr, dtype=jnp.int64)
+        return jnp.full((nr,), -1, jnp.int64), ri
+    l_ops, r_ops = _aligned_keys(left_keys, right_keys)
+    l_null = _null_row_mask(left_keys)
+    r_null = _null_row_mask(right_keys)
+    # exclude null-key rows from matching (nulls are UNEQUAL in joins)
+    if r_null is not None:
+        keep_r = filter_indices(~r_null)
+        r_ops_m = [jnp.take(k, keep_r) for k in r_ops]
+    else:
+        keep_r = None
+        r_ops_m = r_ops
+    r_order, lo, hi = _probe_ranges(l_ops, r_ops_m)
+    counts = hi - lo
+    if l_null is not None:
+        counts = jnp.where(l_null, 0, counts)
+    keep_left = how in ("left", "outer")
+    left_idx, right_idx = _expand_matches(counts, lo, r_order, keep_left)
+    if keep_r is not None:
+        right_idx = jnp.where(right_idx >= 0, jnp.take(keep_r, jnp.clip(right_idx, 0, None)), -1)
+    if how == "outer":
+        # append unmatched right rows (scatter into an nr+1 buffer so
+        # non-matches park at the sentinel slot instead of clobbering row 0)
+        valid_r = right_idx >= 0
+        matched_r = (
+            jnp.zeros((nr + 1,), jnp.bool_)
+            .at[jnp.where(valid_r, right_idx, nr)]
+            .set(True)[:nr]
+        )
+        unmatched = filter_indices(~matched_r)
+        left_idx = jnp.concatenate([left_idx, jnp.full((unmatched.shape[0],), -1, jnp.int64)])
+        right_idx = jnp.concatenate([right_idx, unmatched])
+    return left_idx, right_idx
+
+
+def semi_join(left_keys, right_keys) -> jnp.ndarray:
+    """Left-semi: indices of left rows with ≥1 match (cudf::left_semi_join)."""
+    mask = _match_mask(left_keys, right_keys)
+    return filter_indices(mask)
+
+
+def anti_join(left_keys, right_keys) -> jnp.ndarray:
+    mask = _match_mask(left_keys, right_keys)
+    return filter_indices(~mask)
+
+
+def _match_mask(left_keys, right_keys) -> jnp.ndarray:
+    left_keys, right_keys = list(left_keys), list(right_keys)
+    l_ops, r_ops = _aligned_keys(left_keys, right_keys)
+    r_null = _null_row_mask(right_keys)
+    if r_null is not None:
+        keep_r = filter_indices(~r_null)
+        r_ops = [jnp.take(k, keep_r) for k in r_ops]
+    _, lo, hi = _probe_ranges(l_ops, r_ops)
+    mask = hi > lo
+    l_null = _null_row_mask(left_keys)
+    if l_null is not None:
+        mask = mask & ~l_null
+    return mask
+
+
+def cross_join(nl: int, nr: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    left_idx = jnp.repeat(jnp.arange(nl, dtype=jnp.int64), nr)
+    right_idx = jnp.tile(jnp.arange(nr, dtype=jnp.int64), nl)
+    return left_idx, right_idx
+
+
+def merge_sorted(key_cols_list: Sequence[Sequence[Column]],
+                 ascending=None, na_position="last") -> jnp.ndarray:
+    """k-way merge of pre-sorted tables (cudf::merge, cpp/src/merge/merge.cu).
+
+    Concatenate + one fused stable sort: on TPU the full sort at HBM
+    bandwidth replaces the reference's device merge-path kernel.
+    Returns the gather map into the concatenated table.
+    """
+    from cudf_tpu.ops import copying
+    from cudf_tpu.ops.row_ops import lex_sort_indices
+
+    cols = [copying.concatenate([t[i] for t in key_cols_list])
+            for i in range(len(key_cols_list[0]))]
+    return lex_sort_indices(cols, ascending=ascending, na_position=na_position)

@@ -1,0 +1,127 @@
+"""Search: lower_bound, upper_bound, contains (isin).
+
+TPU-native equivalent of libcudf search (reference: cpp/src/search/).
+``jnp.searchsorted`` lowers to a vectorized branchless binary search on
+device.  Multi-column searches use the row-operator order keys.
+
+``contains`` (isin) is sort-based: sort the needle set once, then one
+vectorized searchsorted per equality-key operand — replacing the cuco
+hash-set probe of the reference.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from cudf_tpu.core import dtypes as dt
+from cudf_tpu.core.column import Column
+from cudf_tpu.ops.row_ops import equality_keys, lex_sort_indices, order_keys
+
+
+def lower_bound(haystack: Column, needles: Column, side: str = "left") -> jnp.ndarray:
+    """Insertion points of needles into sorted haystack (cudf::lower_bound)."""
+    h_ops = order_keys(haystack, True, "last")
+    n_ops = order_keys(needles.with_validity(needles.validity), True, "last")
+    if len(h_ops) == 1 and len(n_ops) == 1:
+        return jnp.searchsorted(h_ops[0], n_ops[0], side=side).astype(jnp.int64)
+    # multi-operand lexicographic binary search: combine into one sortable
+    # key when operands fit in 64 bits is not general; fall back to
+    # rank-merge: positions via stable sort of concatenated keys.
+    return _lex_search(h_ops, n_ops, side)
+
+
+def upper_bound(haystack: Column, needles: Column) -> jnp.ndarray:
+    return lower_bound(haystack, needles, side="right")
+
+
+def _lex_search(h_ops: List[jnp.ndarray], n_ops: List[jnp.ndarray], side: str) -> jnp.ndarray:
+    """Lexicographic searchsorted via merge-by-sort.
+
+    Concatenate haystack and needle key operands, stable-sort with a
+    tiebreak that places needles after (left) or before (right) equal
+    haystack rows, then each needle's insertion point = its position in
+    the merged order minus the number of needles before it.
+    """
+    nh = h_ops[0].shape[0]
+    nn = n_ops[0].shape[0]
+    operands = [jnp.concatenate([h, n]) for h, n in zip(h_ops, n_ops)]
+    # tiebreak among equal rows: lower_bound places needles before equal
+    # haystack rows, upper_bound after
+    needle_tie = jnp.int8(0 if side == "left" else 1)
+    hay_tie = jnp.int8(1) - needle_tie
+    tie = jnp.concatenate([jnp.full((nh,), hay_tie), jnp.full((nn,), needle_tie)])
+    tag = jnp.concatenate([jnp.full((nh,), -1, jnp.int64), jnp.arange(nn, dtype=jnp.int64)])
+    out = jax.lax.sort([*operands, tie, tag], num_keys=len(operands) + 1, is_stable=True)
+    tag_sorted = out[-1]
+    pos = jnp.arange(nh + nn, dtype=jnp.int64)
+    needles_before = jnp.cumsum((tag_sorted >= 0).astype(jnp.int64)) - (tag_sorted >= 0)
+    insert = pos - needles_before
+    res = jnp.zeros((nn,), jnp.int64)
+    sel = tag_sorted >= 0
+    res = res.at[jnp.where(sel, tag_sorted, 0)].set(jnp.where(sel, insert, 0).astype(jnp.int64))
+    return res
+
+
+def contains(haystack: Column, needles: Column) -> jnp.ndarray:
+    """bool[len(needles)]: needle value present in haystack (cudf::contains,
+    the kernel under Series.isin).  Null needles match null haystack rows
+    (pandas isin treats None/NaN as matching)."""
+    n = needles.length
+    if haystack.length == 0 or n == 0:
+        return jnp.zeros((n,), jnp.bool_)
+    # aligned operand lists (validity flag may be absent on one side; string
+    # chunk counts may differ)
+    h_keys, n_keys = _align_key_ops(haystack, needles)
+    order = jnp.argsort(h_keys[0]) if len(h_keys) == 1 else lex_sort_indices_raw(h_keys)
+    sorted_ops = [jnp.take(k, order) for k in h_keys]
+    lo = _searchsorted_multi(sorted_ops, n_keys, "left")
+    hi = _searchsorted_multi(sorted_ops, n_keys, "right")
+    return hi > lo
+
+
+def _align_key_ops(a: Column, b: Column):
+    """equality_keys with matched operand structure across two columns."""
+    from cudf_tpu.ops import row_ops
+
+    av = a.validity is not None
+    bv = b.validity is not None
+    ka = equality_keys(a)
+    kb = equality_keys(b)
+    # validity operand present on one side only → add constant-1 on the other
+    if av and not bv:
+        kb = [jnp.ones((b.length,), jnp.int8), *kb]
+    elif bv and not av:
+        ka = [jnp.ones((a.length,), jnp.int8), *ka]
+    # string chunk-count mismatch → pad the shorter with zero chunks before
+    # the trailing length operand
+    if a.dtype.is_string and b.dtype.is_string:
+        if len(ka) != len(kb):
+            tgt = max(len(ka), len(kb))
+            def pad(ops, n):
+                head, ln = ops[:-1], ops[-1]
+                while len(head) + 1 < tgt:
+                    head = [*head, jnp.full((n,), jnp.int64(-(2**63)), jnp.int64)]
+                return [*head, ln]
+            # account for validity flag offset
+            if av or bv:
+                ka = [ka[0], *pad(ka[1:], a.length)]
+                kb = [kb[0], *pad(kb[1:], b.length)]
+            else:
+                ka = pad(ka, a.length)
+                kb = pad(kb, b.length)
+    return ka, kb
+
+
+def lex_sort_indices_raw(ops: List[jnp.ndarray]) -> jnp.ndarray:
+    n = ops[0].shape[0]
+    idx = jnp.arange(n, dtype=jnp.int64)
+    return jax.lax.sort([*ops, idx], num_keys=len(ops), is_stable=False)[-1]
+
+
+def _searchsorted_multi(sorted_ops: List[jnp.ndarray], needle_ops: List[jnp.ndarray], side: str) -> jnp.ndarray:
+    if len(sorted_ops) == 1:
+        return jnp.searchsorted(sorted_ops[0], needle_ops[0], side=side).astype(jnp.int64)
+    return _lex_search(sorted_ops, needle_ops, side)
