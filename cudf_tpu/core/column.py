@@ -252,13 +252,21 @@ class Column:
                 validity = jnp.asarray(bits.astype(bool))
             return cls(dt.STRING, n, data=jnp.asarray(chars.copy()),
                        offsets=jnp.asarray(off.copy()), validity=validity)
-        # fixed-width via numpy
-        npd = arr.to_numpy(zero_copy_only=False)
+        # fixed-width via numpy (fill nulls so int columns don't widen to float)
         if arr.null_count > 0:
             mask = ~np.asarray(arr.is_null())
-            if npd.dtype.kind == "O" or npd.dtype.kind == "f":
-                pass
-            return cls.from_numpy(np.ascontiguousarray(npd) if npd.dtype.kind not in "O" else npd, mask=mask)
+            if pa.types.is_floating(arr.type):
+                filled = arr
+            elif pa.types.is_timestamp(arr.type) or pa.types.is_duration(arr.type) or (
+                str(arr.type).startswith("date")
+            ):
+                npd = arr.to_numpy(zero_copy_only=False)
+                return cls.from_numpy(np.ascontiguousarray(npd), mask=mask)
+            else:
+                filled = arr.fill_null(_zero_for(arr.type))
+            npd = filled.to_numpy(zero_copy_only=False)
+            return cls.from_numpy(np.ascontiguousarray(npd), mask=mask)
+        npd = arr.to_numpy(zero_copy_only=False)
         return cls.from_numpy(np.ascontiguousarray(npd))
 
     # ------------------------------------------------------------------
@@ -394,6 +402,14 @@ jax.tree_util.register_pytree_node(
 # ----------------------------------------------------------------------
 # helpers
 # ----------------------------------------------------------------------
+
+def _zero_for(pa_type):
+    import pyarrow as pa
+
+    if pa.types.is_boolean(pa_type):
+        return False
+    return 0
+
 
 def _is_null(v) -> bool:
     if v is None:

@@ -1,0 +1,388 @@
+"""Series accessors: .str, .dt, .cat.
+
+TPU-native equivalent of cudf-python accessor namespaces
+(reference: python/cudf/cudf/core/accessors/ — string.py, datetimelike.py,
+categorical.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from cudf_tpu.core import dtypes as dt
+from cudf_tpu.core.column import Column
+from cudf_tpu.ops import datetime as dt_ops, strings as str_ops, unary
+from cudf_tpu.frame.series import Series
+
+
+class StringMethods:
+    def __init__(self, s: Series):
+        if not (s.dtype.is_string or s.dtype.is_dictionary):
+            raise AttributeError(".str accessor requires string dtype")
+        self._s = s
+        self._col = s._column.decode_dictionary() if s.dtype.is_dictionary else s._column
+
+    def _wrap(self, col: Column) -> Series:
+        return Series._from(col, self._s._index, self._s.name)
+
+    def _wrap_bool(self, col: Column) -> Series:
+        """pandas-3 str-dtype predicates return False for missing values."""
+        if col.validity is not None:
+            import jax.numpy as jnp
+
+            col = Column(col.dtype, col.length, data=col.data & col.validity)
+        return Series._from(col, self._s._index, self._s.name)
+
+    def len(self):
+        return self._wrap(str_ops.length(self._col))
+
+    def byte_count(self):
+        return self._wrap(str_ops.byte_count(self._col))
+
+    def lower(self):
+        return self._wrap(str_ops.lower(self._col))
+
+    def upper(self):
+        return self._wrap(str_ops.upper(self._col))
+
+    def capitalize(self):
+        return self._wrap(str_ops.capitalize(self._col))
+
+    def title(self):
+        return self._wrap(str_ops.title(self._col))
+
+    def swapcase(self):
+        return self._wrap(str_ops.swapcase(self._col))
+
+    def strip(self, to_strip=None):
+        return self._wrap(str_ops.strip(self._col, to_strip, "both"))
+
+    def lstrip(self, to_strip=None):
+        return self._wrap(str_ops.strip(self._col, to_strip, "left"))
+
+    def rstrip(self, to_strip=None):
+        return self._wrap(str_ops.strip(self._col, to_strip, "right"))
+
+    def slice(self, start=None, stop=None, step=None):
+        return self._wrap(str_ops.slice_strings(self._col, start, stop, step))
+
+    def get(self, i):
+        return self._wrap(str_ops.get(self._col, i))
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            return self.slice(key.start, key.stop, key.step)
+        return self.get(key)
+
+    def contains(self, pat, case=True, regex=True, flags=0):
+        import re
+
+        if not case:
+            flags |= re.IGNORECASE
+        if regex and _is_regex(pat):
+            return self._wrap_bool(str_ops.contains_re(self._col, pat, flags))
+        if not case:
+            return self._wrap_bool(str_ops.contains_literal(str_ops.lower(self._col), pat.lower()))
+        return self._wrap_bool(str_ops.contains_literal(self._col, pat))
+
+    def match(self, pat, flags=0):
+        return self._wrap_bool(str_ops.match_re(self._col, pat, flags))
+
+    def fullmatch(self, pat, flags=0):
+        return self._wrap_bool(str_ops.fullmatch_re(self._col, pat, flags))
+
+    def startswith(self, pat):
+        return self._wrap_bool(str_ops.startswith(self._col, pat))
+
+    def endswith(self, pat):
+        return self._wrap_bool(str_ops.endswith(self._col, pat))
+
+    def find(self, sub):
+        return self._wrap(str_ops.find_literal(self._col, sub))
+
+    def rfind(self, sub):
+        return self._wrap(str_ops.find_literal(self._col, sub, from_end=True))
+
+    def index(self, sub):
+        out = self.find(sub)
+        if bool((out == -1).any()):
+            raise ValueError("substring not found")
+        return out
+
+    def count(self, pat, flags=0):
+        if _is_regex(pat):
+            return self._wrap(str_ops.count_re(self._col, pat, flags))
+        return self._wrap(str_ops.count_literal(self._col, pat))
+
+    def replace(self, pat, repl, n=-1, regex=True, flags=0):
+        if regex and _is_regex(pat):
+            return self._wrap(str_ops.replace_re(self._col, pat, repl, n, flags))
+        return self._wrap(str_ops.replace_literal(self._col, pat, repl, n))
+
+    def extract(self, pat, flags=0, expand=True):
+        cols = str_ops.extract_re(self._col, pat, flags)
+        from cudf_tpu.frame.dataframe import DataFrame
+        from cudf_tpu.core.table import Table
+
+        if len(cols) == 1 and not expand:
+            return self._wrap(cols[0])
+        return DataFrame._from(
+            Table({i: c for i, c in enumerate(cols)}), self._s._index
+        )
+
+    def split(self, pat=None, n=-1, expand=False, regex=False):
+        if expand:
+            cols = str_ops.split_expand(self._col, pat, n, regex)
+            from cudf_tpu.frame.dataframe import DataFrame
+            from cudf_tpu.core.table import Table
+
+            return DataFrame._from(Table({i: c for i, c in enumerate(cols)}), self._s._index)
+        lists = str_ops.split_record(self._col, pat, n)
+        import pandas as pd
+
+        return pd.Series(lists, index=self._s._index.to_pandas(), name=self._s.name)
+
+    def pad(self, width, side="left", fillchar=" "):
+        return self._wrap(str_ops.pad(self._col, width, side, fillchar))
+
+    def ljust(self, width, fillchar=" "):
+        return self._wrap(str_ops.pad(self._col, width, "right", fillchar))
+
+    def rjust(self, width, fillchar=" "):
+        return self._wrap(str_ops.pad(self._col, width, "left", fillchar))
+
+    def center(self, width, fillchar=" "):
+        return self._wrap(str_ops.pad(self._col, width, "both", fillchar))
+
+    def zfill(self, width):
+        return self._wrap(str_ops.zfill(self._col, width))
+
+    def repeat(self, repeats):
+        return self._wrap(str_ops.repeat_strings(self._col, repeats))
+
+    def cat(self, others=None, sep=None, na_rep=None):
+        sep = sep or ""
+        if others is None:
+            return str_ops.join_strings(self._col, sep)
+        from cudf_tpu.ops.binaryop import binary_operation
+
+        other_col = others._column if isinstance(others, Series) else Column.from_strings(list(others))
+        left = self._col
+        if sep:
+            sep_col = Column.from_strings([sep] * left.length)
+            left = binaryop_concat(left, sep_col)
+        out = binary_operation(left, other_col, "add")
+        return self._wrap(out)
+
+    def isdigit(self):
+        return self._wrap_bool(str_ops.isdigit(self._col))
+
+    def isdecimal(self):
+        return self._wrap_bool(str_ops.isdecimal(self._col))
+
+    def isnumeric(self):
+        return self._wrap_bool(str_ops.isnumeric(self._col))
+
+    def isalpha(self):
+        return self._wrap_bool(str_ops.isalpha(self._col))
+
+    def isalnum(self):
+        return self._wrap_bool(str_ops.isalnum(self._col))
+
+    def isspace(self):
+        return self._wrap_bool(str_ops.isspace(self._col))
+
+    def isupper(self):
+        return self._wrap_bool(str_ops.isupper(self._col))
+
+    def islower(self):
+        return self._wrap_bool(str_ops.islower(self._col))
+
+
+def binaryop_concat(l: Column, r: Column) -> Column:
+    from cudf_tpu.ops.binaryop import _concat_strings
+
+    return _concat_strings(l, r)
+
+
+def _is_regex(pat: str) -> bool:
+    return any(c in pat for c in r".^$*+?{}[]\|()")
+
+
+class DatetimeProperties:
+    def __init__(self, s: Series):
+        if not (s.dtype.is_timestamp or s.dtype.is_duration):
+            raise AttributeError(".dt accessor requires datetime64/timedelta64 dtype")
+        self._s = s
+
+    def _wrap(self, col: Column) -> Series:
+        return Series._from(col, self._s._index, self._s.name)
+
+    def _extract(self, field: str) -> Series:
+        return self._wrap(dt_ops.extract(self._s._column, field))
+
+    @property
+    def year(self):
+        return self._extract("year")
+
+    @property
+    def month(self):
+        return self._extract("month")
+
+    @property
+    def day(self):
+        return self._extract("day")
+
+    @property
+    def hour(self):
+        return self._extract("hour")
+
+    @property
+    def minute(self):
+        return self._extract("minute")
+
+    @property
+    def second(self):
+        return self._extract("second")
+
+    @property
+    def microsecond(self):
+        return self._extract("microsecond")
+
+    @property
+    def nanosecond(self):
+        return self._extract("nanosecond")
+
+    @property
+    def weekday(self):
+        return self._extract("weekday")
+
+    dayofweek = weekday
+    day_of_week = weekday
+
+    @property
+    def dayofyear(self):
+        return self._extract("dayofyear")
+
+    day_of_year = dayofyear
+
+    @property
+    def quarter(self):
+        return self._extract("quarter")
+
+    @property
+    def days_in_month(self):
+        return self._extract("days_in_month")
+
+    daysinmonth = days_in_month
+
+    @property
+    def is_leap_year(self):
+        return self._extract("is_leap_year")
+
+    @property
+    def is_month_start(self):
+        return self._extract("is_month_start")
+
+    @property
+    def is_month_end(self):
+        return self._extract("is_month_end")
+
+    @property
+    def date(self):
+        import pandas as pd
+
+        return pd.Series(self._s.to_pandas().dt.date, name=self._s.name)
+
+    def floor(self, freq):
+        return self._wrap(dt_ops.floor(self._s._column, freq))
+
+    def ceil(self, freq):
+        return self._wrap(dt_ops.ceil(self._s._column, freq))
+
+    def round(self, freq):
+        return self._wrap(dt_ops.round(self._s._column, freq))
+
+    def strftime(self, fmt):
+        return Series(self._s.to_pandas().dt.strftime(fmt).tolist(),
+                      index=self._s._index, name=self._s.name)
+
+    def tz_localize(self, tz):
+        if tz is None:
+            return self._s.copy()
+        raise NotImplementedError("timezone tables land in a later round")
+
+    # duration properties
+    @property
+    def days(self):
+        ticks = {"s": 86400, "ms": 86400_000, "us": 86400_000_000, "ns": 86400_000_000_000}
+        t = ticks[self._s.dtype.time_unit or "s"]
+        col = self._s._column
+        return self._wrap(Column(dt.INT64, col.length,
+                                 data=jnp.floor_divide(col.data.astype(jnp.int64), t),
+                                 validity=col.validity))
+
+    @property
+    def seconds(self):
+        ticks = {"s": 1, "ms": 1000, "us": 1_000_000, "ns": 1_000_000_000}
+        t = ticks[self._s.dtype.time_unit or "s"]
+        col = self._s._column
+        secs = jnp.floor_divide(col.data.astype(jnp.int64), t)
+        return self._wrap(Column(dt.INT64, col.length, data=jnp.mod(secs, 86400),
+                                 validity=col.validity))
+
+    def total_seconds(self):
+        ticks = {"s": 1, "ms": 1000, "us": 1_000_000, "ns": 1_000_000_000}
+        t = ticks[self._s.dtype.time_unit or "s"]
+        col = self._s._column
+        return self._wrap(Column(dt.FLOAT64, col.length,
+                                 data=col.data.astype(jnp.float64) / t,
+                                 validity=col.validity))
+
+
+class CategoricalAccessor:
+    def __init__(self, s: Series):
+        if not s.dtype.is_dictionary:
+            raise AttributeError(".cat accessor requires category dtype")
+        self._s = s
+
+    @property
+    def categories(self):
+        from cudf_tpu.frame.index import Index
+
+        return Index(column=self._s._column.children[0])
+
+    @property
+    def codes(self) -> Series:
+        col = self._s._column
+        codes = col.data.astype(jnp.int64)
+        if col.validity is not None:
+            codes = jnp.where(col.validity, codes, -1)
+        return Series._from(Column(dt.INT64, col.length, data=codes), self._s._index, None)
+
+    @property
+    def ordered(self):
+        return False
+
+    def as_ordered(self):
+        return self._s.copy()
+
+    def as_unordered(self):
+        return self._s.copy()
+
+    def set_categories(self, new_categories):
+        from cudf_tpu.ops.dictionary import set_keys
+        from cudf_tpu.core.column import as_column
+
+        out = set_keys(self._s._column, as_column(list(new_categories)))
+        return Series._from(out, self._s._index, self._s.name)
+
+    def add_categories(self, new_categories):
+        from cudf_tpu.ops import copying
+        from cudf_tpu.core.column import as_column
+
+        keys = copying.concatenate([self._s._column.children[0], as_column(list(new_categories))])
+        return self.set_categories(keys.to_pylist())

@@ -1,0 +1,359 @@
+"""GroupBy objects for DataFrame/Series.
+
+TPU-native equivalent of cudf-python groupby
+(reference: python/cudf/cudf/core/groupby/groupby.py:446-1044) over the
+ops/groupby sort-based segment machinery.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from cudf_tpu.core import dtypes as dt
+from cudf_tpu.core.column import Column, as_column
+from cudf_tpu.core.table import Table
+from cudf_tpu.ops import copying, groupby as gb_ops, sort as sort_ops
+from cudf_tpu.frame.index import Index, MultiIndex, default_index
+from cudf_tpu.frame.series import Series
+from cudf_tpu.frame.dataframe import DataFrame
+
+_SIMPLE_AGGS = (
+    "sum", "mean", "min", "max", "count", "size", "var", "std", "prod",
+    "product", "any", "all", "first", "last", "nunique", "median",
+    "idxmin", "idxmax",
+)
+
+
+class _GroupByBase:
+    def __init__(self, obj, by, level=None, sort=False, dropna=True, as_index=True):
+        self._obj = obj
+        self._sort = sort
+        self._dropna = dropna
+        self._as_index = as_index
+        # resolve key columns
+        if level is not None:
+            idx = obj._index
+            if isinstance(idx, MultiIndex):
+                levels = [level] if not isinstance(level, (list, tuple)) else level
+                self._key_names = [
+                    idx.names[l] if isinstance(l, int) else l for l in levels
+                ]
+                self._key_cols = [
+                    idx._columns[l if isinstance(l, int) else idx.names.index(l)]
+                    for l in levels
+                ]
+            else:
+                self._key_names = [idx.name if idx.name is not None else "index"]
+                self._key_cols = [idx._column]
+            self._keys_from_index = True
+        else:
+            by_list = [by] if isinstance(by, str) or isinstance(by, Series) else list(by)
+            self._key_names = []
+            self._key_cols = []
+            for b in by_list:
+                if isinstance(b, Series):
+                    self._key_names.append(b.name if b.name is not None else "key")
+                    self._key_cols.append(b._column)
+                else:
+                    self._key_names.append(b)
+                    self._key_cols.append(self._lookup_key(b))
+            self._keys_from_index = False
+        self._grouper = None
+
+    def _lookup_key(self, name) -> Column:
+        raise NotImplementedError
+
+    @property
+    def grouper(self):
+        if self._grouper is None:
+            self._grouper = gb_ops.make_grouper(self._key_cols, dropna=self._dropna)
+        return self._grouper
+
+    def _result_index(self):
+        g = self.grouper
+        key_rows = g.key_rows
+        if g.row_mask is not None:
+            from cudf_tpu.ops.stream_compaction import filter_indices
+
+            keep = filter_indices(g.row_mask)
+            key_rows = jnp.take(keep, key_rows)
+        cols = [copying.gather(c, key_rows, bounds_check=False) for c in self._original_key_cols()]
+        if len(cols) == 1:
+            return Index(column=cols[0], name=self._key_names[0])
+        return MultiIndex(cols, self._key_names)
+
+    def _original_key_cols(self):
+        return self._key_cols
+
+    def ngroups(self):
+        return self.grouper.num_groups
+
+    def size(self) -> Series:
+        col = gb_ops.group_size(self.grouper)
+        return Series._from(col, self._result_index(), None)
+
+    def __iter__(self):
+        g = self.grouper
+        import numpy as np
+
+        gid = np.asarray(g.group_ids)
+        order = np.asarray(g.sorted_order)
+        offs = np.asarray(g.group_offsets)
+        keys_idx = self._result_index()
+        for i in range(g.num_groups):
+            rows = order[offs[i]:offs[i + 1]]
+            key = keys_idx[i] if not isinstance(keys_idx, MultiIndex) else tuple(
+                c[int(g.key_rows[i])] for c in self._original_key_cols()
+            )
+            yield key, self._take_rows(jnp.asarray(rows))
+
+    def _take_rows(self, rows):
+        raise NotImplementedError
+
+
+class DataFrameGroupBy(_GroupByBase):
+    def _lookup_key(self, name) -> Column:
+        return self._obj._table[name]
+
+    def _take_rows(self, rows):
+        return self._obj.take(rows)
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            sgb = SeriesGroupBy.__new__(SeriesGroupBy)
+            sgb._obj = self._obj[key]
+            sgb._sort = self._sort
+            sgb._dropna = self._dropna
+            sgb._as_index = self._as_index
+            sgb._key_names = self._key_names
+            sgb._key_cols = self._key_cols
+            sgb._keys_from_index = self._keys_from_index
+            sgb._grouper = self._grouper
+            return sgb
+        sub = DataFrameGroupBy.__new__(DataFrameGroupBy)
+        sub.__dict__.update(self.__dict__) if hasattr(self, "__dict__") else None
+        sub._obj = self._obj[list(key) + [n for n in self._key_names if n in self._obj._table and n not in key]]
+        sub._sort = self._sort
+        sub._dropna = self._dropna
+        sub._as_index = self._as_index
+        sub._key_names = self._key_names
+        sub._key_cols = self._key_cols
+        sub._keys_from_index = self._keys_from_index
+        sub._grouper = self._grouper
+        sub._value_subset = list(key)
+        return sub
+
+    def _value_names(self) -> List[str]:
+        subset = getattr(self, "_value_subset", None)
+        if subset is not None:
+            return subset
+        skip = set(self._key_names) if not self._keys_from_index else set()
+        return [n for n in self._obj._table.names if n not in skip]
+
+    def agg(self, func=None, **named):
+        """func: 'sum' | list | {col: agg or [aggs]} | named aggs."""
+        specs: List = []  # (out_name, col_name, agg)
+        if named and func is None:
+            for out_name, (col_name, agg) in {
+                k: (v[0], v[1]) if isinstance(v, tuple) else (v.column, v.aggfunc)
+                for k, v in named.items()
+            }.items():
+                specs.append((out_name, col_name, agg, None))
+        elif isinstance(func, str):
+            return getattr(self, func)()
+        elif isinstance(func, dict):
+            for col_name, aggs in func.items():
+                aggs_l = [aggs] if isinstance(aggs, str) else list(aggs)
+                multi = len(aggs_l) > 1 or any(isinstance(a, (list, tuple)) for a in [aggs])
+                for a in aggs_l:
+                    out = col_name if (isinstance(aggs, str)) else f"{col_name}_{a}"
+                    specs.append((out, col_name, a, None))
+        elif isinstance(func, (list, tuple)):
+            for col_name in self._value_names():
+                col = self._obj._table[col_name]
+                for a in func:
+                    if not _agg_supported(col, a):
+                        continue
+                    specs.append((f"{col_name}_{a}", col_name, a, None))
+        else:
+            raise TypeError(f"unsupported agg spec {func!r}")
+        return self._run_aggs(specs)
+
+    aggregate = agg
+
+    def _run_aggs(self, specs) -> DataFrame:
+        g = self.grouper
+        out_cols: Dict[str, Column] = {}
+        for out_name, col_name, agg, _ in specs:
+            col = self._obj._table[col_name]
+            fn = gb_ops._AGG_DISPATCH[agg]
+            out_cols[out_name] = fn(col, g)
+        index = self._result_index()
+        df = DataFrame._from(Table(out_cols), index)
+        if self._sort:
+            df = df.sort_index() if False else df  # groups already in sorted key order
+        if not self._as_index:
+            df = df.reset_index()
+        return df
+
+    def _apply_simple(self, agg: str, numeric_only=False) -> DataFrame:
+        specs = []
+        for n in self._value_names():
+            col = self._obj._table[n]
+            if not _agg_supported(col, agg):
+                continue
+            specs.append((n, n, agg, None))
+        return self._run_aggs(specs)
+
+    def apply(self, func, *args, **kw):
+        """Host-fallback per-group apply (JIT groupby-apply is a later round;
+        reference: numba groupby-apply engine, core/udf/groupby_*.py)."""
+        results = []
+        keys = []
+        for key, grp in self:
+            results.append(func(grp, *args, **kw))
+            keys.append(key)
+        import pandas as pd
+
+        if all(np.isscalar(r) or r is None for r in results):
+            return Series(results, index=Index(keys, name=self._key_names[0] if len(self._key_names) == 1 else None))
+        pd_res = pd.concat([r.to_pandas() if hasattr(r, "to_pandas") else r for r in results],
+                           keys=keys)
+        return DataFrame.from_pandas(pd_res) if pd_res.ndim == 2 else pd_res
+
+    # transforms -------------------------------------------------------
+    def cumsum(self):
+        g = self.grouper
+        cols = {}
+        for n in self._value_names():
+            c = self._obj._table[n]
+            if c.dtype.is_numeric or c.dtype.is_bool:
+                cols[n] = gb_ops.group_cumsum(c, g)
+        return DataFrame._from(Table(cols), self._obj._index)
+
+    def cumcount(self):
+        return Series._from(gb_ops.group_cumcount(self.grouper), self._obj._index, None)
+
+    def shift(self, periods=1):
+        g = self.grouper
+        cols = {n: gb_ops.group_shift(self._obj._table[n], g, periods)
+                for n in self._value_names()}
+        return DataFrame._from(Table(cols), self._obj._index)
+
+    def nth(self, n: int):
+        g = self.grouper
+        cols = {nm: gb_ops.group_nth(self._obj._table[nm], g, n) for nm in self._value_names()}
+        return DataFrame._from(Table(cols), self._result_index())
+
+    def head(self, n: int = 5):
+        g = self.grouper
+        cc = gb_ops.group_cumcount(g)
+        mask = cc.data < n
+        from cudf_tpu.ops.stream_compaction import filter_indices
+
+        return self._obj.take(filter_indices(mask))
+
+    def get_group(self, key):
+        from cudf_tpu.ops.binaryop import binary_operation
+        from cudf_tpu.ops.stream_compaction import filter_indices
+
+        keys = key if isinstance(key, tuple) else (key,)
+        mask = None
+        for c, k in zip(self._key_cols, keys):
+            eq = binary_operation(c, k, "eq")
+            m = eq.data
+            if eq.validity is not None:
+                m = m & eq.validity
+            mask = m if mask is None else (mask & m)
+        return self._obj.take(filter_indices(mask))
+
+
+for _agg in _SIMPLE_AGGS:
+    if _agg == "size":
+        continue
+
+    def _mk(agg=_agg):
+        def f(self, *a, **k):
+            return self._apply_simple(agg)
+        return f
+
+    setattr(DataFrameGroupBy, _agg, _mk())
+
+
+class SeriesGroupBy(_GroupByBase):
+    def __init__(self, obj: Series, by, level=None, sort=False, dropna=True, as_index=True):
+        if by is None and level is None:
+            level = 0
+        super().__init__(obj, by, level=level, sort=sort, dropna=dropna, as_index=as_index)
+
+    def _lookup_key(self, name) -> Column:
+        raise KeyError(f"SeriesGroupBy key {name!r} must be a Series or level")
+
+    def _take_rows(self, rows):
+        return self._obj.take(rows)
+
+    def _apply_simple(self, agg: str) -> Series:
+        g = self.grouper
+        fn = gb_ops._AGG_DISPATCH[agg]
+        col = fn(self._obj._column, g)
+        return Series._from(col, self._result_index(), self._obj.name)
+
+    def agg(self, func):
+        if isinstance(func, str):
+            return self._apply_simple(func)
+        if isinstance(func, (list, tuple)):
+            cols = {a: gb_ops._AGG_DISPATCH[a](self._obj._column, self.grouper) for a in func}
+            return DataFrame._from(Table(cols), self._result_index())
+        raise TypeError(func)
+
+    aggregate = agg
+
+    def cumsum(self):
+        return Series._from(
+            gb_ops.group_cumsum(self._obj._column, self.grouper), self._obj._index, self._obj.name
+        )
+
+    def cumcount(self):
+        return Series._from(gb_ops.group_cumcount(self.grouper), self._obj._index, None)
+
+    def shift(self, periods=1):
+        return Series._from(
+            gb_ops.group_shift(self._obj._column, self.grouper, periods),
+            self._obj._index, self._obj.name,
+        )
+
+    def quantile(self, q=0.5, interpolation="linear"):
+        col = gb_ops.group_quantile(self._obj._column, self.grouper, q, interpolation)
+        return Series._from(col, self._result_index(), self._obj.name)
+
+    def apply(self, func, *args, **kw):
+        results = []
+        keys = []
+        for key, grp in self:
+            results.append(func(grp, *args, **kw))
+            keys.append(key)
+        return Series(results, index=Index(keys, name=self._key_names[0] if len(self._key_names) == 1 else None),
+                      name=self._obj.name)
+
+
+for _agg in _SIMPLE_AGGS:
+    if _agg == "size":
+        continue
+
+    def _mks(agg=_agg):
+        def f(self, *a, **k):
+            return self._apply_simple(agg)
+        return f
+
+    setattr(SeriesGroupBy, _agg, _mks())
+
+
+def _agg_supported(col: Column, agg: str) -> bool:
+    if col.dtype.is_string or col.dtype.is_dictionary:
+        return agg in ("count", "size", "nunique", "first", "last", "min", "max")
+    if col.dtype.is_temporal:
+        return agg not in ("sum", "prod", "product", "var", "std", "any", "all")
+    return True

@@ -1,0 +1,180 @@
+"""Rolling windows and EWM.
+
+TPU-native equivalent of libcudf rolling (reference: cpp/src/rolling/).
+Fixed windows lower to shifted-cumsum differences / strided segment
+reductions — O(n) fused VPU passes instead of per-window loops; min/max use
+the sliding-window sparse table (log-depth, still O(n log w) vectorized).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cudf_tpu.core import dtypes as dt
+from cudf_tpu.core.column import Column
+from cudf_tpu.frame.series import Series
+
+
+class Rolling:
+    def __init__(self, obj, window: int, min_periods=None, center=False):
+        self._obj = obj
+        self._window = int(window)
+        self._min_periods = int(min_periods) if min_periods is not None else int(window)
+        self._center = center
+
+    def _apply(self, fn_name: str):
+        from cudf_tpu.frame.dataframe import DataFrame
+
+        if isinstance(self._obj, Series):
+            return self._apply_series(self._obj, fn_name)
+        cols = {}
+        for n in self._obj._table.names:
+            s = self._obj[n]
+            if s.dtype.is_numeric or s.dtype.is_bool:
+                cols[n] = self._apply_series(s, fn_name)._column
+        from cudf_tpu.core.table import Table
+
+        return DataFrame._from(Table(cols), self._obj._index)
+
+    def _apply_series(self, s: Series, fn_name: str) -> Series:
+        col = s._column
+        n = col.length
+        w = self._window
+        x = col.data.astype(jnp.float64)
+        valid = jnp.ones((n,), jnp.bool_)
+        if col.validity is not None:
+            valid = col.validity
+        if col.dtype.is_float:
+            valid = valid & ~jnp.isnan(col.data)
+        xz = jnp.where(valid, x, 0.0)
+        cnt_prefix = jnp.concatenate([jnp.zeros((1,), jnp.float64),
+                                      jnp.cumsum(valid.astype(jnp.float64))])
+        cnt = _window_diff(cnt_prefix, w)
+        if fn_name in ("sum", "mean", "var", "std"):
+            pref = jnp.concatenate([jnp.zeros((1,), jnp.float64), jnp.cumsum(xz)])
+            total = _window_diff(pref, w)
+            if fn_name == "sum":
+                out = total
+            elif fn_name == "mean":
+                out = total / jnp.maximum(cnt, 1.0)
+            else:
+                pref2 = jnp.concatenate([jnp.zeros((1,), jnp.float64), jnp.cumsum(xz * xz)])
+                tot2 = _window_diff(pref2, w)
+                mu = total / jnp.maximum(cnt, 1.0)
+                var = (tot2 - cnt * mu * mu) / jnp.maximum(cnt - 1.0, 1.0)
+                var = jnp.maximum(var, 0.0)
+                out = var if fn_name == "var" else jnp.sqrt(var)
+                out = jnp.where(cnt >= 2, out, jnp.nan)
+        elif fn_name in ("min", "max"):
+            out = _sliding_minmax(xz, valid, w, fn_name)
+        elif fn_name == "count":
+            out = cnt
+        else:
+            raise NotImplementedError(fn_name)
+        ok = cnt >= self._min_periods
+        out = jnp.where(ok, out, jnp.nan)
+        if self._center:
+            shift = (w - 1) // 2
+            rolled = jnp.concatenate([out[shift:], jnp.full((shift,), jnp.nan)])
+            out = rolled
+        return Series._from(Column(dt.FLOAT64, n, data=out), s._index, s.name)
+
+    def sum(self):
+        return self._apply("sum")
+
+    def mean(self):
+        return self._apply("mean")
+
+    def min(self):
+        return self._apply("min")
+
+    def max(self):
+        return self._apply("max")
+
+    def var(self):
+        return self._apply("var")
+
+    def std(self):
+        return self._apply("std")
+
+    def count(self):
+        return self._apply("count")
+
+    def apply(self, func, raw=False):
+        import pandas as pd
+
+        pdf = self._obj.to_pandas()
+        res = pdf.rolling(self._window, min_periods=self._min_periods,
+                          center=self._center).apply(func, raw=raw)
+        if isinstance(self._obj, Series):
+            return Series(res.values, index=self._obj._index, name=self._obj.name)
+        from cudf_tpu.frame.dataframe import DataFrame
+
+        return DataFrame.from_pandas(res)
+
+
+def _window_diff(prefix: jnp.ndarray, w: int) -> jnp.ndarray:
+    """rolling sum over trailing window w from an inclusive prefix array."""
+    n = prefix.shape[0] - 1
+    hi = prefix[1:]
+    lo_idx = jnp.maximum(jnp.arange(1, n + 1) - w, 0)
+    lo = jnp.take(prefix, lo_idx)
+    return hi - lo
+
+
+def _sliding_minmax(x: jnp.ndarray, valid: jnp.ndarray, w: int, which: str) -> jnp.ndarray:
+    """Sliding-window min/max via log-stride doubling (sparse-table style)."""
+    fill = jnp.inf if which == "min" else -jnp.inf
+    fn = jnp.minimum if which == "min" else jnp.maximum
+    cur = jnp.where(valid, x, fill)
+    n = cur.shape[0]
+    # build answer over trailing window w: combine powers of two
+    result = cur
+    span = 1
+    levels = [cur]
+    while span < w:
+        prev = levels[-1]
+        shifted = jnp.concatenate([jnp.full((min(span, n),), fill), prev[:-span] if span < n else prev[:0]])
+        levels.append(fn(prev, shifted))
+        span *= 2
+    # trailing window of size w = combine level k (2^k) at pos i and pos i-(w-2^k)
+    k = max(w.bit_length() - 1, 0)
+    big = levels[min(k, len(levels) - 1)]
+    off = w - (1 << k)
+    if off > 0:
+        shifted = jnp.concatenate([jnp.full((min(off, n),), fill), big[:-off] if off < n else big[:0]])
+        result = fn(big, shifted)
+    else:
+        result = big
+    return jnp.where(jnp.isfinite(result), result, jnp.nan)
+
+
+class EWM:
+    def __init__(self, obj, alpha: float, adjust: bool = True):
+        self._obj = obj
+        self._alpha = float(alpha)
+        self._adjust = adjust
+
+    def mean(self):
+        from cudf_tpu.ops.scan import ewm_mean
+        from cudf_tpu.ops.replace import nans_to_nulls
+
+        if isinstance(self._obj, Series):
+            col = self._obj._column
+            if col.dtype.is_float:
+                col = nans_to_nulls(col)
+            out = ewm_mean(col, self._alpha, self._adjust)
+            return Series._from(out, self._obj._index, self._obj.name)
+        from cudf_tpu.frame.dataframe import DataFrame
+        from cudf_tpu.core.table import Table
+
+        cols = {}
+        for n in self._obj._table.names:
+            s = self._obj[n]
+            if s.dtype.is_numeric:
+                cols[n] = EWM(s, self._alpha, self._adjust).mean()._column
+        return DataFrame._from(Table(cols), self._obj._index)

@@ -1,0 +1,31 @@
+"""ORC reader/writer (reference: cpp/src/io/orc/ stripe kernels).
+
+Round-1 host tier via pyarrow.orc; device stripe decode is later."""
+
+from __future__ import annotations
+
+from cudf_tpu.core.table import Table
+from cudf_tpu.frame.dataframe import DataFrame
+from cudf_tpu.frame.index import default_index
+
+
+def read_orc(path, columns=None, stripes=None, **kw) -> DataFrame:
+    import pyarrow.orc as po
+
+    f = po.ORCFile(path)
+    if stripes is not None:
+        import pyarrow as pa
+
+        parts = [f.read_stripe(i, columns=list(columns) if columns else None)
+                 for i in stripes]
+        tbl = pa.Table.from_batches(parts)
+    else:
+        tbl = f.read(columns=list(columns) if columns else None)
+    t = Table.from_arrow(tbl)
+    return DataFrame._from(t, default_index(t.num_rows))
+
+
+def write_orc(df: DataFrame, path, **kw):
+    import pyarrow.orc as po
+
+    po.write_table(df._table.to_arrow(), path)

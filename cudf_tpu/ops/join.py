@@ -129,9 +129,11 @@ def _lex_searchsorted(
     is_needle = tag_sorted >= 0
     needles_before = jnp.cumsum(is_needle.astype(jnp.int64)) - is_needle.astype(jnp.int64)
     insert = pos - needles_before
-    res = jnp.zeros((nn,), jnp.int64)
-    res = res.at[jnp.where(is_needle, tag_sorted, 0)].set(jnp.where(is_needle, insert, 0))
-    return res
+    # scatter into nn+1 slots so haystack rows park at the sentinel instead
+    # of clobbering needle 0
+    res = jnp.zeros((nn + 1,), jnp.int64)
+    res = res.at[jnp.where(is_needle, tag_sorted, nn)].set(insert)
+    return res[:nn]
 
 
 def _expand_matches(

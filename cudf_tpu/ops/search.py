@@ -57,12 +57,13 @@ def _lex_search(h_ops: List[jnp.ndarray], n_ops: List[jnp.ndarray], side: str) -
     out = jax.lax.sort([*operands, tie, tag], num_keys=len(operands) + 1, is_stable=True)
     tag_sorted = out[-1]
     pos = jnp.arange(nh + nn, dtype=jnp.int64)
-    needles_before = jnp.cumsum((tag_sorted >= 0).astype(jnp.int64)) - (tag_sorted >= 0)
-    insert = pos - needles_before
-    res = jnp.zeros((nn,), jnp.int64)
     sel = tag_sorted >= 0
-    res = res.at[jnp.where(sel, tag_sorted, 0)].set(jnp.where(sel, insert, 0).astype(jnp.int64))
-    return res
+    needles_before = jnp.cumsum(sel.astype(jnp.int64)) - sel.astype(jnp.int64)
+    insert = pos - needles_before
+    # nn+1-slot scatter: haystack rows park at the sentinel slot
+    res = jnp.zeros((nn + 1,), jnp.int64)
+    res = res.at[jnp.where(sel, tag_sorted, nn)].set(insert)
+    return res[:nn]
 
 
 def contains(haystack: Column, needles: Column) -> jnp.ndarray:

@@ -326,9 +326,10 @@ def find_literal(col: Column, pat: str, from_end: bool = False) -> Column:
     big = jnp.int64(1 << 60)
     if from_end:
         found = jax.ops.segment_max(jnp.where(match, char_idx, -1), row, num_segments=n)
+        found = jnp.where(found < -1, -1, found)  # empty segments → identity (int min)
     else:
         found = jax.ops.segment_min(jnp.where(match, char_idx, big), row, num_segments=n)
-        found = jnp.where(found == big, -1, found)
+        found = jnp.where(found >= big, -1, found)  # incl. empty-segment identity
     return Column(dt.INT64, n, data=found, validity=col.validity)
 
 
@@ -477,7 +478,8 @@ def pad(col: Column, width: int, side: str = "left", fillchar: str = " ") -> Col
     elif side == "right":
         left_pad = jnp.zeros((n,), jnp.int64)
     else:
-        left_pad = padn // 2
+        # CPython str.center: left = marg//2 + (marg & width & 1)
+        left_pad = padn // 2 + (padn & jnp.int64(width) & 1)
     right_pad = padn - left_pad
     new_lens = lens + padn  # pad chars are 1 byte each
     offsets = jnp.concatenate([jnp.zeros((1,), jnp.int64), jnp.cumsum(new_lens)])
@@ -607,14 +609,21 @@ def _format_ints_device(col: Column) -> Column:
     return Column(dt.STRING, n, data=ch.astype(jnp.uint8), offsets=offsets, validity=col.validity)
 
 
-def to_timestamps(col: Column, target: dt.DType, format: Optional[str] = None) -> Column:
+def to_timestamps(col: Column, target: Optional[dt.DType] = None,
+                  format: Optional[str] = None) -> Column:
     """Parse strings → timestamps.  Host tier (device fixed-format kernel
-    is a later round; reference: convert_datetime.cu)."""
+    is a later round; reference: convert_datetime.cu).
+
+    target=None keeps pandas' inferred resolution (pandas 3 infers 'us'
+    for second-precision strings)."""
     import pandas as pd
 
     vals = col.to_pylist()
     parsed = pd.to_datetime(pd.Series(vals), format=format, errors="coerce")
-    arr = parsed.to_numpy(dtype=f"datetime64[{target.time_unit or 'ns'}]")
+    if target is None:
+        arr = parsed.to_numpy()
+    else:
+        arr = parsed.to_numpy(dtype=f"datetime64[{target.time_unit or 'ns'}]")
     return Column.from_numpy(arr)
 
 

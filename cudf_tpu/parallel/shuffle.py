@@ -1,0 +1,114 @@
+"""Hash-shuffle over ICI: bucketize + all_to_all, fully static shapes.
+
+TPU-native replacement for the reference's shuffle service
+(rapidsmpf shuffle over UCXX/MPI; kernel = hash_partition partitioning.cu
++ pack contiguous_split.cu, SURVEY.md §2.11).
+
+XLA collectives are static-shape, so the ragged all-to-all uses the
+max-bucket-capacity design (SURVEY.md §5): each shard scatters its rows
+into a [P, C] padded send buffer per array + a per-destination count
+vector; ``lax.all_to_all`` exchanges buffers over ICI; receivers get
+[P, C] plus true counts and mask out padding.  Capacity C is a static
+overflow budget (rows beyond C would be dropped — callers size C with
+headroom; the eager layer asserts no overflow after the fact).
+
+All functions here are shard-local (call inside shard_map).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _mix64(x: jnp.ndarray) -> jnp.ndarray:
+    x = x.astype(jnp.uint64)
+    x = x ^ (x >> jnp.uint64(33))
+    x = x * jnp.uint64(0xFF51AFD7ED558CCD)
+    x = x ^ (x >> jnp.uint64(33))
+    x = x * jnp.uint64(0xC4CEB9FE1A85EC53)
+    x = x ^ (x >> jnp.uint64(33))
+    return x
+
+
+def key_hash(key: jnp.ndarray) -> jnp.ndarray:
+    """uint64 hash of an int key array (jit-safe row hash for shuffles)."""
+    return _mix64(jax.lax.bitcast_convert_type(key.astype(jnp.int64), jnp.uint64))
+
+
+def bucketize(
+    arrays: Sequence[jnp.ndarray],
+    valid: jnp.ndarray,
+    pids: jnp.ndarray,
+    num_parts: int,
+    capacity: int,
+) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
+    """Scatter local rows into [P, C] send buffers by destination partition.
+
+    Invalid rows are parked in no bucket.  Returns (buffers, counts[P]).
+    """
+    n = pids.shape[0]
+    pids = jnp.where(valid, pids.astype(jnp.int32), num_parts)  # invalid → overflow row
+    # stable sort by destination so each bucket's rows are contiguous
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sorted_pid, order = jax.lax.sort([pids, idx], num_keys=1, is_stable=True)
+    counts = jnp.zeros((num_parts + 1,), jnp.int32).at[pids].add(1)[:num_parts]
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
+    within = jnp.arange(n, dtype=jnp.int32) - jnp.take(offsets, jnp.clip(sorted_pid, 0, num_parts))
+    in_cap = (within < capacity) & (sorted_pid < num_parts)
+    dest_p = jnp.where(in_cap, sorted_pid, num_parts)  # overflow → sentinel row
+    dest_s = jnp.where(in_cap, within, 0)
+    bufs = []
+    for a in arrays:
+        src = jnp.take(a, order.astype(jnp.int64))
+        buf = jnp.zeros((num_parts + 1, capacity) + a.shape[1:], a.dtype)
+        buf = buf.at[dest_p, dest_s].set(src)
+        bufs.append(buf[:num_parts])
+    counts = jnp.minimum(counts, capacity)
+    return bufs, counts
+
+
+def exchange(
+    bufs: Sequence[jnp.ndarray], counts: jnp.ndarray, axis: str = "x"
+) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
+    """all_to_all the [P, C, ...] buffers + counts over mesh axis ``axis``.
+
+    Returns received ([P, C, ...] where row q came from shard q) and a
+    [P] vector of valid counts per source, flattened views are
+    [(P*C, ...)], mask = arange(C) < counts[q] per block.
+    """
+    out_bufs = [
+        jax.lax.all_to_all(b, axis, split_axis=0, concat_axis=0, tiled=True) for b in bufs
+    ]
+    out_counts = jax.lax.all_to_all(counts, axis, split_axis=0, concat_axis=0, tiled=True)
+    return out_bufs, out_counts
+
+
+def received_mask(out_counts: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """bool[P*C] valid-row mask for flattened received buffers."""
+    num_parts = out_counts.shape[0]
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    return (slot[None, :] < out_counts[:, None]).reshape(num_parts * capacity)
+
+
+def shuffle_by_key(
+    key: jnp.ndarray,
+    payloads: Sequence[jnp.ndarray],
+    valid: jnp.ndarray,
+    num_parts: int,
+    capacity: int,
+    axis: str = "x",
+) -> Tuple[jnp.ndarray, List[jnp.ndarray], jnp.ndarray]:
+    """One-call hash shuffle: rows land on shard hash(key) % P.
+
+    Returns (key_recv[P*C], payloads_recv, valid_recv[P*C]) — shard-local.
+    """
+    pids = (key_hash(key) % jnp.uint64(num_parts)).astype(jnp.int32)
+    bufs, counts = bucketize([key, *payloads], valid, pids, num_parts, capacity)
+    out_bufs, out_counts = exchange(bufs, counts, axis)
+    mask = received_mask(out_counts, capacity)
+    flat = [b.reshape((num_parts * capacity,) + b.shape[2:]) for b in out_bufs]
+    return flat[0], flat[1:], mask

@@ -1,0 +1,87 @@
+"""Unified typed option registry with env-var mirroring.
+
+Replaces the reference's three config tiers (getenv_or C++ env vars,
+cudf Python options.py:46-97, cudf-polars CUDF_POLARS__* dataclasses —
+SURVEY.md §5 'Config / flag system') with one registry.  Every option is
+env-overridable as ``CUDF_TPU__<UPPER_NAME>``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional
+
+
+@dataclass
+class _Option:
+    name: str
+    default: Any
+    description: str
+    validator: Callable[[Any], bool]
+    value: Any = None
+
+
+_registry: Dict[str, _Option] = {}
+
+
+def _register(name: str, default: Any, description: str,
+              validator: Callable[[Any], bool] = lambda v: True) -> None:
+    env = os.environ.get("CUDF_TPU__" + name.upper().replace(".", "__"))
+    value = default
+    if env is not None:
+        if isinstance(default, bool):
+            value = env.lower() in ("1", "true", "yes", "on")
+        elif isinstance(default, int):
+            value = int(env)
+        elif isinstance(default, float):
+            value = float(env)
+        else:
+            value = env
+    _registry[name] = _Option(name, default, description, validator, value)
+
+
+def get_option(name: str) -> Any:
+    return _registry[name].value
+
+
+def set_option(name: str, value: Any) -> None:
+    opt = _registry[name]
+    if not opt.validator(value):
+        raise ValueError(f"invalid value {value!r} for option {name!r}")
+    opt.value = value
+
+
+def describe_option(name: Optional[str] = None) -> None:
+    names = [name] if name else sorted(_registry)
+    for n in names:
+        o = _registry[n]
+        print(f"{o.name}: {o.description} (default {o.default!r}, current {o.value!r})")
+
+
+@contextlib.contextmanager
+def option_context(*args):
+    if len(args) % 2:
+        raise ValueError("option_context takes name/value pairs")
+    pairs = list(zip(args[::2], args[1::2]))
+    saved = [(n, get_option(n)) for n, _ in pairs]
+    try:
+        for n, v in pairs:
+            set_option(n, v)
+        yield
+    finally:
+        for n, v in saved:
+            set_option(n, v)
+
+
+_register("mode.pandas_compatible", True, "strict pandas semantics where they cost performance")
+_register("display.max_rows", 60, "rows shown in repr", lambda v: isinstance(v, int) and v > 0)
+_register("default_integer_bitwidth", 64, "default int width", lambda v: v in (32, 64))
+_register("default_float_bitwidth", 64, "default float width", lambda v: v in (32, 64))
+_register("spill", False, "enable HBM->host spilling of cold buffers")
+_register("spill.device_limit_fraction", 0.85, "fraction of HBM before spilling")
+_register("io.parquet.chunk_read_limit", 0, "bytes per parquet pass (0 = whole file)")
+_register("executor.target_partition_size", 1 << 28, "bytes per partition in distributed exec")
+_register("executor.broadcast_limit", 1 << 25, "max bytes for broadcast-join small side")
+_register("strings.host_fallback", True, "allow host fallback for regex/non-ASCII string ops")

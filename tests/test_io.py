@@ -1,0 +1,105 @@
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import cudf_tpu as ct
+from cudf_tpu.utils.testing import assert_eq, make_random_frame
+
+
+@pytest.fixture
+def tmp(tmp_path):
+    return str(tmp_path)
+
+
+def test_parquet_roundtrip(tmp, frames):
+    gdf, pdf = frames
+    path = os.path.join(tmp, "t.pq")
+    gdf.to_parquet(path)
+    assert_eq(ct.read_parquet(path), pdf, check_dtype=False)
+
+
+def test_parquet_columns_filters(tmp, frames):
+    gdf, pdf = frames
+    path = os.path.join(tmp, "t.pq")
+    gdf.to_parquet(path)
+    got = ct.read_parquet(path, columns=["i64", "f64"])
+    assert list(got.columns) == ["i64", "f64"]
+    got2 = ct.read_parquet(path, filters=[("i64", ">", 0)]).to_pandas()
+    assert (got2["i64"] > 0).all()
+
+
+def test_parquet_chunked_reader(tmp):
+    pdf = pd.DataFrame({"a": np.arange(1000), "b": np.random.default_rng(0).normal(size=1000)})
+    path = os.path.join(tmp, "c.pq")
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(pdf), path, row_group_size=100)
+    from cudf_tpu.io.parquet import ParquetReader
+
+    reader = ParquetReader(path)
+    chunks = list(reader)
+    assert sum(len(c) for c in chunks) == 1000
+
+
+def test_parquet_chunked_writer(tmp, frames):
+    gdf, pdf = frames
+    from cudf_tpu.io.parquet import ParquetWriter
+
+    path = os.path.join(tmp, "w.pq")
+    with ParquetWriter(path) as w:
+        w.write_table(gdf.head(100))
+        w.write_table(gdf.tail(len(gdf) - 100))
+    assert_eq(ct.read_parquet(path), pdf, check_dtype=False)
+
+
+def test_csv_roundtrip(tmp, frames):
+    gdf, pdf = frames
+    path = os.path.join(tmp, "t.csv")
+    gdf.to_csv(path, index=False)
+    got = ct.read_csv(path)
+    expect = pd.read_csv(path)
+    assert_eq(got, expect, check_dtype=False)
+
+
+def test_csv_options(tmp):
+    path = os.path.join(tmp, "o.csv")
+    with open(path, "w") as f:
+        f.write("a|b|c\n1|x|2.5\n3|y|4.5\n")
+    got = ct.read_csv(path, sep="|")
+    assert got["a"].tolist() == [1, 3]
+    got2 = ct.read_csv(path, sep="|", usecols=["a", "c"])
+    assert list(got2.columns) == ["a", "c"]
+
+
+def test_json_lines_roundtrip(tmp, frames):
+    gdf, pdf = frames
+    path = os.path.join(tmp, "t.jsonl")
+    gdf.head(50).to_json(path, orient="records", lines=True)
+    got = ct.read_json(path, lines=True)
+    assert len(got) == 50
+
+
+def test_feather_roundtrip(tmp, frames):
+    gdf, pdf = frames
+    path = os.path.join(tmp, "t.feather")
+    gdf.to_feather(path)
+    assert_eq(ct.read_feather(path), pdf, check_dtype=False)
+
+
+def test_orc_roundtrip(tmp, frames):
+    gdf, pdf = frames
+    path = os.path.join(tmp, "t.orc")
+    try:
+        gdf.to_orc(path)
+    except Exception as e:  # pyarrow orc writer may be unavailable
+        pytest.skip(f"orc unavailable: {e}")
+    assert_eq(ct.read_orc(path), pdf, check_dtype=False)
+
+
+def test_interop(frames):
+    gdf, pdf = frames
+    assert_eq(ct.from_pandas(pdf), pdf, check_dtype=False)
+    assert_eq(ct.from_arrow(gdf.to_arrow()), pdf, check_dtype=False)

@@ -1,0 +1,97 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+import cudf_tpu as ct
+from cudf_tpu.utils.testing import assert_eq
+
+
+def _cmp_merge(gl, gr, pl, pr, sort_cols, **kw):
+    got = ct.merge(gl, gr, **kw).to_pandas()
+    expect = pd.merge(pl, pr, **kw)
+    got = got.sort_values(sort_cols).reset_index(drop=True)
+    expect = expect.sort_values(sort_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], expect[sorted(expect.columns)],
+                                  check_dtype=False)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "outer"])
+def test_merge_vs_pandas(how, rng):
+    pl = pd.DataFrame({"k": rng.integers(0, 50, 300), "a": rng.normal(size=300)})
+    pr = pd.DataFrame({"k": rng.integers(0, 50, 200), "b": rng.normal(size=200)})
+    gl, gr = ct.DataFrame.from_pandas(pl), ct.DataFrame.from_pandas(pr)
+    _cmp_merge(gl, gr, pl, pr, ["k", "a", "b"], on="k", how=how)
+
+
+def test_merge_multi_key(rng):
+    pl = pd.DataFrame({"a": rng.integers(0, 5, 100), "b": rng.integers(0, 5, 100),
+                       "x": np.arange(100)})
+    pr = pd.DataFrame({"a": rng.integers(0, 5, 80), "b": rng.integers(0, 5, 80),
+                       "y": np.arange(80)})
+    gl, gr = ct.DataFrame.from_pandas(pl), ct.DataFrame.from_pandas(pr)
+    _cmp_merge(gl, gr, pl, pr, ["a", "b", "x", "y"], on=["a", "b"], how="inner")
+
+
+def test_merge_string_keys(rng):
+    pl = pd.DataFrame({"k": rng.choice(["aa", "b", "ccc", "dd"], 100), "x": np.arange(100)})
+    pr = pd.DataFrame({"k": ["aa", "ccc", "e"], "y": [1, 2, 3]})
+    gl, gr = ct.DataFrame.from_pandas(pl), ct.DataFrame.from_pandas(pr)
+    _cmp_merge(gl, gr, pl, pr, ["k", "x"], on="k", how="left")
+
+
+def test_merge_null_keys_unequal():
+    pl = pd.DataFrame({"k": [1.0, None, 3.0], "x": [1, 2, 3]})
+    pr = pd.DataFrame({"k": [1.0, None], "y": [10, 20]})
+    gl, gr = ct.DataFrame.from_pandas(pl), ct.DataFrame.from_pandas(pr)
+    got = ct.merge(gl, gr, on="k", how="inner").to_pandas()
+    # nulls must not match
+    assert len(got) == 1 and got["x"].iloc[0] == 1
+
+
+def test_merge_left_on_right_on(rng):
+    pl = pd.DataFrame({"lk": rng.integers(0, 10, 50), "x": np.arange(50)})
+    pr = pd.DataFrame({"rk": rng.integers(0, 10, 40), "y": np.arange(40)})
+    gl, gr = ct.DataFrame.from_pandas(pl), ct.DataFrame.from_pandas(pr)
+    _cmp_merge(gl, gr, pl, pr, ["lk", "x", "y"], left_on="lk", right_on="rk", how="inner")
+
+
+def test_merge_suffixes():
+    pl = pd.DataFrame({"k": [1, 2], "v": [10, 20]})
+    pr = pd.DataFrame({"k": [1, 2], "v": [30, 40]})
+    gl, gr = ct.DataFrame.from_pandas(pl), ct.DataFrame.from_pandas(pr)
+    got = ct.merge(gl, gr, on="k").to_pandas()
+    assert set(got.columns) == {"k", "v_x", "v_y"}
+
+
+def test_cross_join():
+    gl = ct.DataFrame({"a": [1, 2]})
+    gr = ct.DataFrame({"b": [10, 20, 30]})
+    got = ct.merge(gl, gr, how="cross")
+    assert len(got) == 6
+
+
+def test_semi_anti_join(rng):
+    pl = pd.DataFrame({"k": [1, 2, 3, 4], "x": [1, 2, 3, 4]})
+    pr = pd.DataFrame({"k": [2, 4, 5]})
+    gl, gr = ct.DataFrame.from_pandas(pl), ct.DataFrame.from_pandas(pr)
+    semi = ct.merge(gl, gr, on="k", how="semi").to_pandas()
+    anti = ct.merge(gl, gr, on="k", how="anti").to_pandas()
+    assert semi["k"].tolist() == [2, 4]
+    assert anti["k"].tolist() == [1, 3]
+
+
+def test_join_on_index():
+    pl = pd.DataFrame({"a": [1, 2, 3]}, index=[10, 20, 30])
+    pr = pd.DataFrame({"b": [4, 5]}, index=[20, 30])
+    gl, gr = ct.DataFrame.from_pandas(pl), ct.DataFrame.from_pandas(pr)
+    got = gl.join(gr).to_pandas()
+    expect = pl.join(pr)
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_merge_duplicate_keys():
+    pl = pd.DataFrame({"k": [1, 1, 2], "x": [1, 2, 3]})
+    pr = pd.DataFrame({"k": [1, 1], "y": [10, 20]})
+    gl, gr = ct.DataFrame.from_pandas(pl), ct.DataFrame.from_pandas(pr)
+    got = ct.merge(gl, gr, on="k").to_pandas()
+    assert len(got) == 4  # 2x2 multiplicity
