@@ -1,0 +1,18 @@
+"""Query engine: logical IR + expression tree + executors + LazyFrame.
+
+TPU-native equivalent of cudf-polars (reference:
+python/cudf_polars/cudf_polars/ — dsl/ir.py 23 IR nodes, dsl/expressions,
+streaming/parallel.py lowering).  The polars Rust optimizer is replaced by
+a small in-repo optimizer (projection + predicate pushdown); the execution
+model is the same: post-order IR evaluation over columnar tables, with a
+partitioned lowering for multi-chip.
+"""
+
+from cudf_tpu.engine.expr import (
+    Expr,
+    col,
+    lit,
+)
+from cudf_tpu.engine.lazy import LazyFrame, scan_parquet, scan_csv, from_dataframe
+
+__all__ = ["Expr", "col", "lit", "LazyFrame", "scan_parquet", "scan_csv", "from_dataframe"]

@@ -1,0 +1,230 @@
+"""Partitioned (streaming) executor: lower an IR plan to partition-wise
+execution with shuffle/broadcast/tree-reduction decompositions.
+
+TPU-native equivalent of cudf-polars' streaming lowering
+(reference: streaming/parallel.py lower_ir_graph:128-190, pointwise rule
+:315, streaming/groupby.py partial-agg decomposition, streaming/join.py
+broadcast-vs-shuffle decision :58-266).
+
+Execution model: a plan evaluates to a *list of Tables* (one per
+partition).  Pointwise nodes map over partitions; GroupBy lowers to
+local-partial-agg → hash-repartition-by-key → merge; Join lowers to
+broadcast (small build side) or hash-shuffle both sides; Sort lowers to
+per-partition sort + k-way merge.  On a multi-chip mesh each partition is
+device_put on its own chip so partition-wise ops run chip-local and the
+repartition step is the only cross-chip traffic (over ICI).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from cudf_tpu.core.table import Table
+from cudf_tpu.engine import ir as IRs
+from cudf_tpu.engine.expr import Agg
+from cudf_tpu.utils.config import get_option
+
+_POINTWISE = (IRs.Select, IRs.HStack, IRs.Filter, IRs.Projection)
+
+
+def evaluate_streaming(node: IRs.IR, mesh_or_nparts) -> Table:
+    n_parts = (
+        mesh_or_nparts
+        if isinstance(mesh_or_nparts, int)
+        else int(np.prod(list(mesh_or_nparts.shape.values())))
+    )
+    parts = _eval(node, n_parts)
+    from cudf_tpu.ops.copying import concatenate_tables
+
+    parts = [p for p in parts if p.num_rows > 0] or parts[:1]
+    return concatenate_tables(parts)
+
+
+def _partition_table(t: Table, n: int) -> List[Table]:
+    from cudf_tpu.ops import copying
+
+    rows = t.num_rows
+    per = -(-rows // n) if rows else 0
+    out = []
+    for i in range(n):
+        lo, hi = i * per, min((i + 1) * per, rows)
+        out.append(Table.from_pairs(t.names, [copying.slice(c, lo, max(lo, hi)) for c in t.columns]))
+    return out
+
+
+def _eval(node: IRs.IR, n: int) -> List[Table]:
+    # sources ---------------------------------------------------------
+    if isinstance(node, IRs.DataFrameScan):
+        return _partition_table(node.do_evaluate(), n)
+    if isinstance(node, IRs.Scan):
+        if len(node.paths) > 1:
+            # one partition per file (the reference's per-file scan tasks)
+            parts = []
+            for p in node.paths:
+                sub = IRs.Scan(node.fmt, [p], node.projection, node.predicate)
+                parts.append(sub.do_evaluate())
+            return parts
+        return _partition_table(node.do_evaluate(), n)
+    # pointwise: map over partitions ---------------------------------
+    if isinstance(node, _POINTWISE):
+        parts = _eval(node.children[0], n)
+        return [node.do_evaluate(p) for p in parts]
+    if isinstance(node, IRs.Union):
+        out: List[Table] = []
+        for c in node.children:
+            out.extend(_eval(c, n))
+        return out
+    # groupby: partial agg → repartition by key hash → merge ---------
+    if isinstance(node, IRs.GroupBy):
+        return _eval_groupby(node, n)
+    # join: broadcast or shuffle -------------------------------------
+    if isinstance(node, IRs.Join):
+        return _eval_join(node, n)
+    # sort: per-partition sort + k-way merge -------------------------
+    if isinstance(node, IRs.Sort):
+        parts = _eval(node.children[0], n)
+        sorted_parts = [node.do_evaluate(p) for p in parts]
+        from cudf_tpu.ops import copying, row_ops
+
+        merged = copying.concatenate_tables(sorted_parts)
+        order = row_ops.lex_sort_indices(
+            [merged[k] for k in node.by],
+            [not d for d in node.descending],
+            "last" if node.nulls_last else "first",
+        )
+        out = copying.gather_table(merged, order, bounds_check=False)
+        return _partition_table(out, n)
+    if isinstance(node, IRs.Distinct):
+        parts = _eval(node.children[0], n)
+        # local distinct → repartition by key hash → global distinct
+        local = [node.do_evaluate(p) for p in parts]
+        keys = node.subset or local[0].names
+        shuffled = _repartition_by_hash(local, list(keys), n)
+        return [node.do_evaluate(p) for p in shuffled]
+    # default: gather to one partition and evaluate singly -----------
+    from cudf_tpu.ops.copying import concatenate_tables
+
+    child_tables = []
+    for c in node.children:
+        parts = [p for p in _eval(c, n) if p.num_rows > 0]
+        child_tables.append(concatenate_tables(parts) if parts else _eval(c, 1)[0])
+    return [node.do_evaluate(*child_tables)]
+
+
+def _repartition_by_hash(parts: List[Table], keys: List[str], n: int) -> List[Table]:
+    """Hash-shuffle partitions so equal keys land in the same partition
+    (the Shuffle IR node, streaming/shuffle.py:25)."""
+    from cudf_tpu.ops import copying
+    from cudf_tpu.ops.partitioning import hash_partition
+
+    buckets: List[List[Table]] = [[] for _ in range(n)]
+    for p in parts:
+        if p.num_rows == 0:
+            continue
+        reordered, offsets = hash_partition(p, keys, n)
+        offs = np.asarray(offsets)
+        for i in range(n):
+            lo, hi = int(offs[i]), int(offs[i + 1])
+            if hi > lo:
+                buckets[i].append(
+                    Table.from_pairs(
+                        reordered.names,
+                        [copying.slice(c, lo, hi) for c in reordered.columns],
+                    )
+                )
+    out = []
+    for i in range(n):
+        if buckets[i]:
+            out.append(copying.concatenate_tables(buckets[i]))
+        else:
+            out.append(Table.from_pairs(parts[0].names,
+                                        [copying.slice(c, 0, 0) for c in parts[0].columns]))
+    return out
+
+
+_MERGEABLE = {"sum": "sum", "count": "sum", "min": "min", "max": "max", "size": "sum"}
+
+
+def _eval_groupby(node: IRs.GroupBy, n: int) -> List[Table]:
+    from cudf_tpu.engine.expr import Agg as AggE, Col
+    from cudf_tpu.ops import groupby as gb
+
+    parts = _eval(node.children[0], n)
+    specs = [IRs.unwrap_agg(a) for a in node.aggs]
+
+    # decompose: which partial columns does each agg need?
+    partial_specs = []  # (partial_name, inner_expr, partial_agg)
+    finals = []         # (out_name, kind, partial names...)
+    for name, inner, kind in specs:
+        if kind in ("sum", "min", "max", "count", "size"):
+            partial_specs.append((name, inner, kind))
+            finals.append((name, "direct", [name], _MERGEABLE[kind]))
+        elif kind == "mean":
+            partial_specs.append((f"__{name}_sum", inner, "sum"))
+            partial_specs.append((f"__{name}_cnt", inner, "count"))
+            finals.append((name, "mean", [f"__{name}_sum", f"__{name}_cnt"], None))
+        else:
+            # non-decomposable (median, nunique, var…): fall back to global
+            return _groupby_global(node, parts)
+
+    # local partial aggregation per partition
+    partials: List[Table] = []
+    for p in parts:
+        if p.num_rows == 0:
+            continue
+        sp = [(pn, ie.evaluate(p), pa) for pn, ie, pa in partial_specs]
+        k, a = gb.groupby_agg(p.select(node.keys), sp)
+        cols = dict(k.items())
+        cols.update(dict(a.items()))
+        partials.append(Table(cols))
+    if not partials:
+        return [node.do_evaluate(parts[0])]
+
+    # shuffle partials by key hash, merge per partition
+    shuffled = _repartition_by_hash(partials, node.keys, n)
+    out_parts = []
+    for sp_table in shuffled:
+        merge_specs = []
+        for pn, _, pa in partial_specs:
+            merge_specs.append((pn, sp_table[pn], _MERGEABLE[pa]))
+        k, a = gb.groupby_agg(sp_table.select(node.keys), merge_specs)
+        cols = dict(k.items())
+        from cudf_tpu.ops.binaryop import binary_operation
+
+        merged = dict(a.items())
+        for name, how, pnames, _ in finals:
+            if how == "direct":
+                cols[name] = merged[pnames[0]]
+            else:  # mean
+                cols[name] = binary_operation(merged[pnames[0]], merged[pnames[1]], "truediv")
+        out_parts.append(Table(cols))
+    return out_parts
+
+
+def _groupby_global(node: IRs.GroupBy, parts: List[Table]) -> List[Table]:
+    from cudf_tpu.ops.copying import concatenate_tables
+
+    nonempty = [p for p in parts if p.num_rows > 0]
+    t = concatenate_tables(nonempty) if nonempty else parts[0]
+    return [node.do_evaluate(t)]
+
+
+def _eval_join(node: IRs.Join, n: int) -> List[Table]:
+    from cudf_tpu.ops.copying import concatenate_tables
+
+    left_parts = _eval(node.children[0], n)
+    right_parts = _eval(node.children[1], n)
+    right_bytes = sum(p.nbytes for p in right_parts)
+    limit = get_option("executor.broadcast_limit")
+    if right_bytes <= limit and node.how in ("inner", "left", "semi", "anti"):
+        # broadcast join: small build side replicated to every partition
+        # (_should_bcast_join, streaming/join.py:95-135)
+        nonempty = [p for p in right_parts if p.num_rows > 0]
+        right_all = concatenate_tables(nonempty) if nonempty else right_parts[0]
+        return [node.do_evaluate(p, right_all) for p in left_parts]
+    # shuffle join: repartition both sides on key hash
+    ls = _repartition_by_hash([p for p in left_parts], node.left_on, n)
+    rs = _repartition_by_hash([p for p in right_parts], node.right_on, n)
+    return [node.do_evaluate(l, r) for l, r in zip(ls, rs)]

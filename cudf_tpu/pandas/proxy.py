@@ -1,0 +1,371 @@
+"""Fast/slow proxy machinery for the pandas accelerator.
+
+(reference: python/cudf/cudf/pandas/fast_slow_proxy.py — `_FastSlowProxy`
+:816, `_FinalProxy` :946; every call tries the fast library and falls back
+to the slow one on exception, transporting arguments between domains.)
+
+Design (simplified relative to the reference's generated metaclass
+hierarchy): two concrete proxy classes (DataFrame/Series) hold EITHER a
+fast cudf_tpu object or a slow pandas object, converting lazily in
+whichever direction a call needs.  Unknown attributes resolve against the
+fast object first, then the slow one; results that are cudf_tpu/pandas
+frames are re-wrapped so chains stay accelerated.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+import threading
+import types
+from typing import Any
+
+profiler_stats: dict = {"active": False}
+
+# Reentrancy guard: while cudf_tpu internals run (fast path), any use of
+# the proxied `pandas` module inside them must hit REAL pandas — otherwise
+# cudf_tpu.to_pandas() would construct proxies recursively (the reference
+# disables its module accelerator inside the fast library the same way).
+_guard = threading.local()
+
+
+@contextlib.contextmanager
+def _entering_fast():
+    prev = getattr(_guard, "in_fast", False)
+    _guard.in_fast = True
+    try:
+        yield
+    finally:
+        _guard.in_fast = prev
+
+
+def _in_fast() -> bool:
+    return getattr(_guard, "in_fast", False)
+
+
+def _record(name: str, fast: bool):
+    if not profiler_stats.get("active"):
+        return
+    profiler_stats["fast" if fast else "slow"] = profiler_stats.get("fast" if fast else "slow", 0) + 1
+    f, s = profiler_stats.setdefault("calls", {}).get(name, (0, 0))
+    profiler_stats["calls"][name] = (f + 1, s) if fast else (f, s + 1)
+
+
+def _slow_pandas():
+    import sys
+
+    return sys.modules.get("_slow_pandas") or __import__("pandas")
+
+
+def _fast_lib():
+    import cudf_tpu
+
+    return cudf_tpu
+
+
+def _unwrap(obj, to_fast: bool):
+    """Convert proxies / containers into fast or slow domain objects."""
+    if isinstance(obj, _FastSlowProxy):
+        return obj._fast_obj() if to_fast else obj._slow_obj()
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_unwrap(o, to_fast) for o in obj)
+    if isinstance(obj, dict):
+        return {k: _unwrap(v, to_fast) for k, v in obj.items()}
+    return obj
+
+
+def _wrap(result):
+    """Wrap fast/slow results back into proxies where appropriate."""
+    import cudf_tpu
+
+    pd = _slow_pandas()
+    if isinstance(result, cudf_tpu.DataFrame):
+        return ProxyDataFrame(fast=result)
+    if isinstance(result, cudf_tpu.Series):
+        return ProxySeries(fast=result)
+    if isinstance(result, pd.DataFrame):
+        return ProxyDataFrame(slow=result)
+    if isinstance(result, pd.Series):
+        return ProxySeries(slow=result)
+    if isinstance(result, (list, tuple)) and any(
+        isinstance(r, (cudf_tpu.DataFrame, cudf_tpu.Series, pd.DataFrame, pd.Series))
+        for r in result
+    ):
+        return type(result)(_wrap(r) for r in result)
+    return result
+
+
+class _ProxyMeta(type):
+    """isinstance(real_pandas_obj, ProxyClass) must hold: pandas submodules
+    imported lazily after install() bind ProxyDataFrame as `DataFrame` and
+    run isinstance checks against it with real objects
+    (reference: _FastSlowProxyMeta, fast_slow_proxy.py:622)."""
+
+    def __instancecheck__(cls, obj):
+        if type.__instancecheck__(cls, obj):
+            return True
+        real = getattr(cls, "_real_class", None)
+        return real is not None and isinstance(obj, real)
+
+
+class _FastSlowProxy:
+    _fast: Any = None
+    _slow: Any = None
+
+    def __init__(self, fast=None, slow=None):
+        object.__setattr__(self, "_fast", fast)
+        object.__setattr__(self, "_slow", slow)
+
+    # domain transport -------------------------------------------------
+    def _fast_obj(self):
+        if self._fast is None:
+            import cudf_tpu
+
+            with _entering_fast():
+                object.__setattr__(self, "_fast", cudf_tpu.from_pandas(self._slow))
+        return self._fast
+
+    def _slow_obj(self):
+        if self._slow is None:
+            with _entering_fast():
+                object.__setattr__(self, "_slow", self._fast.to_pandas())
+        return self._slow
+
+    def _invalidate_fast(self):
+        object.__setattr__(self, "_fast", None)
+
+    def _invalidate_slow(self):
+        object.__setattr__(self, "_slow", None)
+
+    # attribute dispatch ----------------------------------------------
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return _FastSlowAttr(self, name).resolve()
+
+    def __setattr__(self, name, value):
+        if name.startswith("_"):
+            object.__setattr__(self, name, value)
+            return
+        # mutate both domains coherently: apply to the current primary
+        try:
+            setattr(self._fast_obj(), name, _unwrap(value, True))
+            self._invalidate_slow()
+        except Exception:
+            setattr(self._slow_obj(), name, _unwrap(value, False))
+            self._invalidate_fast()
+
+    # common dunders ---------------------------------------------------
+    def __len__(self):
+        return len(self._fast if self._fast is not None else self._slow)
+
+    def __repr__(self):
+        return repr(self._slow_obj() if self._fast is None else self._fast)
+
+    def __iter__(self):
+        return iter(self._fast if self._fast is not None else self._slow_obj())
+
+    def __array__(self, dtype=None):
+        import numpy as np
+
+        base = self._fast if self._fast is not None else self._slow
+        return np.asarray(base.to_numpy() if hasattr(base, "to_numpy") else base, dtype=dtype)
+
+    def __getitem__(self, key):
+        return _dispatch_call(self, "__getitem__", (key,), {})
+
+    def __setitem__(self, key, value):
+        try:
+            self._fast_obj()[_unwrap(key, True)] = _unwrap(value, True)
+            self._invalidate_slow()
+            _record("__setitem__", True)
+        except Exception:
+            self._slow_obj()[_unwrap(key, False)] = _unwrap(value, False)
+            self._invalidate_fast()
+            _record("__setitem__", False)
+
+    def to_pandas(self):
+        return self._slow_obj()
+
+
+def _dispatch_call(proxy: _FastSlowProxy, name: str, args, kwargs):
+    try:
+        with _entering_fast():
+            fast = proxy._fast_obj()
+            fn = getattr(fast, name)
+            out = fn(*_unwrap(args, True), **_unwrap(kwargs, True))
+        _record(name, True)
+        return _wrap(out)
+    except Exception:
+        with _entering_fast():
+            slow = proxy._slow_obj()
+        fn = getattr(slow, name)
+        out = fn(*_unwrap(args, False), **_unwrap(kwargs, False))
+        _record(name, False)
+        return _wrap(out)
+
+
+class _FastSlowAttr:
+    """Attribute that may be a method (call-dispatched) or a value."""
+
+    def __init__(self, proxy: _FastSlowProxy, name: str):
+        self._proxy = proxy
+        self._name = name
+
+    def resolve(self):
+        p, name = self._proxy, self._name
+        base = p._fast if p._fast is not None else None
+        try:
+            with _entering_fast():
+                attr = getattr(base if base is not None else p._fast_obj(), name)
+            is_fast = True
+        except Exception:
+            attr = getattr(p._slow_obj(), name)
+            is_fast = False
+        if callable(attr) and not isinstance(attr, type):
+            def method(*args, **kwargs):
+                return _dispatch_call(p, name, args, kwargs)
+
+            functools.update_wrapper(method, attr, assigned=("__name__", "__doc__"), updated=())
+            return method
+        _record(name, is_fast)
+        return _wrap(attr)
+
+
+def _make_binops(cls):
+    for dunder in ["__add__", "__sub__", "__mul__", "__truediv__", "__floordiv__",
+                   "__mod__", "__pow__", "__eq__", "__ne__", "__lt__", "__gt__",
+                   "__le__", "__ge__", "__and__", "__or__", "__xor__",
+                   "__radd__", "__rsub__", "__rmul__", "__rtruediv__"]:
+        def make(d=dunder):
+            def f(self, other):
+                return _dispatch_call(self, d, (other,), {})
+            return f
+        setattr(cls, dunder, make())
+    for undunder in ["__invert__", "__neg__", "__abs__"]:
+        def make1(d=undunder):
+            def f(self):
+                return _dispatch_call(self, d, (), {})
+            return f
+        setattr(cls, undunder, make1())
+
+
+class ProxyDataFrame(_FastSlowProxy, metaclass=_ProxyMeta):
+    def __new__(cls, *args, fast=None, slow=None, **kwargs):
+        if _in_fast() and fast is None and slow is None:
+            # cudf_tpu internals asked for a real pandas DataFrame
+            return _slow_pandas().DataFrame(*args, **kwargs)
+        return super().__new__(cls)
+
+    def __init__(self, *args, fast=None, slow=None, **kwargs):
+        if fast is not None or slow is not None:
+            super().__init__(fast=fast, slow=slow)
+            return
+        # user constructed pd.DataFrame(...) — try fast first
+        import cudf_tpu
+
+        try:
+            with _entering_fast():
+                f = cudf_tpu.DataFrame(*_unwrap(args, True), **_unwrap(kwargs, True))
+            super().__init__(fast=f)
+            _record("DataFrame", True)
+        except Exception:
+            pd = _slow_pandas()
+            super().__init__(slow=pd.DataFrame(*_unwrap(args, False), **_unwrap(kwargs, False)))
+            _record("DataFrame", False)
+
+
+class ProxySeries(_FastSlowProxy, metaclass=_ProxyMeta):
+    def __new__(cls, *args, fast=None, slow=None, **kwargs):
+        if _in_fast() and fast is None and slow is None:
+            return _slow_pandas().Series(*args, **kwargs)
+        return super().__new__(cls)
+
+    def __init__(self, *args, fast=None, slow=None, **kwargs):
+        if fast is not None or slow is not None:
+            super().__init__(fast=fast, slow=slow)
+            return
+        import cudf_tpu
+
+        try:
+            with _entering_fast():
+                f = cudf_tpu.Series(*_unwrap(args, True), **_unwrap(kwargs, True))
+            super().__init__(fast=f)
+            _record("Series", True)
+        except Exception:
+            pd = _slow_pandas()
+            super().__init__(slow=pd.Series(*_unwrap(args, False), **_unwrap(kwargs, False)))
+            _record("Series", False)
+
+
+_make_binops(ProxyDataFrame)
+_make_binops(ProxySeries)
+
+# functions routed to the fast library first
+_FAST_FUNCS = {
+    "read_csv", "read_parquet", "read_json", "read_feather", "read_orc",
+    "concat", "merge", "to_datetime", "to_numeric", "get_dummies", "melt",
+    "isna", "isnull", "notna", "notnull", "unique", "factorize", "cut", "qcut",
+    "date_range", "crosstab", "pivot_table",
+}
+
+
+def _proxy_function(name: str, slow_fn):
+    @functools.wraps(slow_fn)
+    def f(*args, **kwargs):
+        import cudf_tpu
+
+        if _in_fast():
+            return slow_fn(*args, **kwargs)
+        fast_fn = getattr(cudf_tpu, name, None)
+        if fast_fn is not None:
+            try:
+                with _entering_fast():
+                    out = fast_fn(*_unwrap(args, True), **_unwrap(kwargs, True))
+                _record(name, True)
+                return _wrap(out)
+            except Exception:
+                pass
+        out = slow_fn(*_unwrap(args, False), **_unwrap(kwargs, False))
+        _record(name, False)
+        return _wrap(out)
+
+    return f
+
+
+_LAZY_SUBMODULES = [
+    "pandas.io.formats.style",
+    "pandas.io.formats.format",
+    "pandas.api.types",
+    "pandas.testing",
+    "pandas.plotting",
+]
+
+
+def make_proxy_module(real_pandas) -> types.ModuleType:
+    # import lazily-loaded submodules NOW so their `from pandas import
+    # DataFrame` binds the real class, not the proxy
+    import importlib
+
+    for name in _LAZY_SUBMODULES:
+        try:
+            importlib.import_module(name)
+        except Exception:
+            pass
+    ProxyDataFrame._real_class = real_pandas.DataFrame
+    ProxySeries._real_class = real_pandas.Series
+    mod = types.ModuleType("pandas")
+    mod.__dict__["__proxy_for__"] = real_pandas
+    for name in dir(real_pandas):
+        if name.startswith("_"):
+            continue
+        mod.__dict__[name] = getattr(real_pandas, name)
+    mod.DataFrame = ProxyDataFrame
+    mod.Series = ProxySeries
+    for name in _FAST_FUNCS:
+        slow_fn = getattr(real_pandas, name, None)
+        if slow_fn is not None:
+            mod.__dict__[name] = _proxy_function(name, slow_fn)
+    mod.__dict__["__version__"] = real_pandas.__version__
+    mod.__dict__["__getattr__"] = lambda n: getattr(real_pandas, n)
+    return mod

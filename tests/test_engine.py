@@ -1,0 +1,145 @@
+"""Query-engine tests: IR/expr/LazyFrame, optimizer, streaming executor.
+
+Differential oracle: same plan through the in-memory executor, the
+8-partition streaming executor, and pandas (SURVEY §4: the reference runs
+the same suite under a multi-process launcher — here the partitioned
+executor IS the multi-chip code path, exercised partition-wise)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import cudf_tpu as ct
+from cudf_tpu.engine import LazyFrame, col, lit, from_dataframe, scan_parquet, scan_csv
+from cudf_tpu.engine.expr import when
+
+
+@pytest.fixture
+def data(rng):
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 7, 300),
+        "v": rng.normal(size=300),
+        "w": rng.integers(0, 100, 300),
+        "s": rng.choice(["a", "bb", "c"], 300),
+    })
+    return ct.DataFrame.from_pandas(pdf), pdf
+
+
+def test_select_filter(data):
+    gdf, pdf = data
+    got = (from_dataframe(gdf)
+           .filter(col("v") > 0)
+           .select(col("k"), (col("v") * 2).alias("v2"))
+           .collect().to_pandas())
+    expect = pdf[pdf.v > 0][["k"]].assign(v2=pdf[pdf.v > 0].v * 2).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_groupby_agg(data):
+    gdf, pdf = data
+    got = (from_dataframe(gdf)
+           .group_by("k")
+           .agg(col("v").sum().alias("s"), col("v").mean().alias("m"),
+                col("w").min().alias("mn"), col("w").count().alias("c"))
+           .sort("k").collect().to_pandas())
+    expect = pdf.groupby("k").agg(
+        s=("v", "sum"), m=("v", "mean"), mn=("w", "min"), c=("w", "count")
+    ).reset_index()
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_join(data):
+    gdf, pdf = data
+    dim = ct.DataFrame({"k": [1, 2, 3], "z": [10.0, 20.0, 30.0]})
+    got = (from_dataframe(gdf).join(from_dataframe(dim), on="k")
+           .sort(["k", "v"]).collect().to_pandas().reset_index(drop=True))
+    expect = pd.merge(pdf, dim.to_pandas(), on="k").sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], expect[sorted(expect.columns)],
+                                  check_dtype=False)
+
+
+def test_when_then(data):
+    gdf, pdf = data
+    got = from_dataframe(gdf).select(
+        when(col("v") > 0).then(lit(1)).otherwise(lit(0)).alias("pos")
+    ).collect().to_pandas()
+    expect = pd.DataFrame({"pos": np.where(pdf.v > 0, 1, 0)})
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_reduce(data):
+    gdf, pdf = data
+    got = from_dataframe(gdf).agg(col("v").sum().alias("total"),
+                                  col("w").max().alias("mx")).collect()
+    assert np.isclose(got["total"].iloc[0], pdf.v.sum())
+    assert got["mx"].iloc[0] == pdf.w.max()
+
+
+def test_unique_slice_union(data):
+    gdf, pdf = data
+    lf = from_dataframe(gdf)
+    got = lf.unique(subset="k").collect()
+    assert len(got) == pdf.k.nunique()
+    assert len(lf.head(10).collect()) == 10
+    assert len(lf.concat(lf).collect()) == 2 * len(pdf)
+
+
+def test_scan_parquet_pushdown(tmp_path, data):
+    gdf, pdf = data
+    path = str(tmp_path / "t.pq")
+    gdf.to_parquet(path)
+    lf = scan_parquet(path).filter(col("k") == 2).select(col("v"))
+    plan = lf.explain()
+    assert "pred=" in plan and "cols=['v'" in plan  # both pushdowns fired
+    got = lf.collect().to_pandas()
+    expect = pdf[pdf.k == 2][["v"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_scan_csv(tmp_path, data):
+    gdf, pdf = data
+    path = str(tmp_path / "t.csv")
+    gdf.to_csv(path, index=False)
+    got = scan_csv(path).select(col("k"), col("w")).collect().to_pandas()
+    pd.testing.assert_frame_equal(got, pdf[["k", "w"]], check_dtype=False)
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 8])
+def test_streaming_groupby_matches_memory(data, n_parts):
+    gdf, pdf = data
+    lf = (from_dataframe(gdf)
+          .group_by("k")
+          .agg(col("v").sum().alias("s"), col("v").mean().alias("m"),
+               col("w").count().alias("c"))
+          .sort("k"))
+    mem = lf.collect().to_pandas()
+    stream = lf.collect(mesh=n_parts).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mem, stream, check_dtype=False)
+
+
+def test_streaming_join_both_paths(data):
+    gdf, pdf = data
+    dim = ct.DataFrame({"k": [0, 1, 2, 3], "z": [1.0, 2.0, 3.0, 4.0]})
+    lf = from_dataframe(gdf).join(from_dataframe(dim), on="k", how="inner")
+    mem = lf.collect().to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    from cudf_tpu.utils.config import option_context
+
+    stream_b = lf.collect(mesh=4).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    with option_context("executor.broadcast_limit", 0):
+        stream_s = lf.collect(mesh=4).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(mem, stream_b, check_dtype=False)
+    pd.testing.assert_frame_equal(mem, stream_s, check_dtype=False)
+
+
+def test_streaming_nondecomposable_fallback(data):
+    gdf, pdf = data
+    lf = from_dataframe(gdf).group_by("k").agg(col("v").median().alias("med")).sort("k")
+    mem = lf.collect().to_pandas()
+    stream = lf.collect(mesh=4).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mem, stream, check_dtype=False)
+
+
+def test_explain_tree(data):
+    gdf, _ = data
+    plan = from_dataframe(gdf).filter(col("v") > 0).explain()
+    assert "Filter" in plan or "DataFrameScan" in plan
