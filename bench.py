@@ -59,25 +59,46 @@ def _step(keys, vals, bump):
     return (cnts[0] & 1) + (ng & 1)
 
 
-def _chained(keys, vals, k: int) -> float:
+@partial(jax.jit, static_argnames=("num_groups",))
+def _step_onehot(keys, vals, bump, num_groups: int):
+    """Low-cardinality path: Pallas single-pass one-hot MXU aggregation
+    (cudf_tpu.kernels.hash_aggregate) — the hash-groupby fast path."""
+    from cudf_tpu.kernels.hash_aggregate import onehot_groupby_aggregate
+
+    s, c, mn, mx = onehot_groupby_aggregate(
+        keys, vals + bump.astype(jnp.float32) * 0, num_groups
+    )
+    return (c[0].astype(jnp.int32) & 1) + bump % 2
+
+
+def _chained(step_fn, keys, vals, k: int) -> float:
     """Wall time for k serially-dependent pipeline executions + one fetch."""
     t0 = time.perf_counter()
     bump = jnp.int32(0)
     for i in range(k):
-        bump = _step(keys, vals, bump + jnp.int32(i % 2))
+        bump = step_fn(keys, vals, bump + jnp.int32(i % 2))
     int(bump)  # real host fetch — syncs the whole chain
     return time.perf_counter() - t0
+
+
+# cardinality below which the dispatcher uses the Pallas one-hot MXU kernel
+# instead of the sort path (the hash-vs-sort decision, groupby.cu:54-69)
+ONEHOT_MAX_GROUPS = 1024
 
 
 def bench_config(n, cardinality, seed, iters=12):
     rng = np.random.default_rng(seed)
     keys = jnp.asarray(rng.integers(0, cardinality, n).astype(np.int32))
     vals = jnp.asarray(rng.normal(size=n).astype(np.float32))
-    int(_step(keys, vals, jnp.int32(0)))  # compile + sync
+    if cardinality <= ONEHOT_MAX_GROUPS:
+        step_fn = lambda k, v, b: _step_onehot(k, v, b, cardinality)
+    else:
+        step_fn = _step
+    int(step_fn(keys, vals, jnp.int32(0)))  # compile + sync
     # subtract the single-execution wall (tunnel latency + 1 exec) from the
     # (1 + iters)-execution wall → per-iteration device time
-    t_short = min(_chained(keys, vals, 1) for _ in range(2))
-    t_long = min(_chained(keys, vals, 1 + iters) for _ in range(2))
+    t_short = min(_chained(step_fn, keys, vals, 1) for _ in range(2))
+    t_long = min(_chained(step_fn, keys, vals, 1 + iters) for _ in range(2))
     dt = max((t_long - t_short) / iters, 1e-9)
     return n / dt
 

@@ -153,6 +153,14 @@ class Column:
         """Build from a python sequence; None / NaN-likes become nulls."""
         seq = list(seq)
         n = len(seq)
+        if any(isinstance(v, (list, tuple, np.ndarray)) for v in seq):
+            from cudf_tpu.ops.lists import from_pylists
+
+            return from_pylists([None if v is None else list(v) for v in seq])
+        if any(isinstance(v, dict) for v in seq):
+            from cudf_tpu.ops.structs import from_pydicts
+
+            return from_pydicts(seq)
         is_null = np.array([_is_null(v) for v in seq], dtype=bool)
         nonnull = [v for v, m in zip(seq, is_null) if not m]
         if dtype is not None:
@@ -236,6 +244,31 @@ class Column:
                 dt.dictionary_dtype(keys.dtype), len(arr),
                 data=codes_data, validity=codes.validity, children=(keys,),
             )
+        if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+            arr = arr.cast(pa.large_list(arr.type.value_type))
+            n = len(arr)
+            off = np.asarray(arr.offsets)[arr.offset:arr.offset + n + 1].astype(np.int64)
+            child_full = cls.from_arrow(arr.values)
+            base = int(off[0])
+            validity = None
+            if arr.null_count > 0:
+                validity = jnp.asarray(~np.asarray(arr.is_null()))
+            from cudf_tpu.ops.lists import make_list_column
+            from cudf_tpu.ops import copying as _cp
+
+            child = _cp.slice(child_full, base, int(off[-1]))
+            return make_list_column(jnp.asarray(off - base), child, validity)
+        if pa.types.is_struct(arr.type):
+            from cudf_tpu.ops.structs import make_struct_column
+
+            fields = []
+            for i in range(arr.type.num_fields):
+                f = arr.type.field(i)
+                fields.append((f.name, cls.from_arrow(arr.field(i))))
+            validity = None
+            if arr.null_count > 0:
+                validity = jnp.asarray(~np.asarray(arr.is_null()))
+            return make_struct_column(fields, validity)
         if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
             arr = arr.cast(pa.large_string())
             bufs = arr.buffers()
@@ -297,6 +330,14 @@ class Column:
         return data
 
     def to_pylist(self) -> List[Any]:
+        if self.dtype.id == TypeId.LIST:
+            from cudf_tpu.ops.lists import to_pylists
+
+            return to_pylists(self)
+        if self.dtype.id == TypeId.STRUCT:
+            from cudf_tpu.ops.structs import to_pydicts
+
+            return to_pydicts(self)
         if self.dtype.is_string:
             chars = np.asarray(self.data).tobytes()
             offs = np.asarray(self.offsets)
@@ -314,6 +355,25 @@ class Column:
     def to_arrow(self):
         import pyarrow as pa
 
+        if self.dtype.id == TypeId.LIST:
+            child = self.children[0].to_arrow()
+            offs = np.asarray(self.offsets)
+            buf_validity = None
+            if self.validity is not None:
+                buf_validity = pa.py_buffer(np.packbits(np.asarray(self.validity), bitorder="little"))
+            return pa.LargeListArray.from_arrays(
+                pa.array(offs, type=pa.int64()), child
+            ) if self.validity is None else pa.LargeListArray.from_buffers(
+                pa.large_list(child.type), self.length,
+                [buf_validity, pa.py_buffer(offs)], children=[child],
+            )
+        if self.dtype.id == TypeId.STRUCT:
+            names = [n for n, _ in self.dtype.fields]
+            children = [c.to_arrow() for c in self.children]
+            mask = None
+            if self.validity is not None:
+                mask = pa.array(~np.asarray(self.validity))
+            return pa.StructArray.from_arrays(children, names, mask=mask)
         if self.dtype.is_string:
             n = self.length
             offs = np.asarray(self.offsets)

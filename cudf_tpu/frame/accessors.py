@@ -386,3 +386,80 @@ class CategoricalAccessor:
 
         keys = copying.concatenate([self._s._column.children[0], as_column(list(new_categories))])
         return self.set_categories(keys.to_pylist())
+
+
+class ListMethods:
+    """.list accessor (reference: accessors/lists.py)."""
+
+    def __init__(self, s: Series):
+        from cudf_tpu.core.dtypes import TypeId
+
+        if s.dtype.id != TypeId.LIST:
+            raise AttributeError(".list accessor requires list dtype")
+        self._s = s
+
+    def _wrap(self, col: Column) -> Series:
+        return Series._from(col, self._s._index, self._s.name)
+
+    def len(self):
+        from cudf_tpu.ops import lists
+
+        return self._wrap(lists.count_elements(self._s._column))
+
+    def get(self, i: int):
+        from cudf_tpu.ops import lists
+
+        return self._wrap(lists.extract_list_element(self._s._column, i))
+
+    def contains(self, value):
+        from cudf_tpu.ops import lists
+
+        return self._wrap(lists.contains(self._s._column, value))
+
+    def index(self, value):
+        from cudf_tpu.ops import lists
+
+        return self._wrap(lists.index_of(self._s._column, value))
+
+    def sort_values(self, ascending=True):
+        from cudf_tpu.ops import lists
+
+        return self._wrap(lists.segmented_sort(self._s._column, ascending))
+
+    def unique(self):
+        from cudf_tpu.ops import lists
+
+        return self._wrap(lists.unique_per_row(self._s._column))
+
+    def concat(self, other: Series):
+        from cudf_tpu.ops import lists
+
+        return self._wrap(lists.concatenate_rows([self._s._column, other._column]))
+
+    @property
+    def leaves(self):
+        return Series(self._s._column.children[0])
+
+
+class StructMethods:
+    """.struct accessor (reference: accessors/struct.py)."""
+
+    def __init__(self, s: Series):
+        from cudf_tpu.core.dtypes import TypeId
+
+        if s.dtype.id != TypeId.STRUCT:
+            raise AttributeError(".struct accessor requires struct dtype")
+        self._s = s
+
+    def field(self, name):
+        from cudf_tpu.ops import structs
+
+        return Series._from(structs.field(self._s._column, name),
+                            self._s._index, name if isinstance(name, str) else None)
+
+    def explode(self):
+        from cudf_tpu.ops import structs
+        from cudf_tpu.frame.dataframe import DataFrame
+
+        t = structs.explode_to_table(self._s._column)
+        return DataFrame._from(t, self._s._index)

@@ -772,6 +772,20 @@ class DataFrame:
         return melt(self, id_vars=id_vars, value_vars=value_vars,
                     var_name=var_name, value_name=value_name)
 
+    def explode(self, column, ignore_index=False):
+        from cudf_tpu.core.dtypes import TypeId
+        from cudf_tpu.ops import lists
+
+        col = self._table[column]
+        if col.dtype.id != TypeId.LIST:
+            return self.copy()
+        child, row_map = lists.explode(col, outer=True)
+        cols = {}
+        for n, c in self._table.items():
+            cols[n] = child if n == column else copying.gather(c, row_map, bounds_check=False)
+        idx = default_index(child.length) if ignore_index else self._index.take(row_map)
+        return DataFrame._from(Table(cols), idx)
+
     def transpose(self):
         return DataFrame.from_pandas(self.to_pandas().T)
 

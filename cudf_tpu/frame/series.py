@@ -743,8 +743,16 @@ class Series:
         idx = Index(column=copying.repeat(self._index._column, repeats), name=self._index.name)
         return Series._from(col, idx, self.name)
 
-    def explode(self):
-        raise NotImplementedError("list columns land with LIST dtype support")
+    def explode(self, ignore_index=False):
+        from cudf_tpu.core.dtypes import TypeId
+
+        if self.dtype.id != TypeId.LIST:
+            return self.copy()
+        from cudf_tpu.ops import lists
+
+        child, row_map = lists.explode(self._column, outer=True)
+        idx = self._index.take(row_map) if not ignore_index else default_index(child.length)
+        return Series._from(child, idx, self.name)
 
     def memory_usage(self, deep=False):
         return self._column.nbytes
@@ -837,6 +845,18 @@ class Series:
         from cudf_tpu.frame.accessors import CategoricalAccessor
 
         return CategoricalAccessor(self)
+
+    @property
+    def list(self):
+        from cudf_tpu.frame.accessors import ListMethods
+
+        return ListMethods(self)
+
+    @property
+    def struct(self):
+        from cudf_tpu.frame.accessors import StructMethods
+
+        return StructMethods(self)
 
 
 for dunder, op in _BINOPS.items():
