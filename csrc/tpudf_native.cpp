@@ -1,0 +1,245 @@
+// tpudf native host runtime — IO staging kernels.
+//
+// TPU-native equivalent of the reference's host-side native tier
+// (reference: cpp/src/io/utilities/datasource.cpp, io/text/multibyte_split.cu,
+// io/comp/unsnap.cu, io/parquet rle_stream.cuh).  The device consumes flat
+// buffers; these routines produce them at memcpy-like speed on the host so
+// the HBM transfer is a single contiguous DMA:
+//
+//   - multibyte_split:  delimiter scan -> int64 offsets (text ingest)
+//   - bitunpack32:      parquet bit-packed ints -> int32 (decode staging)
+//   - snappy_decompress: raw snappy block format -> bytes (page decompress)
+//   - rle_decode32:     parquet RLE/bit-packed hybrid runs -> int32
+//
+// Exposed via the CPython C API (no pybind11 in this image).  The Python
+// wrapper (cudf_tpu/native.py) builds this lazily with setuptools and
+// falls back to numpy implementations when no toolchain is present.
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------
+// multibyte_split: offsets of records separated by `delim` (like memchr
+// loop; returns record START offsets plus total length sentinel)
+// ---------------------------------------------------------------------
+PyObject* multibyte_split(PyObject*, PyObject* args) {
+  const char* buf;
+  Py_ssize_t n;
+  const char* delim;
+  Py_ssize_t dlen;
+  if (!PyArg_ParseTuple(args, "y#y#", &buf, &n, &delim, &dlen)) return nullptr;
+  std::vector<int64_t> offsets;
+  offsets.push_back(0);
+  if (dlen == 1) {
+    const char c = delim[0];
+    const char* p = buf;
+    const char* end = buf + n;
+    while ((p = static_cast<const char*>(memchr(p, c, end - p))) != nullptr) {
+      ++p;
+      offsets.push_back(static_cast<int64_t>(p - buf));
+    }
+  } else if (dlen > 1) {
+    for (Py_ssize_t i = 0; i + dlen <= n;) {
+      if (memcmp(buf + i, delim, dlen) == 0) {
+        i += dlen;
+        offsets.push_back(static_cast<int64_t>(i));
+      } else {
+        ++i;
+      }
+    }
+  }
+  if (offsets.back() != n) offsets.push_back(n);
+  PyObject* out = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(offsets.data()),
+      static_cast<Py_ssize_t>(offsets.size() * sizeof(int64_t)));
+  return out;
+}
+
+// ---------------------------------------------------------------------
+// bitunpack32: unpack `count` little-endian bit-packed values of width
+// `bit_width` (parquet style) into int32
+// ---------------------------------------------------------------------
+PyObject* bitunpack32(PyObject*, PyObject* args) {
+  const char* buf;
+  Py_ssize_t n;
+  int bit_width;
+  long long count;
+  if (!PyArg_ParseTuple(args, "y#iL", &buf, &n, &bit_width, &count)) return nullptr;
+  if (bit_width < 0 || bit_width > 32) {
+    PyErr_SetString(PyExc_ValueError, "bit_width must be in [0, 32]");
+    return nullptr;
+  }
+  std::vector<int32_t> out(static_cast<size_t>(count));
+  const uint8_t* p = reinterpret_cast<const uint8_t*>(buf);
+  uint64_t acc = 0;
+  int nbits = 0;
+  size_t byte = 0;
+  const uint64_t mask = bit_width == 32 ? 0xFFFFFFFFull : ((1ull << bit_width) - 1);
+  for (long long i = 0; i < count; ++i) {
+    while (nbits < bit_width) {
+      uint8_t b = byte < static_cast<size_t>(n) ? p[byte] : 0;
+      acc |= static_cast<uint64_t>(b) << nbits;
+      nbits += 8;
+      ++byte;
+    }
+    out[static_cast<size_t>(i)] = static_cast<int32_t>(acc & mask);
+    acc >>= bit_width;
+    nbits -= bit_width;
+  }
+  return PyBytes_FromStringAndSize(reinterpret_cast<const char*>(out.data()),
+                                   static_cast<Py_ssize_t>(out.size() * 4));
+}
+
+// ---------------------------------------------------------------------
+// rle_decode32: parquet RLE/bit-packed hybrid (after the 4-byte length
+// header).  Decodes exactly `count` values of width `bit_width`.
+// ---------------------------------------------------------------------
+PyObject* rle_decode32(PyObject*, PyObject* args) {
+  const char* buf;
+  Py_ssize_t n;
+  int bit_width;
+  long long count;
+  if (!PyArg_ParseTuple(args, "y#iL", &buf, &n, &bit_width, &count)) return nullptr;
+  std::vector<int32_t> out;
+  out.reserve(static_cast<size_t>(count));
+  const uint8_t* p = reinterpret_cast<const uint8_t*>(buf);
+  size_t pos = 0;
+  const int byte_width = (bit_width + 7) / 8;
+  while (out.size() < static_cast<size_t>(count) && pos < static_cast<size_t>(n)) {
+    // ULEB128 header
+    uint64_t header = 0;
+    int shift = 0;
+    while (pos < static_cast<size_t>(n)) {
+      uint8_t b = p[pos++];
+      header |= static_cast<uint64_t>(b & 0x7F) << shift;
+      if (!(b & 0x80)) break;
+      shift += 7;
+    }
+    if (header & 1) {
+      // bit-packed run: (header >> 1) groups of 8 values
+      uint64_t groups = header >> 1;
+      uint64_t nvals = groups * 8;
+      uint64_t acc = 0;
+      int nbits = 0;
+      const uint64_t mask = bit_width == 32 ? 0xFFFFFFFFull : ((1ull << bit_width) - 1);
+      for (uint64_t i = 0; i < nvals && out.size() < static_cast<size_t>(count); ++i) {
+        while (nbits < bit_width) {
+          uint8_t b = pos < static_cast<size_t>(n) ? p[pos] : 0;
+          ++pos;
+          acc |= static_cast<uint64_t>(b) << nbits;
+          nbits += 8;
+        }
+        out.push_back(static_cast<int32_t>(acc & mask));
+        acc >>= bit_width;
+        nbits -= bit_width;
+      }
+      // note: a partial trailing group still consumed whole bytes above
+    } else {
+      // RLE run: single value repeated (header >> 1) times
+      uint64_t run = header >> 1;
+      uint32_t v = 0;
+      for (int b = 0; b < byte_width && pos < static_cast<size_t>(n); ++b) {
+        v |= static_cast<uint32_t>(p[pos++]) << (8 * b);
+      }
+      for (uint64_t i = 0; i < run && out.size() < static_cast<size_t>(count); ++i) {
+        out.push_back(static_cast<int32_t>(v));
+      }
+    }
+  }
+  out.resize(static_cast<size_t>(count));
+  return PyBytes_FromStringAndSize(reinterpret_cast<const char*>(out.data()),
+                                   static_cast<Py_ssize_t>(out.size() * 4));
+}
+
+// ---------------------------------------------------------------------
+// snappy_decompress: raw snappy format (preamble varint uncompressed len,
+// then literal/copy tags) — the host-tier replacement for unsnap.cu
+// ---------------------------------------------------------------------
+PyObject* snappy_decompress(PyObject*, PyObject* args) {
+  const char* buf;
+  Py_ssize_t n;
+  if (!PyArg_ParseTuple(args, "y#", &buf, &n)) return nullptr;
+  const uint8_t* p = reinterpret_cast<const uint8_t*>(buf);
+  size_t pos = 0;
+  // varint uncompressed length
+  uint64_t ulen = 0;
+  int shift = 0;
+  while (pos < static_cast<size_t>(n)) {
+    uint8_t b = p[pos++];
+    ulen |= static_cast<uint64_t>(b & 0x7F) << shift;
+    if (!(b & 0x80)) break;
+    shift += 7;
+  }
+  std::vector<uint8_t> out;
+  out.reserve(ulen);
+  while (pos < static_cast<size_t>(n) && out.size() < ulen) {
+    uint8_t tag = p[pos++];
+    uint32_t type = tag & 0x3;
+    if (type == 0) {  // literal
+      uint32_t len = (tag >> 2) + 1;
+      if (len > 60) {
+        uint32_t nb = len - 60;
+        len = 0;
+        for (uint32_t i = 0; i < nb; ++i) len |= static_cast<uint32_t>(p[pos++]) << (8 * i);
+        len += 1;
+      }
+      if (pos + len > static_cast<size_t>(n)) {
+        PyErr_SetString(PyExc_ValueError, "snappy: literal overruns input");
+        return nullptr;
+      }
+      out.insert(out.end(), p + pos, p + pos + len);
+      pos += len;
+    } else {
+      uint32_t len, offset;
+      if (type == 1) {  // copy with 1-byte offset
+        len = ((tag >> 2) & 0x7) + 4;
+        offset = (static_cast<uint32_t>(tag >> 5) << 8) | p[pos++];
+      } else if (type == 2) {  // 2-byte offset
+        len = (tag >> 2) + 1;
+        offset = static_cast<uint32_t>(p[pos]) | (static_cast<uint32_t>(p[pos + 1]) << 8);
+        pos += 2;
+      } else {  // 4-byte offset
+        len = (tag >> 2) + 1;
+        offset = static_cast<uint32_t>(p[pos]) | (static_cast<uint32_t>(p[pos + 1]) << 8) |
+                 (static_cast<uint32_t>(p[pos + 2]) << 16) |
+                 (static_cast<uint32_t>(p[pos + 3]) << 24);
+        pos += 4;
+      }
+      if (offset == 0 || offset > out.size()) {
+        PyErr_SetString(PyExc_ValueError, "snappy: bad copy offset");
+        return nullptr;
+      }
+      size_t src = out.size() - offset;
+      for (uint32_t i = 0; i < len; ++i) out.push_back(out[src + i]);  // may overlap
+    }
+  }
+  return PyBytes_FromStringAndSize(reinterpret_cast<const char*>(out.data()),
+                                   static_cast<Py_ssize_t>(out.size()));
+}
+
+PyMethodDef methods[] = {
+    {"multibyte_split", multibyte_split, METH_VARARGS,
+     "split buffer by delimiter -> int64 record offsets (as bytes)"},
+    {"bitunpack32", bitunpack32, METH_VARARGS,
+     "unpack bit-packed little-endian ints -> int32 buffer"},
+    {"rle_decode32", rle_decode32, METH_VARARGS,
+     "decode parquet RLE/bit-packed hybrid -> int32 buffer"},
+    {"snappy_decompress", snappy_decompress, METH_VARARGS,
+     "decompress raw snappy block -> bytes"},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_tpudf_native", "tpudf native host IO kernels",
+    -1, methods, nullptr, nullptr, nullptr, nullptr,
+};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__tpudf_native(void) { return PyModule_Create(&moduledef); }

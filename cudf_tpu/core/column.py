@@ -35,7 +35,8 @@ from cudf_tpu.core.dtypes import DType, TypeId
 
 
 class Column:
-    __slots__ = ("data", "validity", "offsets", "children", "dtype", "length", "_null_count")
+    __slots__ = ("data", "validity", "offsets", "children", "dtype", "length",
+                 "_null_count", "__weakref__")
 
     def __init__(
         self,

@@ -828,6 +828,48 @@ class DataFrame:
 
         return Rolling(self, window, min_periods, center)
 
+    def resample(self, rule, on=None):
+        from cudf_tpu.frame.resample import Resampler
+
+        return Resampler(self, rule, on=on)
+
+    def corr(self, method="pearson"):
+        num = [n for n in self._table.names if self._table[n].dtype.is_numeric]
+        k = len(num)
+        out = np.ones((k, k))
+        for i in range(k):
+            for j in range(i + 1, k):
+                c = self[num[i]].corr(self[num[j]])
+                out[i, j] = out[j, i] = c
+        return DataFrame({n: out[:, i] for i, n in enumerate(num)}, index=Index(num))
+
+    def cov(self, ddof=1):
+        num = [n for n in self._table.names if self._table[n].dtype.is_numeric]
+        k = len(num)
+        out = np.zeros((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                c = self[num[i]].cov(self[num[j]], ddof=ddof)
+                out[i, j] = out[j, i] = c
+        return DataFrame({n: out[:, i] for i, n in enumerate(num)}, index=Index(num))
+
+    def rank(self, method="average", ascending=True, pct=False, numeric_only=False):
+        cols = {}
+        for n in self._table.names:
+            s = self[n]
+            if s.dtype.is_numeric or s.dtype.is_bool or s.dtype.is_temporal:
+                cols[n] = s.rank(method=method, ascending=ascending, pct=pct)._column
+        return DataFrame._from(Table(cols), self._index)
+
+    def combine_first(self, other: "DataFrame") -> "DataFrame":
+        out = self.copy()
+        for n in other._table.names:
+            if n in out._table:
+                out[n] = out[n].combine_first(other[n])
+            else:
+                out[n] = other[n]
+        return out
+
     def info(self, *a, **k):
         print(f"<class 'cudf_tpu.DataFrame'>  {len(self)} rows, {self._table.num_columns} columns")
         for n, c in self._table.items():

@@ -124,6 +124,103 @@ class Index:
         found = hi > lo
         return jnp.where(found, jnp.take(order, jnp.clip(lo, 0, max(nh - 1, 0))), -1)
 
+    def union(self, other) -> "Index":
+        from cudf_tpu.ops import sort as sort_ops, stream_compaction as sc
+
+        both = copying.concatenate([self._column, _as_index(other)._column])
+        idx = sc.distinct_indices([both], "first")
+        col = copying.gather(both, idx, bounds_check=False)
+        order = sort_ops.sorted_order([col])
+        return Index(column=copying.gather(col, order, bounds_check=False),
+                     name=self.name if self.name == _as_index(other).name else None)
+
+    def intersection(self, other) -> "Index":
+        from cudf_tpu.ops import search as search_ops, sort as sort_ops, stream_compaction as sc
+
+        other = _as_index(other)
+        mask = search_ops.contains(other._column, self._column)
+        keep = sc.filter_indices(mask)
+        col = copying.gather(self._column, keep, bounds_check=False)
+        idx = sc.distinct_indices([col], "first")
+        col = copying.gather(col, idx, bounds_check=False)
+        order = sort_ops.sorted_order([col])
+        return Index(column=copying.gather(col, order, bounds_check=False), name=self.name)
+
+    def difference(self, other) -> "Index":
+        from cudf_tpu.ops import search as search_ops, sort as sort_ops, stream_compaction as sc
+
+        other = _as_index(other)
+        mask = ~search_ops.contains(other._column, self._column)
+        keep = sc.filter_indices(mask)
+        col = copying.gather(self._column, keep, bounds_check=False)
+        idx = sc.distinct_indices([col], "first")
+        col = copying.gather(col, idx, bounds_check=False)
+        order = sort_ops.sorted_order([col])
+        return Index(column=copying.gather(col, order, bounds_check=False), name=self.name)
+
+    def sort_values(self, ascending=True) -> "Index":
+        from cudf_tpu.ops import sort as sort_ops
+
+        order = sort_ops.sorted_order([self._column], [ascending])
+        return self.take(order)
+
+    def argsort(self, ascending=True):
+        from cudf_tpu.ops import sort as sort_ops
+        import numpy as np
+
+        return np.asarray(sort_ops.sorted_order([self._column], [ascending]))
+
+    def unique(self) -> "Index":
+        from cudf_tpu.ops import stream_compaction as sc
+
+        idx = sc.distinct_indices([self._column], "first")
+        return Index(column=copying.gather(self._column, idx, bounds_check=False), name=self.name)
+
+    def isin(self, values):
+        from cudf_tpu.core.column import as_column
+        from cudf_tpu.ops import search as search_ops
+        import numpy as np
+
+        vals = as_column(list(values))
+        return np.asarray(search_ops.contains(vals, self._column))
+
+    def astype(self, dtype_) -> "Index":
+        from cudf_tpu.ops.unary import cast
+        from cudf_tpu.core import dtypes as _dt
+
+        return Index(column=cast(self._column, _dt.dtype(dtype_)), name=self.name)
+
+    def min(self):
+        from cudf_tpu.ops import reductions
+
+        return reductions.min(self._column)
+
+    def max(self):
+        from cudf_tpu.ops import reductions
+
+        return reductions.max(self._column)
+
+    def to_series(self):
+        from cudf_tpu.frame.series import Series
+
+        return Series._from(self._column, self.copy(), self.name)
+
+    def to_frame(self, name=None):
+        from cudf_tpu.frame.dataframe import DataFrame
+
+        nm = name if name is not None else (self.name if self.name is not None else "index")
+        return DataFrame({nm: self._column})
+
+    def get_loc(self, key):
+        pos = self._positions_of(key)
+        if pos.shape[0] == 0:
+            raise KeyError(key)
+        return int(pos[0]) if pos.shape[0] == 1 else np.asarray(pos)
+
+    @property
+    def nlevels(self):
+        return 1
+
     def _positions_of(self, label) -> jnp.ndarray:
         """All positions equal to label (for duplicate-label loc)."""
         from cudf_tpu.ops.binaryop import binary_operation

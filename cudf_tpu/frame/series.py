@@ -564,6 +564,46 @@ class Series:
 
         return Rolling(self, window, min_periods, center)
 
+    def resample(self, rule):
+        from cudf_tpu.frame.resample import Resampler
+
+        return Resampler(self, rule)
+
+    def argsort(self, ascending=True):
+        order = sort_ops.sorted_order([self._nan_null()], [ascending], "last")
+        return Series._from(Column(dt.INT64, len(self), data=order), self._index, self.name)
+
+    def combine_first(self, other: "Series") -> "Series":
+        lhs, rhs, index = _align(self, other)
+        return Series._from(replace_ops.replace_nulls_column(lhs, rhs), index, self.name)
+
+    def update(self, other: "Series") -> None:
+        pos = self._index.get_indexer_for(other._index._column)
+        ok = pos >= 0
+        keep = sc.filter_indices(ok)
+        src = copying.gather(other._column, keep, bounds_check=False)
+        dst_idx = jnp.take(pos, keep)
+        # only non-null source values overwrite (pandas semantics)
+        if src.validity is not None:
+            valid_keep = sc.filter_indices(src.validity)
+            src = copying.gather(src, valid_keep, bounds_check=False)
+            dst_idx = jnp.take(dst_idx, valid_keep)
+        self._column = copying.scatter(src, dst_idx, self._column)
+
+    def first_valid_index(self):
+        v = self._nan_null().validity
+        if v is None:
+            return self._index[0] if len(self) else None
+        pos = sc.filter_indices(v)
+        return self._index[int(pos[0])] if pos.shape[0] else None
+
+    def last_valid_index(self):
+        v = self._nan_null().validity
+        if v is None:
+            return self._index[len(self) - 1] if len(self) else None
+        pos = sc.filter_indices(v)
+        return self._index[int(pos[-1])] if pos.shape[0] else None
+
     def ewm(self, com=None, span=None, halflife=None, alpha=None, adjust=True):
         if alpha is None:
             if com is not None:
