@@ -1,0 +1,250 @@
+"""TPC-H data generator + queries Q1/Q5/Q6/Q9 on the cudf_tpu engine.
+
+TPU-native equivalent of the reference's NDS-H benchmark suite
+(reference: cpp/benchmarks/ndsh/q01.cpp…q10.cpp, PDS-H runs in
+docs/cudf/source/cudf_polars/benchmarks.md).  The generator produces the
+TPC-H schema synthetically (uniform/zipf-ish distributions with the
+official cardinality ratios) — enough for engine benchmarking and
+differential validation against pandas; it is not the audited dbgen.
+
+scale factor 1.0 ≈ 6M lineitem rows (rows scale linearly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import cudf_tpu as ct
+from cudf_tpu.engine import col, lit, from_dataframe
+from cudf_tpu.engine.expr import when
+
+_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"]
+_FLAGS = ["A", "N", "R"]
+_STATUS = ["F", "O"]
+
+
+def _dates(rng, n, start="1992-01-01", end="1998-12-01"):
+    s = np.datetime64(start).astype("datetime64[D]").astype(np.int64)
+    e = np.datetime64(end).astype("datetime64[D]").astype(np.int64)
+    days = rng.integers(s, e, n)
+    return days.astype("datetime64[D]").astype("datetime64[ns]")
+
+
+def generate(scale: float = 0.01, seed: int = 0):
+    """dict of cudf_tpu DataFrames for the TPC-H schema at `scale`."""
+    rng = np.random.default_rng(seed)
+    n_li = int(6_000_000 * scale)
+    n_ord = int(1_500_000 * scale)
+    n_cust = int(150_000 * scale)
+    n_part = int(200_000 * scale)
+    n_supp = max(int(10_000 * scale), 25)
+    n_nation = 25
+    n_region = 5
+
+    nation = ct.DataFrame({
+        "n_nationkey": np.arange(n_nation),
+        "n_name": [f"NATION_{i:02d}" for i in range(n_nation)],
+        "n_regionkey": np.arange(n_nation) % n_region,
+    })
+    region = ct.DataFrame({
+        "r_regionkey": np.arange(n_region),
+        "r_name": _REGIONS,
+    })
+    supplier = ct.DataFrame({
+        "s_suppkey": np.arange(n_supp),
+        "s_nationkey": rng.integers(0, n_nation, n_supp),
+        "s_acctbal": np.round(rng.uniform(-999, 9999, n_supp), 2),
+    })
+    customer = ct.DataFrame({
+        "c_custkey": np.arange(n_cust),
+        "c_nationkey": rng.integers(0, n_nation, n_cust),
+        "c_mktsegment": rng.choice(_SEGMENTS, n_cust),
+        "c_acctbal": np.round(rng.uniform(-999, 9999, n_cust), 2),
+    })
+    part = ct.DataFrame({
+        "p_partkey": np.arange(n_part),
+        "p_name": rng.choice(["green apple", "red truck", "blue sky",
+                              "green forest", "yellow sun"], n_part),
+        "p_type": rng.choice(["ECONOMY ANODIZED STEEL", "STANDARD BRUSHED COPPER",
+                              "PROMO BURNISHED NICKEL"], n_part),
+        "p_retailprice": np.round(rng.uniform(900, 2000, n_part), 2),
+    })
+    orders = ct.DataFrame({
+        "o_orderkey": np.arange(n_ord),
+        "o_custkey": rng.integers(0, max(n_cust, 1), n_ord),
+        "o_orderstatus": rng.choice(_STATUS, n_ord),
+        "o_totalprice": np.round(rng.uniform(800, 500000, n_ord), 2),
+        "o_orderdate": _dates(rng, n_ord),
+        "o_orderpriority": rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"], n_ord),
+    })
+    lineitem = ct.DataFrame({
+        "l_orderkey": rng.integers(0, max(n_ord, 1), n_li),
+        "l_partkey": rng.integers(0, max(n_part, 1), n_li),
+        "l_suppkey": rng.integers(0, n_supp, n_li),
+        "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
+        "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
+        "l_discount": np.round(rng.uniform(0.0, 0.1, n_li), 2),
+        "l_tax": np.round(rng.uniform(0.0, 0.08, n_li), 2),
+        "l_returnflag": rng.choice(_FLAGS, n_li),
+        "l_linestatus": rng.choice(_STATUS, n_li),
+        "l_shipdate": _dates(rng, n_li),
+    })
+    return {
+        "lineitem": lineitem, "orders": orders, "customer": customer,
+        "supplier": supplier, "nation": nation, "region": region, "part": part,
+    }
+
+
+# ----------------------------------------------------------------------
+# queries (LazyFrame plans; mesh=N runs the partitioned executor)
+# ----------------------------------------------------------------------
+
+def q1(tables, mesh=None):
+    """Pricing summary report (reference: ndsh/q01.cpp)."""
+    li = from_dataframe(tables["lineitem"])
+    cutoff = np.datetime64("1998-09-02")
+    plan = (
+        li.filter(col("l_shipdate") <= lit(cutoff))
+        .with_columns(
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).alias("disc_price"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+             * (lit(1.0) + col("l_tax"))).alias("charge"),
+        )
+        .group_by("l_returnflag", "l_linestatus")
+        .agg(
+            col("l_quantity").sum().alias("sum_qty"),
+            col("l_extendedprice").sum().alias("sum_base_price"),
+            col("disc_price").sum().alias("sum_disc_price"),
+            col("charge").sum().alias("sum_charge"),
+            col("l_quantity").mean().alias("avg_qty"),
+            col("l_extendedprice").mean().alias("avg_price"),
+            col("l_discount").mean().alias("avg_disc"),
+            col("l_quantity").count().alias("count_order"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+    return plan.collect(mesh=mesh)
+
+
+def q5(tables, mesh=None):
+    """Local supplier volume (reference: ndsh/q05.cpp)."""
+    li = from_dataframe(tables["lineitem"])
+    o = from_dataframe(tables["orders"])
+    c = from_dataframe(tables["customer"])
+    s = from_dataframe(tables["supplier"])
+    n = from_dataframe(tables["nation"])
+    r = from_dataframe(tables["region"])
+    lo = np.datetime64("1994-01-01")
+    hi = np.datetime64("1995-01-01")
+    plan = (
+        r.filter(col("r_name") == lit("ASIA"))
+        .join(n, left_on="r_regionkey", right_on="n_regionkey")
+        .join(c, left_on="n_nationkey", right_on="c_nationkey")
+        .join(o.filter((col("o_orderdate") >= lit(lo)) & (col("o_orderdate") < lit(hi))),
+              left_on="c_custkey", right_on="o_custkey")
+        .join(li, left_on="o_orderkey", right_on="l_orderkey")
+        .join(s, left_on=["l_suppkey", "n_nationkey"], right_on=["s_suppkey", "s_nationkey"])
+        .with_columns(
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).alias("volume")
+        )
+        .group_by("n_name")
+        .agg(col("volume").sum().alias("revenue"))
+        .sort("revenue", descending=True)
+    )
+    return plan.collect(mesh=mesh)
+
+
+def q6(tables, mesh=None):
+    """Forecast revenue change (reference: ndsh/q06.cpp)."""
+    li = from_dataframe(tables["lineitem"])
+    lo = np.datetime64("1994-01-01")
+    hi = np.datetime64("1995-01-01")
+    plan = (
+        li.filter(
+            (col("l_shipdate") >= lit(lo)) & (col("l_shipdate") < lit(hi))
+            & (col("l_discount") >= lit(0.05)) & (col("l_discount") <= lit(0.07))
+            & (col("l_quantity") < lit(24.0))
+        )
+        .with_columns((col("l_extendedprice") * col("l_discount")).alias("revenue"))
+        .agg(col("revenue").sum().alias("revenue"))
+    )
+    return plan.collect(mesh=mesh)
+
+
+def q9(tables, mesh=None):
+    """Product type profit measure (reference: ndsh/q09.cpp)."""
+    li = from_dataframe(tables["lineitem"])
+    s = from_dataframe(tables["supplier"])
+    n = from_dataframe(tables["nation"])
+    p = from_dataframe(tables["part"])
+    o = from_dataframe(tables["orders"])
+    plan = (
+        p.filter(col("p_name").is_in(["green apple", "green forest"]))
+        .join(li, left_on="p_partkey", right_on="l_partkey")
+        .join(s, left_on="l_suppkey", right_on="s_suppkey")
+        .join(n, left_on="s_nationkey", right_on="n_nationkey")
+        .join(o, left_on="l_orderkey", right_on="o_orderkey")
+        .with_columns(
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+             - lit(10.0) * col("l_quantity")).alias("amount"),
+        )
+        .group_by("n_name")
+        .agg(col("amount").sum().alias("sum_profit"))
+        .sort("n_name")
+    )
+    return plan.collect(mesh=mesh)
+
+
+def pandas_reference(tables, query: str):
+    """Same query in pandas for differential validation."""
+    import pandas as pd
+
+    t = {k: v.to_pandas() for k, v in tables.items()}
+    if query == "q1":
+        li = t["lineitem"]
+        li = li[li.l_shipdate <= pd.Timestamp("1998-09-02")].copy()
+        li["disc_price"] = li.l_extendedprice * (1 - li.l_discount)
+        li["charge"] = li.disc_price * (1 + li.l_tax)
+        out = li.groupby(["l_returnflag", "l_linestatus"]).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_charge=("charge", "sum"),
+            avg_qty=("l_quantity", "mean"),
+            avg_price=("l_extendedprice", "mean"),
+            avg_disc=("l_discount", "mean"),
+            count_order=("l_quantity", "count"),
+        ).reset_index().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+        return out
+    if query == "q6":
+        li = t["lineitem"]
+        m = ((li.l_shipdate >= pd.Timestamp("1994-01-01"))
+             & (li.l_shipdate < pd.Timestamp("1995-01-01"))
+             & (li.l_discount >= 0.05) & (li.l_discount <= 0.07)
+             & (li.l_quantity < 24))
+        return float((li[m].l_extendedprice * li[m].l_discount).sum())
+    if query == "q5":
+        r = t["region"]; n = t["nation"]; c = t["customer"]; o = t["orders"]
+        li = t["lineitem"]; s = t["supplier"]
+        r = r[r.r_name == "ASIA"]
+        df = r.merge(n, left_on="r_regionkey", right_on="n_regionkey")
+        df = df.merge(c, left_on="n_nationkey", right_on="c_nationkey")
+        o = o[(o.o_orderdate >= pd.Timestamp("1994-01-01")) & (o.o_orderdate < pd.Timestamp("1995-01-01"))]
+        df = df.merge(o, left_on="c_custkey", right_on="o_custkey")
+        df = df.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+        df = df.merge(s, left_on=["l_suppkey", "n_nationkey"], right_on=["s_suppkey", "s_nationkey"])
+        df["volume"] = df.l_extendedprice * (1 - df.l_discount)
+        return (df.groupby("n_name").agg(revenue=("volume", "sum"))
+                .reset_index().sort_values("revenue", ascending=False).reset_index(drop=True))
+    if query == "q9":
+        p = t["part"]; li = t["lineitem"]; s = t["supplier"]; n = t["nation"]; o = t["orders"]
+        p = p[p.p_name.isin(["green apple", "green forest"])]
+        df = p.merge(li, left_on="p_partkey", right_on="l_partkey")
+        df = df.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        df = df.merge(n, left_on="s_nationkey", right_on="n_nationkey")
+        df = df.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        df["amount"] = df.l_extendedprice * (1 - df.l_discount) - 10.0 * df.l_quantity
+        return (df.groupby("n_name").agg(sum_profit=("amount", "sum"))
+                .reset_index().sort_values("n_name").reset_index(drop=True))
+    raise ValueError(query)
