@@ -44,6 +44,7 @@ from cudf_tpu.frame.series import Series  # noqa: E402
 from cudf_tpu.frame.dataframe import DataFrame  # noqa: E402
 from cudf_tpu.frame.index import Index, RangeIndex  # noqa: E402
 from cudf_tpu.frame.reshape import concat, merge, get_dummies, melt, crosstab, pivot_table  # noqa: E402
+from cudf_tpu.frame.asof import merge_asof  # noqa: E402
 from cudf_tpu.frame.tools import (  # noqa: E402
     to_datetime,
     to_numeric,
@@ -66,6 +67,8 @@ from cudf_tpu.utils.config import get_option, set_option, describe_option, optio
 from cudf_tpu.utils.missing import NA, NaT  # noqa: E402
 from cudf_tpu.interop import from_pandas, from_arrow, from_dlpack  # noqa: E402
 
+from cudf_tpu import engine  # noqa: E402
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -79,6 +82,8 @@ __all__ = [
     "RangeIndex",
     "concat",
     "merge",
+    "merge_asof",
+    "engine",
     "get_dummies",
     "melt",
     "crosstab",

@@ -44,6 +44,12 @@ def gather(col: Column, gather_map: jnp.ndarray, bounds_check: bool = True) -> C
 
     if col.dtype.is_string:
         return _gather_strings(col, safe, valid_idx)
+    if col.dtype.id == dt.TypeId.LIST:
+        return _gather_lists(col, safe, valid_idx)
+    if col.dtype.id == dt.TypeId.STRUCT:
+        children = tuple(gather(c, gather_map, bounds_check) for c in col.children)
+        validity = _gathered_validity(col, safe, valid_idx)
+        return Column(col.dtype, m, validity=validity, children=children)
     if col.dtype.is_dictionary:
         codes = jnp.take(col.data, safe, mode="clip" if col.length else "fill")
         validity = _gathered_validity(col, safe, valid_idx)
@@ -80,6 +86,24 @@ def _gather_strings(col: Column, safe: jnp.ndarray, valid_idx) -> Column:
     new_chars = jnp.take(chars, src, mode="clip") if chars.shape[0] else jnp.zeros((total,), jnp.uint8)
     validity = _gathered_validity(col, safe, valid_idx)
     return Column(dt.STRING, m, data=new_chars, offsets=new_offsets, validity=validity)
+
+
+def _gather_lists(col: Column, safe: jnp.ndarray, valid_idx) -> Column:
+    """Gather of list rows: recompute offsets, flat-gather the child."""
+    m = safe.shape[0]
+    offs = col.offsets
+    starts = jnp.take(offs, safe, mode="clip")
+    lengths = jnp.take(offs, safe + 1, mode="clip") - starts
+    if valid_idx is not None:
+        lengths = jnp.where(valid_idx, lengths, 0)
+        starts = jnp.where(valid_idx, starts, 0)
+    new_offsets = jnp.concatenate([jnp.zeros((1,), jnp.int64), jnp.cumsum(lengths)])
+    total = int(new_offsets[-1])
+    row = segment_expand(new_offsets, total)
+    src = jnp.take(starts, row) + (jnp.arange(total, dtype=jnp.int64) - jnp.take(new_offsets, row))
+    child = gather(col.children[0], src, bounds_check=False)
+    validity = _gathered_validity(col, safe, valid_idx)
+    return Column(col.dtype, m, offsets=new_offsets, children=(child,), validity=validity)
 
 
 def gather_table(table: Table, gather_map: jnp.ndarray, bounds_check: bool = True) -> Table:
@@ -137,6 +161,15 @@ def slice(col: Column, start: int, stop: int) -> Column:  # noqa: A001
         c0, c1 = int(offs[0]), int(offs[-1])
         return Column(dt.STRING, n, data=col.data[c0:c1], offsets=offs - offs[0],
                       validity=validity)
+    if col.dtype.id == dt.TypeId.LIST:
+        offs = col.offsets[start:stop + 1]
+        c0, c1 = int(offs[0]), int(offs[-1])
+        child = slice(col.children[0], c0, c1)
+        return Column(col.dtype, n, offsets=offs - offs[0], children=(child,),
+                      validity=validity)
+    if col.dtype.id == dt.TypeId.STRUCT:
+        children = tuple(slice(c, start, stop) for c in col.children)
+        return Column(col.dtype, n, children=children, validity=validity)
     return Column(col.dtype, n, data=col.data[start:stop], validity=validity,
                   children=col.children)
 
@@ -181,6 +214,20 @@ def concatenate(cols: Sequence[Column]) -> Column:
         from cudf_tpu.ops.dictionary import encode
 
         return encode(concatenate(decoded))
+    if dtype.id == dt.TypeId.LIST:
+        child = concatenate([c.children[0] for c in cols])
+        parts = [cols[0].offsets]
+        shift_amt = cols[0].offsets[-1]
+        for c in cols[1:]:
+            parts.append(c.offsets[1:] + shift_amt)
+            shift_amt = shift_amt + c.offsets[-1]
+        offsets = jnp.concatenate(parts)
+        return Column(dtype, n, offsets=offsets, children=(child,), validity=validity)
+    if dtype.id == dt.TypeId.STRUCT:
+        children = tuple(
+            concatenate([c.children[i] for c in cols]) for i in range(len(cols[0].children))
+        )
+        return Column(dtype, n, children=children, validity=validity)
     data = jnp.concatenate([c.data for c in cols])
     return Column(dtype, n, data=data, validity=validity)
 
