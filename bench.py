@@ -36,17 +36,33 @@ N = 10_000_000
 
 
 def groupby_pipeline(keys, vals):
-    """Static-shape G1 groupby: sort → segment reduce (the jitted hot path)."""
+    """Static-shape G1 groupby: sort → run reductions, fully SCATTER-FREE.
+
+    XLA scatter on TPU runs at ~90 Mrows/s while sort_pairs runs at
+    ~450 Mrows/s, so segment_sum is replaced by prefix-sum differences
+    over the sorted runs: for a run starting at i and ending at e,
+    sum = cumsum[e] - cumsum[i-1].  Run ends come from a reverse min-scan
+    of run-start positions.  Outputs are padded to n (aligned to run-start
+    positions) with num_groups as the live count — same padded-group-table
+    convention as parallel/dist.local_groupby_sum."""
     n = keys.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     ks, order = jax.lax.sort([keys, idx], num_keys=1, is_stable=False)
-    neq = jnp.concatenate([jnp.ones((1,), jnp.bool_), ks[1:] != ks[:-1]])
-    gid = jnp.cumsum(neq.astype(jnp.int32)) - 1
     vs = jnp.take(vals, order)
-    sums = jax.ops.segment_sum(vs, gid, num_segments=n)
-    cnts = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), gid, num_segments=n)
+    neq = jnp.concatenate([jnp.ones((1,), jnp.bool_), ks[1:] != ks[:-1]])
+    cs = jnp.cumsum(vs)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    # start position of the NEXT run for every i: reverse min-scan over
+    # start positions of the shifted-by-one mask
+    start_pos_or_big = jnp.where(neq, pos, jnp.int32(n))
+    nxt_incl = jax.lax.associative_scan(jnp.minimum, start_pos_or_big[::-1])[::-1]
+    next_start = jnp.concatenate([nxt_incl[1:], jnp.full((1,), n, jnp.int32)])
+    run_end = next_start - 1  # meaningful at run-start positions
+    cs_prev = jnp.concatenate([jnp.zeros((1,), vs.dtype), cs[:-1]])
+    sums = jnp.where(neq, jnp.take(cs, jnp.clip(run_end, 0, n - 1)) - cs_prev, 0)
+    cnts = jnp.where(neq, run_end - pos + 1, 0).astype(jnp.int32)
     means = sums / jnp.maximum(cnts, 1).astype(vs.dtype)
-    gkeys = jax.ops.segment_max(ks, gid, num_segments=n)
+    gkeys = jnp.where(neq, ks, 0)
     num_groups = neq.astype(jnp.int32).sum()
     return gkeys, sums, means, cnts, num_groups
 

@@ -39,3 +39,18 @@ def segment_expand(offsets: jnp.ndarray, total: int) -> jnp.ndarray:
 
 def string_payload(col: Column):
     return col.offsets, col.data
+
+
+def inverse_permutation(order: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a permutation WITHOUT scatter.
+
+    XLA scatter on TPU measures ~5x slower than lax.sort, so the inverse
+    comes from sorting (order, iota) pairs instead of
+    ``zeros.at[order].set(iota)``.
+    """
+    import jax
+
+    n = order.shape[0]
+    iota = jnp.arange(n, dtype=order.dtype)
+    _, inv = jax.lax.sort([order, iota], num_keys=1, is_stable=False)
+    return inv

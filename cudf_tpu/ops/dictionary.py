@@ -49,7 +49,9 @@ def factorize(col: Column, sort: bool = True) -> Tuple[jnp.ndarray, Column]:
         d = jnp.concatenate([jnp.ones((1,), jnp.bool_), s[1:] != s[:-1]])
         neq = d if neq is None else (neq | d)
     gid_sorted = jnp.cumsum(neq.astype(jnp.int64)) - 1
-    codes = jnp.zeros((n,), jnp.int64).at[order].set(gid_sorted)
+    from cudf_tpu.ops._utils import inverse_permutation
+
+    codes = jnp.take(gid_sorted, inverse_permutation(order))
     if base.validity is not None:
         codes = jnp.where(base.validity, codes, 0)  # null rows: in-range code, masked
     # unique rows: first of each run; drop the trailing null run if present

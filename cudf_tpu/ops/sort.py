@@ -86,8 +86,10 @@ def rank(
     n = col.length
     na_pos = "last" if na_option in ("keep", "bottom") else "top"
     order = sorted_order([col], [ascending], "last" if na_pos != "top" else "first")
-    # positions in sorted order
-    sorted_pos = jnp.zeros((n,), jnp.int64).at[order].set(jnp.arange(n, dtype=jnp.int64))
+    # positions in sorted order (sort-based inverse; scatter is slow on TPU)
+    from cudf_tpu.ops._utils import inverse_permutation
+
+    sorted_pos = inverse_permutation(order)
     # group boundaries among equal keys, in sorted order
     eq_ops = equality_keys(col)
     neq = None
