@@ -7,10 +7,9 @@ matching BASELINE.md's north-star metric.
 
 Measurement notes:
 - The axon tunnel to the chip has ~0.5 s per-sync latency and dispatch
-  doesn't block, so the iteration loop runs ON DEVICE via lax.fori_loop
-  with a data dependence chained through the carry; throughput is taken
-  from the delta between a long and a short loop (one host sync each),
-  cancelling both tunnel latency and dispatch overhead.
+  doesn't block, so iterations are chained through a data dependence and
+  throughput is the delta between a long and a short chain (one host
+  fetch each), cancelling tunnel latency and dispatch overhead.
 - Keys are int32 on device: db-benchmark G1 key cardinalities fit 31
   bits, and v5e has no native int64 (x64 is emulated).  This is the
   radix-width optimization cub uses via begin_bit/end_bit
@@ -41,28 +40,27 @@ def groupby_pipeline(keys, vals):
     XLA scatter on TPU runs at ~90 Mrows/s while sort_pairs runs at
     ~450 Mrows/s, so segment_sum is replaced by prefix-sum differences
     over the sorted runs: for a run starting at i and ending at e,
-    sum = cumsum[e] - cumsum[i-1].  Run ends come from a reverse min-scan
-    of run-start positions.  Outputs are padded to n (aligned to run-start
-    positions) with num_groups as the live count — same padded-group-table
-    convention as parallel/dist.local_groupby_sum."""
+    sum = cumsum[e] - cumsum[start-1], with each row's run start from a
+    forward cummax over run-start positions.  Outputs are padded to n,
+    aligned to run-END positions, with num_groups as the live count —
+    same padded-group-table convention as parallel/dist.local_groupby_sum."""
     n = keys.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     ks, order = jax.lax.sort([keys, idx], num_keys=1, is_stable=False)
     vs = jnp.take(vals, order)
     neq = jnp.concatenate([jnp.ones((1,), jnp.bool_), ks[1:] != ks[:-1]])
+    is_end = jnp.concatenate([neq[1:], jnp.ones((1,), jnp.bool_)])
     cs = jnp.cumsum(vs)
     pos = jnp.arange(n, dtype=jnp.int32)
-    # start position of the NEXT run for every i: reverse min-scan over
-    # start positions of the shifted-by-one mask
-    start_pos_or_big = jnp.where(neq, pos, jnp.int32(n))
-    nxt_incl = jax.lax.associative_scan(jnp.minimum, start_pos_or_big[::-1])[::-1]
-    next_start = jnp.concatenate([nxt_incl[1:], jnp.full((1,), n, jnp.int32)])
-    run_end = next_start - 1  # meaningful at run-start positions
-    cs_prev = jnp.concatenate([jnp.zeros((1,), vs.dtype), cs[:-1]])
-    sums = jnp.where(neq, jnp.take(cs, jnp.clip(run_end, 0, n - 1)) - cs_prev, 0)
-    cnts = jnp.where(neq, run_end - pos + 1, 0).astype(jnp.int32)
+    # start of MY run: forward running max over run-start positions
+    run_start = jax.lax.cummax(jnp.where(neq, pos, jnp.int32(0)))
+    cs_before = jnp.where(run_start > 0, jnp.take(cs, jnp.maximum(run_start - 1, 0)),
+                          jnp.zeros((), vs.dtype))
+    # outputs aligned to run-END positions (padded; num_groups live)
+    sums = jnp.where(is_end, cs - cs_before, 0)
+    cnts = jnp.where(is_end, pos - run_start + 1, 0).astype(jnp.int32)
     means = sums / jnp.maximum(cnts, 1).astype(vs.dtype)
-    gkeys = jnp.where(neq, ks, 0)
+    gkeys = jnp.where(is_end, ks, 0)
     num_groups = neq.astype(jnp.int32).sum()
     return gkeys, sums, means, cnts, num_groups
 

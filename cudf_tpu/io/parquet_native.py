@@ -1,0 +1,218 @@
+"""Self-contained Parquet column-chunk reader (no pyarrow in the data path).
+
+TPU-native equivalent of the reference's parquet decode stack
+(reference: cpp/src/io/parquet/reader_impl.cpp:208-244 decode_kernel_mask
+dispatch, page_data.cu, rle_stream.cuh, unsnap.cu):
+
+- footer/page headers: cudf_tpu/io/thrift.py (host, like
+  compact_protocol_reader.cpp)
+- page decompress: native snappy (csrc/) / zstd (zstandard lib)
+- definition levels: native RLE decode → validity
+- values: PLAIN (memcpy-shaped) and RLE_DICTIONARY (native RLE indices +
+  device gather from the dictionary page) — the two encodings that cover
+  the NYC-Taxi-style analytics files
+- the assembled flat buffers transfer to HBM once
+
+Supported physical types: INT32, INT64, FLOAT, DOUBLE, BYTE_ARRAY (plain &
+dict), BOOLEAN (plain).  Falls back to the pyarrow reader for anything
+else (io/parquet.py).  Device-side RLE/bit-unpack Pallas kernels replace
+the host tier in a later round — the interfaces here are already
+column-chunk granular to slot them in.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from cudf_tpu import native
+from cudf_tpu.core import dtypes as dt
+from cudf_tpu.core.column import Column
+from cudf_tpu.core.table import Table
+from cudf_tpu.io import thrift
+
+_PHYS = {0: "BOOLEAN", 1: "INT32", 2: "INT64", 4: "FLOAT", 5: "DOUBLE", 6: "BYTE_ARRAY"}
+_NP = {1: np.dtype("int32"), 2: np.dtype("int64"), 4: np.dtype("float32"), 5: np.dtype("float64")}
+_CODEC_UNCOMPRESSED, _CODEC_SNAPPY, _CODEC_GZIP, _CODEC_ZSTD = 0, 1, 2, 6
+_ENC_PLAIN, _ENC_RLE, _ENC_PLAIN_DICT, _ENC_RLE_DICT = 0, 3, 2, 8
+
+
+def _decompress(data: bytes, codec: int, uncompressed_size: int) -> bytes:
+    if codec == _CODEC_UNCOMPRESSED:
+        return data
+    if codec == _CODEC_SNAPPY:
+        return native.snappy_decompress(data)
+    if codec == _CODEC_ZSTD:
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(data, max_output_size=uncompressed_size)
+    if codec == _CODEC_GZIP:
+        import gzip
+
+        return gzip.decompress(data)
+    raise NotImplementedError(f"codec {codec}")
+
+
+def _read_levels(page: bytes, num_values: int, max_level: int) -> Tuple[np.ndarray, int]:
+    """Definition levels (RLE with 4-byte length prefix) → (levels, consumed)."""
+    if max_level == 0:
+        return np.zeros(num_values, np.int32), 0
+    bw = max(max_level.bit_length(), 1)
+    ln = int.from_bytes(page[:4], "little")
+    levels = native.rle_decode32(page[4:4 + ln], bw, num_values)
+    return levels, 4 + ln
+
+
+def _decode_plain(data: bytes, phys: int, n: int):
+    if phys in _NP:
+        return np.frombuffer(data, dtype=_NP[phys], count=n)
+    if phys == 0:  # BOOLEAN bit-packed LSB
+        bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")[:n]
+        return bits.astype(bool)
+    if phys == 6:  # BYTE_ARRAY: 4-byte length + bytes, repeated
+        offs = np.zeros(n + 1, np.int64)
+        chunks = []
+        pos = 0
+        for i in range(n):
+            ln = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+            chunks.append(data[pos:pos + ln])
+            pos += ln
+            offs[i + 1] = offs[i] + ln
+        return offs, np.frombuffer(b"".join(chunks), np.uint8)
+    raise NotImplementedError(f"physical type {phys}")
+
+
+def read_column_chunk(path: str, meta: thrift.ColumnChunkMeta, nullable: bool = True):
+    """Decode one column chunk → (values ndarray | (offsets, chars), validity | None)."""
+    phys = meta.type
+    with open(path, "rb") as f:
+        start = meta.dictionary_page_offset or meta.data_page_offset
+        f.seek(start)
+        raw = f.read(meta.total_compressed_size + 1 << 16)
+
+    pos = 0
+    dictionary = None
+    values_parts: List = []
+    validity_parts: List[np.ndarray] = []
+    remaining = meta.num_values
+    while remaining > 0 and pos < len(raw):
+        ph = thrift.PageHeader.parse(raw, pos)
+        pos += ph.header_len
+        payload = _decompress(raw[pos:pos + ph.compressed_page_size], meta.codec,
+                              ph.uncompressed_page_size)
+        pos += ph.compressed_page_size
+        if ph.type == 2:  # dictionary page
+            dictionary = _decode_plain(payload, phys, ph.dict_num_values)
+            continue
+        if ph.type != 0:
+            raise NotImplementedError("data page v2")
+        nv = ph.num_values
+        dls, consumed = _read_levels(payload, nv, 1 if nullable else 0)
+        body = payload[consumed:]
+        valid = dls.astype(bool) if nullable else np.ones(nv, bool)
+        n_present = int(valid.sum())
+        if ph.encoding == _ENC_PLAIN:
+            vals = _decode_plain(body, phys, n_present)
+        elif ph.encoding in (_ENC_RLE_DICT, _ENC_PLAIN_DICT):
+            bw = body[0]
+            idx = native.rle_decode32(body[1:], bw, n_present)
+            if phys == 6:
+                offs, chars = dictionary
+                lens = (offs[1:] - offs[:-1])[idx]
+                new_offs = np.zeros(n_present + 1, np.int64)
+                np.cumsum(lens, out=new_offs[1:])
+                out_chars = np.empty(int(new_offs[-1]), np.uint8)
+                for i, j in enumerate(idx):
+                    out_chars[new_offs[i]:new_offs[i + 1]] = chars[offs[j]:offs[j + 1]]
+                vals = (new_offs, out_chars)
+            else:
+                vals = dictionary[idx]
+        else:
+            raise NotImplementedError(f"encoding {ph.encoding}")
+        values_parts.append(vals)
+        validity_parts.append(valid)
+        remaining -= nv
+
+    validity = np.concatenate(validity_parts) if validity_parts else np.zeros(0, bool)
+    if phys == 6:
+        # merge string parts (spread valid slots)
+        total = validity.shape[0]
+        offs = np.zeros(total + 1, np.int64)
+        chars_parts = []
+        row = 0
+        for vals, valid in zip(values_parts, validity_parts):
+            po, pc = vals
+            k = 0
+            for v in valid:
+                if v:
+                    ln = po[k + 1] - po[k]
+                    offs[row + 1] = offs[row] + ln
+                    k += 1
+                else:
+                    offs[row + 1] = offs[row]
+                row += 1
+            chars_parts.append(pc)
+        chars = np.concatenate(chars_parts) if chars_parts else np.zeros(0, np.uint8)
+        return (offs, chars), (None if validity.all() else validity)
+    present = np.concatenate([np.asarray(v) for v in values_parts]) if values_parts else np.zeros(0)
+    if validity.all():
+        return present, None
+    # spread present values into full-length buffer
+    full = np.zeros(validity.shape[0], dtype=present.dtype)
+    full[validity] = present
+    return full, validity
+
+
+def read_parquet_native(path: str, columns: Optional[List[str]] = None):
+    """Full-file reader over the self-contained decode path."""
+    from cudf_tpu.frame.dataframe import DataFrame
+    from cudf_tpu.frame.index import default_index
+    import jax.numpy as jnp
+
+    md = thrift.read_file_metadata(path)
+    # leaf schema (flat files only in this tier)
+    leaves = [s for s in md.schema[1:] if s.num_children == 0]
+    names = [s.name for s in leaves]
+    nullable = {s.name: s.repetition_type == 1 for s in leaves}
+    conv = {s.name: s.converted_type for s in leaves}
+    wanted = columns or names
+    per_col: Dict[str, List] = {n: [] for n in wanted}
+    per_val: Dict[str, List] = {n: [] for n in wanted}
+    for rg in md.row_groups:
+        for cc in rg.columns:
+            name = cc.path[-1] if cc.path else ""
+            if name not in per_col:
+                continue
+            vals, valid = read_column_chunk(path, cc, nullable=nullable.get(name, True))
+            per_col[name].append(vals)
+            per_val[name].append(valid if valid is not None else
+                                 np.ones(rg.num_rows, bool))
+    cols = {}
+    for n in wanted:
+        parts = per_col[n]
+        valids = np.concatenate(per_val[n])
+        mask = None if valids.all() else valids
+        if parts and isinstance(parts[0], tuple):  # strings
+            offs_parts, chars_parts = zip(*parts)
+            offs = [np.asarray(offs_parts[0])]
+            shift = offs_parts[0][-1]
+            for o in offs_parts[1:]:
+                offs.append(np.asarray(o[1:]) + shift)
+                shift += o[-1]
+            offsets = np.concatenate(offs)
+            chars = np.concatenate(chars_parts)
+            col = Column(dt.STRING, offsets.shape[0] - 1,
+                         data=jnp.asarray(chars), offsets=jnp.asarray(offsets),
+                         validity=jnp.asarray(mask) if mask is not None else None)
+            if conv.get(n) == 0:  # UTF8
+                pass
+            cols[n] = col
+        else:
+            data = np.concatenate(parts) if parts else np.zeros(0)
+            if conv.get(n) in (9, 10):  # DATE / TIME_MILLIS etc. — keep raw for now
+                pass
+            cols[n] = Column.from_numpy(data, mask=mask)
+    t = Table(cols)
+    return DataFrame._from(t, default_index(t.num_rows))

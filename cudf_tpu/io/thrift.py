@@ -1,0 +1,214 @@
+"""Thrift compact-protocol reader for Parquet metadata.
+
+TPU-native equivalent of the reference's host-side thrift parser
+(reference: cpp/src/io/parquet/compact_protocol_reader.cpp) — parses
+FileMetaData / RowGroup / ColumnChunk / PageHeader structures directly
+from bytes, no thrift library dependency.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+class CompactReader:
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def read_byte(self) -> int:
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def read_varint(self) -> int:
+        out = 0
+        shift = 0
+        while True:
+            b = self.read_byte()
+            out |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                return out
+            shift += 7
+
+    def read_zigzag(self) -> int:
+        v = self.read_varint()
+        return (v >> 1) ^ -(v & 1)
+
+    def read_bytes(self) -> bytes:
+        n = self.read_varint()
+        out = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+    def read_struct(self) -> Dict[int, Any]:
+        """Generic struct -> {field_id: value}."""
+        out: Dict[int, Any] = {}
+        last_fid = 0
+        while True:
+            b = self.read_byte()
+            if b == 0:
+                return out
+            delta = (b & 0xF0) >> 4
+            ftype = b & 0x0F
+            if delta:
+                fid = last_fid + delta
+            else:
+                fid = self.read_zigzag()
+            last_fid = fid
+            out[fid] = self._read_value(ftype)
+
+    def _read_value(self, ftype: int):
+        if ftype in (1, 2):  # BOOLEAN_TRUE / BOOLEAN_FALSE
+            return ftype == 1
+        if ftype == 3:  # BYTE
+            return self.read_byte()
+        if ftype in (4, 5, 6):  # I16, I32, I64
+            return self.read_zigzag()
+        if ftype == 7:  # DOUBLE (little-endian per parquet)
+            import struct
+
+            v = struct.unpack("<d", self.buf[self.pos:self.pos + 8])[0]
+            self.pos += 8
+            return v
+        if ftype == 8:  # BINARY/STRING
+            return self.read_bytes()
+        if ftype == 9:  # LIST
+            return self._read_list()
+        if ftype == 12:  # STRUCT
+            return self.read_struct()
+        raise ValueError(f"unsupported thrift type {ftype}")
+
+    def _read_list(self):
+        b = self.read_byte()
+        size = (b & 0xF0) >> 4
+        etype = b & 0x0F
+        if size == 15:
+            size = self.read_varint()
+        return [self._read_value(etype) for _ in range(size)]
+
+
+# ----------------------------------------------------------------------
+# typed views over the raw field-id dicts (parquet.thrift field numbering)
+# ----------------------------------------------------------------------
+
+@dataclass
+class SchemaElement:
+    type: Optional[int]
+    type_length: Optional[int]
+    repetition_type: Optional[int]
+    name: str
+    num_children: int
+    converted_type: Optional[int]
+
+    @classmethod
+    def from_raw(cls, d):
+        return cls(
+            type=d.get(1), type_length=d.get(2), repetition_type=d.get(3),
+            name=d.get(4, b"").decode(), num_children=d.get(5, 0) or 0,
+            converted_type=d.get(6),
+        )
+
+
+@dataclass
+class ColumnChunkMeta:
+    type: int
+    encodings: List[int]
+    path: List[str]
+    codec: int
+    num_values: int
+    total_uncompressed_size: int
+    total_compressed_size: int
+    data_page_offset: int
+    dictionary_page_offset: Optional[int]
+
+    @classmethod
+    def from_raw(cls, d):
+        return cls(
+            type=d[1], encodings=d.get(2, []),
+            path=[p.decode() for p in d.get(3, [])],
+            codec=d[4], num_values=d[5],
+            total_uncompressed_size=d[6], total_compressed_size=d[7],
+            data_page_offset=d[9], dictionary_page_offset=d.get(11),
+        )
+
+
+@dataclass
+class RowGroup:
+    columns: List[ColumnChunkMeta]
+    total_byte_size: int
+    num_rows: int
+
+    @classmethod
+    def from_raw(cls, d):
+        cols = []
+        for c in d.get(1, []):
+            meta = c.get(3)  # ColumnMetaData struct
+            cols.append(ColumnChunkMeta.from_raw(meta))
+        return cls(columns=cols, total_byte_size=d.get(2, 0), num_rows=d.get(3, 0))
+
+
+@dataclass
+class FileMetaData:
+    version: int
+    schema: List[SchemaElement]
+    num_rows: int
+    row_groups: List[RowGroup]
+
+    @classmethod
+    def from_raw(cls, d):
+        return cls(
+            version=d.get(1, 0),
+            schema=[SchemaElement.from_raw(s) for s in d.get(2, [])],
+            num_rows=d.get(3, 0),
+            row_groups=[RowGroup.from_raw(r) for r in d.get(4, [])],
+        )
+
+
+@dataclass
+class PageHeader:
+    type: int                 # 0=DATA_PAGE, 2=DICTIONARY_PAGE, 3=DATA_PAGE_V2
+    uncompressed_page_size: int
+    compressed_page_size: int
+    # data page v1
+    num_values: Optional[int] = None
+    encoding: Optional[int] = None
+    def_level_encoding: Optional[int] = None
+    rep_level_encoding: Optional[int] = None
+    # dictionary page
+    dict_num_values: Optional[int] = None
+    header_len: int = 0
+
+    @classmethod
+    def parse(cls, buf: bytes, pos: int) -> "PageHeader":
+        r = CompactReader(buf, pos)
+        d = r.read_struct()
+        ph = cls(type=d[1], uncompressed_page_size=d[2], compressed_page_size=d[3])
+        if 5 in d:  # DataPageHeader
+            dp = d[5]
+            ph.num_values = dp.get(1)
+            ph.encoding = dp.get(2)
+            ph.def_level_encoding = dp.get(3)
+            ph.rep_level_encoding = dp.get(4)
+        if 7 in d:  # DictionaryPageHeader
+            ph.dict_num_values = d[7].get(1)
+        if 8 in d:  # DataPageHeaderV2
+            dp = d[8]
+            ph.num_values = dp.get(1)
+            ph.encoding = dp.get(4)
+        ph.header_len = r.pos - pos
+        return ph
+
+
+def read_file_metadata(path: str) -> FileMetaData:
+    with open(path, "rb") as f:
+        f.seek(-8, 2)
+        tail = f.read(8)
+        if tail[4:] != b"PAR1":
+            raise ValueError("not a parquet file")
+        meta_len = int.from_bytes(tail[:4], "little")
+        f.seek(-8 - meta_len, 2)
+        raw = f.read(meta_len)
+    d = CompactReader(raw).read_struct()
+    return FileMetaData.from_raw(d)

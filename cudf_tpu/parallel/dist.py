@@ -46,19 +46,17 @@ def local_groupby_sum(key, vals, valid):
     idx = jnp.arange(n, dtype=jnp.int64)
     ks, order = jax.lax.sort([k_sort, idx], num_keys=1, is_stable=True)
     neq = jnp.concatenate([jnp.ones((1,), jnp.bool_), ks[1:] != ks[:-1]])
+    is_end = jnp.concatenate([neq[1:], jnp.ones((1,), jnp.bool_)])
     valid_s = jnp.take(valid, order)
     pos = jnp.arange(n, dtype=jnp.int64)
-    start_or_big = jnp.where(neq, pos, jnp.int64(n))
-    run_start = jax.lax.associative_scan(jnp.minimum, start_or_big[::-1])[::-1]
-    next_start = jnp.concatenate([run_start[1:], jnp.full((1,), n, jnp.int64)])
-    run_end = jnp.clip(next_start - 1, 0, n - 1)   # valid at run-start rows
+    # start of MY run via forward cummax (reverse scans compile poorly)
+    run_start = jax.lax.cummax(jnp.where(neq, pos, jnp.int64(0)))
 
     def per_run_sum(x_sorted):
         cs = jnp.cumsum(x_sorted)
-        hi = jnp.take(cs, run_end)
-        lo = jnp.where(pos > 0, jnp.take(cs, jnp.maximum(pos - 1, 0)),
+        lo = jnp.where(run_start > 0, jnp.take(cs, jnp.maximum(run_start - 1, 0)),
                        jnp.zeros((), cs.dtype))
-        return hi - lo
+        return cs - lo  # valid at run-END rows
 
     sums = []
     for v in vals:
@@ -66,10 +64,10 @@ def local_groupby_sum(key, vals, valid):
             jnp.float64 if jnp.issubdtype(v.dtype, jnp.floating) else jnp.int64
         )
         vs = jnp.where(valid_s, vs, 0)
-        sums.append(jnp.where(neq, per_run_sum(vs), 0))
-    cnt = jnp.where(neq, per_run_sum(valid_s.astype(jnp.int64)), 0)
-    gkeys = jnp.where(neq & valid_s, ks, jnp.int64(0))
-    gvalid = neq & valid_s & (cnt > 0)
+        sums.append(jnp.where(is_end, per_run_sum(vs), 0))
+    cnt = jnp.where(is_end, per_run_sum(valid_s.astype(jnp.int64)), 0)
+    gkeys = jnp.where(is_end & valid_s, ks, jnp.int64(0))
+    gvalid = is_end & valid_s & (cnt > 0)
     return gkeys, sums, cnt, gvalid
 
 
