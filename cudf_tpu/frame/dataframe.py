@@ -796,6 +796,33 @@ class DataFrame:
     # ------------------------------------------------------------------
     # apply / query / eval
     # ------------------------------------------------------------------
+    def agg(self, func, axis=0):
+        if isinstance(func, dict):
+            vals, names = [], []
+            for col_name, f in func.items():
+                fs = [f] if isinstance(f, str) else list(f)
+                for fn in fs:
+                    vals.append(getattr(self[col_name], fn)())
+                    names.append(col_name if len(fs) == 1 else f"{col_name}_{fn}")
+            return Series(vals, index=Index(names))
+        if isinstance(func, str):
+            return self._reduce(func)
+        if isinstance(func, (list, tuple)):
+            data = {}
+            for n in self._table.names:
+                s = self[n]
+                if s.dtype.is_numeric or s.dtype.is_bool:
+                    data[n] = [getattr(s, f)() for f in func]
+            return DataFrame(data, index=Index(list(func)))
+        raise TypeError(func)
+
+    aggregate = agg
+
+    def transform(self, func):
+        if isinstance(func, str):
+            return self._per_column(lambda s: getattr(s, func)())
+        return self._per_column(lambda s: s.apply(func))
+
     def apply(self, func, axis=0, **kw):
         if axis in (0, "index"):
             out = {}

@@ -256,6 +256,63 @@ class DataFrameGroupBy(_GroupByBase):
 
         return self._obj.take(filter_indices(mask))
 
+    def transform(self, func):
+        """Broadcast a group aggregate back to the original rows
+        (pandas GroupBy.transform with a named agg)."""
+        if not isinstance(func, str):
+            raise NotImplementedError("transform expects an agg name")
+        g = self.grouper
+        cols = {}
+        for n in self._value_names():
+            agg_col = gb_ops._AGG_DISPATCH[func](self._obj._table[n], g)
+            bcast = copying.gather(agg_col, g.group_ids, bounds_check=False)
+            if g.row_mask is not None:
+                from cudf_tpu.ops.stream_compaction import filter_indices
+
+                keep = filter_indices(g.row_mask)
+                full = Column.full(len(self._obj), None, dtype=agg_col.dtype)
+                bcast = copying.scatter(bcast, keep, full)
+            cols[n] = bcast
+        return DataFrame._from(Table(cols), self._obj._index)
+
+    def filter(self, func):
+        """Keep rows of groups where func(group_frame) is True."""
+        keep_keys = []
+        for key, grp in self:
+            if func(grp):
+                keep_keys.append(key)
+        import numpy as np
+
+        mask = np.zeros(len(self._obj), bool)
+        kk = set(keep_keys)
+        key_vals = [c.to_pylist() for c in self._key_cols]
+        for i in range(len(self._obj)):
+            k = key_vals[0][i] if len(key_vals) == 1 else tuple(kv[i] for kv in key_vals)
+            mask[i] = k in kk
+        return self._obj.take(jnp.asarray(np.nonzero(mask)[0]))
+
+    def rank(self, method="average", ascending=True):
+        from cudf_tpu.ops.sort import segmented_sort_indices
+
+        g = self.grouper
+        cols = {}
+        for n in self._value_names():
+            col = self._obj._table[n]
+            if not (col.dtype.is_numeric or col.dtype.is_temporal):
+                continue
+            # rank within groups: dense ordering via segmented sort
+            order = segmented_sort_indices(g.group_ids, [col], [ascending])
+            from cudf_tpu.ops._utils import inverse_permutation
+
+            pos_in_sorted = inverse_permutation(order)
+            starts = copying.gather(
+                Column(dt.INT64, g.num_groups, data=g.group_offsets[:-1]),
+                g.group_ids, bounds_check=False,
+            )
+            ranks = (pos_in_sorted - starts.data + 1).astype(jnp.float64)
+            cols[n] = Column(dt.FLOAT64, col.length, data=ranks, validity=col.validity)
+        return DataFrame._from(Table(cols), self._obj._index)
+
     def get_group(self, key):
         from cudf_tpu.ops.binaryop import binary_operation
         from cudf_tpu.ops.stream_compaction import filter_indices

@@ -778,6 +778,21 @@ class Series:
     def pipe(self, func, *args, **kwargs):
         return func(self, *args, **kwargs)
 
+    def agg(self, func):
+        if isinstance(func, str):
+            return getattr(self, func)()
+        if isinstance(func, (list, tuple)):
+            return Series([getattr(self, f)() for f in func], index=Index(list(func)),
+                          name=self.name)
+        return func(self)
+
+    aggregate = agg
+
+    def transform(self, func):
+        if isinstance(func, str):
+            return getattr(self, func)() if func in ("cumsum", "cummax") else self.apply(func)
+        return self.apply(func)
+
     def repeat(self, repeats) -> "Series":
         col = copying.repeat(self._column, repeats)
         idx = Index(column=copying.repeat(self._index._column, repeats), name=self._index.name)
