@@ -244,6 +244,12 @@ class DataFrame:
 
         return write_json(self, path, **kw)
 
+    def to_tpudf(self, path):
+        """Near-memcpy fast format (cudftable equivalent, io/cudftable.cpp)."""
+        from cudf_tpu.io.tpudf_file import write_tpudf
+
+        return write_tpudf(self, path)
+
     def to_feather(self, path, **kw):
         from cudf_tpu.io.feather import write_feather
 
@@ -787,6 +793,15 @@ class DataFrame:
         return DataFrame._from(Table(cols), idx)
 
     def transpose(self):
+        num = all(c.dtype.is_numeric for c in self._table.columns)
+        if num and self._table.num_columns:
+            # device transpose (cpp/src/transpose/transpose.cu equivalent)
+            mat = jnp.stack([c.data.astype(jnp.float64) for c in self._table.columns])
+            cols = {}
+            labels = self._index.to_pylist()
+            for j in range(len(self)):
+                cols[labels[j]] = Column(dt.FLOAT64, self._table.num_columns, data=mat[:, j])
+            return DataFrame._from(Table(cols), Index(list(self._table.names)))
         return DataFrame.from_pandas(self.to_pandas().T)
 
     @property

@@ -115,7 +115,9 @@ def _lex_searchsorted(
     sorted_ops: List[jnp.ndarray], needle_ops: List[jnp.ndarray], side: str
 ) -> jnp.ndarray:
     if len(sorted_ops) == 1:
-        return jnp.searchsorted(sorted_ops[0], needle_ops[0], side=side).astype(jnp.int64)
+        from cudf_tpu.ops._utils import searchsorted_fast
+
+        return searchsorted_fast(sorted_ops[0], needle_ops[0], side).astype(jnp.int64)
     nh = sorted_ops[0].shape[0]
     nn = needle_ops[0].shape[0]
     operands = [jnp.concatenate([h, n]) for h, n in zip(sorted_ops, needle_ops)]

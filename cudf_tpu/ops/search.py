@@ -26,7 +26,9 @@ def lower_bound(haystack: Column, needles: Column, side: str = "left") -> jnp.nd
     h_ops = order_keys(haystack, True, "last")
     n_ops = order_keys(needles.with_validity(needles.validity), True, "last")
     if len(h_ops) == 1 and len(n_ops) == 1:
-        return jnp.searchsorted(h_ops[0], n_ops[0], side=side).astype(jnp.int64)
+        from cudf_tpu.ops._utils import searchsorted_fast
+
+        return searchsorted_fast(h_ops[0], n_ops[0], side).astype(jnp.int64)
     # multi-operand lexicographic binary search: combine into one sortable
     # key when operands fit in 64 bits is not general; fall back to
     # rank-merge: positions via stable sort of concatenated keys.
@@ -124,5 +126,7 @@ def lex_sort_indices_raw(ops: List[jnp.ndarray]) -> jnp.ndarray:
 
 def _searchsorted_multi(sorted_ops: List[jnp.ndarray], needle_ops: List[jnp.ndarray], side: str) -> jnp.ndarray:
     if len(sorted_ops) == 1:
-        return jnp.searchsorted(sorted_ops[0], needle_ops[0], side=side).astype(jnp.int64)
+        from cudf_tpu.ops._utils import searchsorted_fast
+
+        return searchsorted_fast(sorted_ops[0], needle_ops[0], side).astype(jnp.int64)
     return _lex_search(sorted_ops, needle_ops, side)

@@ -1,0 +1,115 @@
+"""tpudf format, transpose, resample, groupby transform/filter, agg."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import cudf_tpu as ct
+from cudf_tpu.utils.testing import assert_eq
+
+
+def test_tpudf_roundtrip(tmp_path, frames):
+    gdf, pdf = frames
+    path = str(tmp_path / "t.tpudf")
+    gdf.to_tpudf(path)
+    assert_eq(ct.read_tpudf(path), pdf, check_dtype=False)
+
+
+def test_transpose_numeric():
+    pdf = pd.DataFrame({"a": [1.0, 2.0], "b": [3.0, 4.0]})
+    gdf = ct.DataFrame.from_pandas(pdf)
+    got = gdf.T.to_pandas()
+    expect = pdf.T
+    np.testing.assert_allclose(got.values, expect.values)
+
+
+def test_resample_vs_pandas(rng):
+    ts = pd.date_range("2022-01-01", periods=300, freq="23min")
+    pdf = pd.DataFrame({"v": rng.normal(size=300)}, index=ts)
+    gdf = ct.DataFrame.from_pandas(pdf)
+    for agg in ("sum", "mean", "count", "max"):
+        got = getattr(gdf.resample("2h"), agg)().to_pandas()
+        expect = getattr(pdf.resample("2h"), agg)()
+        np.testing.assert_allclose(
+            got["v"].fillna(-9e9).to_numpy(dtype=float),
+            expect["v"].fillna(-9e9).to_numpy(dtype=float), rtol=1e-9,
+        )
+        assert (got.index == expect.index).all()
+
+
+def test_groupby_transform(rng):
+    pdf = pd.DataFrame({"k": rng.integers(0, 4, 80), "v": rng.normal(size=80)})
+    gdf = ct.DataFrame.from_pandas(pdf)
+    got = gdf.groupby("k").transform("mean").to_pandas()
+    expect = pdf.groupby("k").transform("mean")
+    np.testing.assert_allclose(got.values, expect.values)
+
+
+def test_groupby_filter(rng):
+    pdf = pd.DataFrame({"k": rng.integers(0, 4, 80), "v": rng.normal(size=80)})
+    gdf = ct.DataFrame.from_pandas(pdf)
+    got = gdf.groupby("k").filter(lambda g: g["v"].mean() > 0)
+    expect = pdf.groupby("k").filter(lambda g: g["v"].mean() > 0)
+    assert len(got) == len(expect)
+
+
+def test_groupby_rank(rng):
+    pdf = pd.DataFrame({"k": rng.integers(0, 4, 80), "v": rng.normal(size=80)})
+    gdf = ct.DataFrame.from_pandas(pdf)
+    got = gdf.groupby("k").rank(method="first").to_pandas()
+    expect = pdf.groupby("k").rank(method="first")
+    np.testing.assert_allclose(got.values, expect.values)
+
+
+def test_frame_agg(rng):
+    pdf = pd.DataFrame({"v": rng.normal(size=50), "w": rng.integers(0, 9, 50)})
+    gdf = ct.DataFrame.from_pandas(pdf)
+    got = gdf.agg({"v": "sum", "w": "max"})
+    assert np.isclose(got["v"], pdf.v.sum()) and got["w"] == pdf.w.max()
+    got2 = gdf["v"].agg(["sum", "mean"])
+    assert np.isclose(got2["sum"], pdf.v.sum())
+
+
+def test_index_setops_vs_pandas():
+    a = pd.Index([3, 1, 2, 2])
+    b = pd.Index([2, 4])
+    ga, gb = ct.Index([3, 1, 2, 2]), ct.Index([2, 4])
+    assert ga.union(gb).to_pylist() == list(a.union(b))
+    assert ga.intersection(gb).to_pylist() == list(a.intersection(b))
+    assert ga.difference(gb).to_pylist() == list(a.difference(b))
+
+
+def test_combine_first_update():
+    s1 = ct.Series([1.0, None, 3.0])
+    s2 = ct.Series([10.0, 20.0, 30.0])
+    assert s1.combine_first(s2).tolist() == [1.0, 20.0, 3.0]
+    s3 = ct.Series([1.0, 2.0, 3.0])
+    s3.update(ct.Series([99.0], index=ct.Index([1])))
+    assert s3.tolist() == [1.0, 99.0, 3.0]
+
+
+def test_bench_pipelines_cpu(rng):
+    """Keep bench.py's jitted pipelines covered by the CPU suite."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import groupby_pipeline, join_pipeline
+
+    keys = jnp.asarray(rng.integers(0, 30, 3000).astype(np.int32))
+    vals = jnp.asarray(rng.normal(size=3000).astype(np.float32))
+    gk, s, m, c, ng = jax.jit(groupby_pipeline)(keys, vals)
+    mask = np.asarray(c) > 0
+    got = dict(zip(np.asarray(gk)[mask].tolist(), np.asarray(s)[mask].tolist()))
+    expect = pd.DataFrame({"k": np.asarray(keys), "v": np.asarray(vals)}).groupby("k")["v"].sum()
+    assert len(got) == len(expect) == int(ng)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-2
+
+    lk = jnp.asarray(rng.integers(0, 500, 2000).astype(np.int32))
+    rk = jnp.asarray(rng.integers(0, 500, 1500).astype(np.int32))
+    lv = jnp.asarray(np.arange(2000).astype(np.float32))
+    rv = jnp.asarray(np.arange(1500).astype(np.float32))
+    ol, orr, ov = jax.jit(lambda a, b, c, d: join_pipeline(a, b, c, d, 3 * 2000))(lk, lv, rk, rv)
+    expect_n = len(pd.merge(pd.DataFrame({"k": np.asarray(lk)}),
+                            pd.DataFrame({"k": np.asarray(rk)}), on="k"))
+    assert int(np.asarray(ov).sum()) == expect_n
