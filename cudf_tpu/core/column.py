@@ -493,12 +493,19 @@ def _infer_dtype(values: Iterable[Any]) -> DType:
     values = list(values)
     if not values:
         return dt.FLOAT64  # pandas object default for empty
+    import datetime as _datetime
+
     has_float = False
     has_bool = False
     has_int = False
     for v in values:
         if isinstance(v, str):
             return dt.STRING
+        tname = type(v).__name__
+        if tname == "Timestamp" or isinstance(v, _datetime.datetime):
+            return dt.TIMESTAMP_NS
+        if tname == "Timedelta" or isinstance(v, _datetime.timedelta):
+            return dt.DURATION_NS
         if isinstance(v, (bool, np.bool_)):
             has_bool = True
         elif isinstance(v, (int, np.integer)):
@@ -532,6 +539,15 @@ def _coerce_value(v: Any, dtype: DType):
     if dtype.is_timestamp or dtype.is_duration:
         if isinstance(v, (np.datetime64, np.timedelta64)):
             return v.astype(dtype.to_numpy()).astype(np.int64)
+        tname = type(v).__name__
+        if tname in ("Timestamp", "Timedelta"):
+            return np.int64(v.value)  # pandas scalars carry ns ticks
+        import datetime as _datetime
+
+        if isinstance(v, _datetime.datetime):
+            return np.datetime64(v).astype(dtype.to_numpy()).astype(np.int64)
+        if isinstance(v, _datetime.timedelta):
+            return np.timedelta64(v).astype(dtype.to_numpy()).astype(np.int64)
         return np.int64(v)
     if dtype.is_bool:
         return bool(v)

@@ -89,6 +89,21 @@ def _align_key_ops(a: Column, b: Column):
     """equality_keys with matched operand structure across two columns."""
     from cudf_tpu.ops import row_ops
 
+    # promote to a common dtype so value equality is bitwise equality
+    if a.dtype != b.dtype:
+        if a.dtype.is_dictionary:
+            a = a.decode_dictionary()
+        if b.dtype.is_dictionary:
+            b = b.decode_dictionary()
+        if a.dtype != b.dtype:
+            try:
+                target = dt.common_dtype(a.dtype, b.dtype)
+            except TypeError:
+                target = None
+            if target is not None:
+                from cudf_tpu.ops.unary import cast
+
+                a, b = cast(a, target), cast(b, target)
     av = a.validity is not None
     bv = b.validity is not None
     ka = equality_keys(a)
