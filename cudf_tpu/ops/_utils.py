@@ -119,3 +119,33 @@ def expand_rows(offsets: jnp.ndarray, total: int) -> jnp.ndarray:
     row_at = bounds_before
     _, row_o = jax.lax.sort([tag_s, row_at], num_keys=1, is_stable=False)
     return row_o[:total]
+
+
+def unique_key_join(r_sorted: jnp.ndarray, r_order: jnp.ndarray, lk: jnp.ndarray):
+    """Inner-join probe against a build side with UNIQUE sorted keys
+    (the hash_join build-once/probe-many shape, hash_join.hpp:70).
+
+    ONE merged sort; output is in merge order (inner-join order is
+    unspecified): returns (left_row_ids[nl+nr], right_row_ids, valid)
+    padded over the merged length with a validity mask.
+    """
+    import jax
+
+    nr = r_sorted.shape[0]
+    nl = lk.shape[0]
+    key = jnp.concatenate([r_sorted, lk])
+    flag = jnp.concatenate([jnp.zeros((nr,), jnp.int8), jnp.ones((nl,), jnp.int8)])
+    tag = jnp.concatenate([jnp.zeros((nr,), jnp.int32), jnp.arange(nl, dtype=jnp.int32)])
+    ks, flag_s, tag_s = jax.lax.sort([key, flag, tag], num_keys=2, is_stable=False)
+    N = nr + nl
+    pos = jnp.arange(N, dtype=jnp.int32)
+    is_hay = flag_s == 0
+    # nearest hay row at-or-before each slot (hay sorts before equal probes)
+    hay_slot = jax.lax.cummax(jnp.where(is_hay, pos, jnp.int32(0)))
+    any_hay = jax.lax.cummax(is_hay.astype(jnp.int8)) > 0
+    cand_key = jnp.take(ks, hay_slot)
+    found = (~is_hay) & any_hay & (cand_key == ks)
+    hay_incl = jnp.cumsum(is_hay.astype(jnp.int32))
+    r_sorted_idx = jnp.clip(hay_incl - 1, 0, max(nr - 1, 0))
+    r_idx = jnp.take(r_order.astype(jnp.int32), r_sorted_idx)
+    return tag_s, r_idx, found
