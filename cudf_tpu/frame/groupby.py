@@ -95,6 +95,48 @@ class _GroupByBase:
         col = gb_ops.group_size(self.grouper)
         return Series._from(col, self._result_index(), None)
 
+    @property
+    def groups(self):
+        """dict: key -> index labels (pandas GroupBy.groups)."""
+        import numpy as np
+
+        g = self.grouper
+        out = {}
+        order = np.asarray(g.sorted_order)
+        offs = np.asarray(g.group_offsets)
+        keys_idx = self._result_index()
+        idx_labels = self._obj._index
+        for i in range(g.num_groups):
+            rows = order[offs[i]:offs[i + 1]]
+            key = keys_idx[i] if not isinstance(keys_idx, MultiIndex) else tuple(
+                c[int(g.key_rows[i])] for c in self._original_key_cols()
+            )
+            out[key] = [idx_labels[int(r)] for r in rows]
+        return out
+
+    def ngroup(self) -> Series:
+        """Per-row dense group number (pandas GroupBy.ngroup)."""
+        g = self.grouper
+        col = Column(dt.INT64, len(self._obj), data=g.group_ids) if g.row_mask is None else None
+        if col is None:
+            import jax.numpy as _jnp
+
+            from cudf_tpu.ops.stream_compaction import filter_indices
+
+            keep = filter_indices(g.row_mask)
+            full = Column.full(len(self._obj), None, dtype=dt.INT64)
+            col = copying.scatter(Column(dt.INT64, int(keep.shape[0]), data=g.group_ids),
+                                  keep, full)
+        return Series._from(col, self._obj._index, None)
+
+    def describe(self):
+        import pandas as pd
+
+        parts = []
+        for agg in ("count", "mean", "std", "min", "max"):
+            parts.append(self._apply_simple(agg).to_pandas().add_suffix(f"_{agg}"))
+        return pd.concat(parts, axis=1)
+
     def __iter__(self):
         g = self.grouper
         import numpy as np
