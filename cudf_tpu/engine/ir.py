@@ -450,6 +450,51 @@ class MapFunction(IR):
         return f"({self.name})"
 
 
+class Rolling(IR):
+    """Windowed aggregation over a sorted column (ir.py Rolling).
+
+    exprs: list of (output_name, value_column, agg, window) specs.
+    """
+
+    def __init__(self, child: IR, index_col: str, period: int,
+                 aggs: Sequence):
+        self.children = (child,)
+        self.index_col = index_col
+        self.period = period
+        self.aggs = list(aggs)  # (out_name, col_name, agg)
+
+    def schema(self):
+        return [self.index_col] + [a[0] for a in self.aggs]
+
+    def do_evaluate(self, t: Table) -> Table:
+        from cudf_tpu.frame.window import Rolling as FrameRolling
+        from cudf_tpu.frame.series import Series
+        from cudf_tpu.frame.index import default_index
+
+        cols = {self.index_col: t[self.index_col]}
+        for out_name, col_name, agg in self.aggs:
+            s = Series._from(t[col_name], default_index(t.num_rows), col_name)
+            r = getattr(FrameRolling(s, self.period), agg)()
+            cols[out_name] = r._column
+        return Table(cols)
+
+
+class PythonScan(IR):
+    """Source backed by an arbitrary python callable returning a Table /
+    DataFrame (ir.py PythonScan — the polars python-source escape hatch)."""
+
+    def __init__(self, fn, schema_hint: Sequence[str] = ()):
+        self.fn = fn
+        self._schema = list(schema_hint)
+
+    def schema(self):
+        return self._schema or list(self.do_evaluate().names)
+
+    def do_evaluate(self) -> Table:
+        out = self.fn()
+        return out._table if hasattr(out, "_table") else out
+
+
 class Empty(IR):
     def __init__(self, names: Sequence[str] = ()):
         self.names = list(names)
