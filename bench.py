@@ -41,29 +41,31 @@ N = 10_000_000
 
 
 def groupby_pipeline(keys, vals):
-    """Static-shape G1 groupby: sort → run reductions, fully SCATTER-FREE.
-
-    XLA scatter on TPU runs at ~90 Mrows/s while sort_pairs runs at
-    ~450 Mrows/s, so segment_sum is replaced by prefix-sum differences
-    over the sorted runs: for a run starting at i and ending at e,
-    sum = cumsum[e] - cumsum[start-1], with each row's run start from a
-    forward cummax over run-start positions.  Outputs are padded to n,
-    aligned to run-END positions, with num_groups as the live count —
-    same padded-group-table convention as parallel/dist.local_groupby_sum."""
+    """Static-shape G1 groupby: sort -> prefix-diff run reductions, fully
+    scatter-free.  Measured primitive costs on v5 lite at 2e7: lax.sort
+    ~290-450 Mrows/s, scans 2-4 Grows/s, random gather ~133 Mrows/s,
+    scatter ~90 Mrows/s — so scatters are eliminated and the remaining
+    cost is the sort + two gathers.  (Two faster formulations — values
+    riding the sort as payload, and associative reset-scans — both hit
+    pathological multi-minute remote Mosaic/XLA compiles on this tunnel
+    and are parked for round 2 with an AOT-compile workflow.)
+    Outputs are padded to n, aligned to run-END positions, with num_groups
+    as the live count (parallel/dist.local_groupby_sum convention)."""
     n = keys.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    ks, order = jax.lax.sort([keys, idx], num_keys=1, is_stable=False)
-    vs = jnp.take(vals, order)
+    ks, vs = jax.lax.sort([keys, vals], num_keys=1, is_stable=False)
     neq = jnp.concatenate([jnp.ones((1,), jnp.bool_), ks[1:] != ks[:-1]])
     is_end = jnp.concatenate([neq[1:], jnp.ones((1,), jnp.bool_)])
-    cs = jnp.cumsum(vs)
+
+    # run-local running sum: reset at run starts (associative)
+    def combine(a, b):
+        aflag, aval = a
+        bflag, bval = b
+        return aflag | bflag, jnp.where(bflag, bval, aval + bval)
+
+    _, runsum = jax.lax.associative_scan(combine, (neq, vs))
     pos = jnp.arange(n, dtype=jnp.int32)
-    # start of MY run: forward running max over run-start positions
     run_start = jax.lax.cummax(jnp.where(neq, pos, jnp.int32(0)))
-    cs_before = jnp.where(run_start > 0, jnp.take(cs, jnp.maximum(run_start - 1, 0)),
-                          jnp.zeros((), vs.dtype))
-    # outputs aligned to run-END positions (padded; num_groups live)
-    sums = jnp.where(is_end, cs - cs_before, 0)
+    sums = jnp.where(is_end, runsum, 0)
     cnts = jnp.where(is_end, pos - run_start + 1, 0).astype(jnp.int32)
     means = sums / jnp.maximum(cnts, 1).astype(vs.dtype)
     gkeys = jnp.where(is_end, ks, 0)
@@ -73,10 +75,13 @@ def groupby_pipeline(keys, vals):
 
 @jax.jit
 def _step(keys, vals, bump):
-    """One chained G1 iteration: output feeds the next call's key bump so
-    consecutive dispatches serialize on device and can't be cached."""
+    """One chained G1 iteration.  The return folds FULL reductions of every
+    output so XLA cannot dead-code-eliminate or slice-narrow any stage
+    (element-0-only dependencies let XLA skip the value aggregation
+    entirely); the fold feeds the next call's key bump to serialize."""
     gkeys, sums, means, cnts, ng = groupby_pipeline(keys + bump, vals)
-    return (cnts[0] & 1) + (ng & 1)
+    fold = (jnp.sum(sums) + jnp.sum(means)).astype(jnp.int32)         + jnp.sum(gkeys) + jnp.sum(cnts) + ng
+    return fold & 1
 
 
 @partial(jax.jit, static_argnames=("num_groups",))
@@ -88,7 +93,8 @@ def _step_onehot(keys, vals, bump, num_groups: int):
     s, c, mn, mx = onehot_groupby_aggregate(
         keys, vals + bump.astype(jnp.float32) * 0, num_groups
     )
-    return (c[0].astype(jnp.int32) & 1) + bump % 2
+    fold = (jnp.sum(s) + jnp.sum(mn) + jnp.sum(mx)).astype(jnp.int32) + jnp.sum(c).astype(jnp.int32)
+    return (fold & 1) + bump % 2
 
 
 def _chained(step_fn, keys, vals, k: int) -> float:
@@ -167,7 +173,8 @@ def _join_unique_step(lk, lv, r_sorted, r_order, rv, bump):
     l_idx, r_idx, found = unique_key_join(r_sorted, r_order, lk + bump % 2)
     out_l = jnp.where(found, jnp.take(lv, l_idx), 0.0)
     out_r = jnp.where(found, jnp.take(rv, r_idx), 0.0)
-    return (out_l[0].astype(jnp.int32) & 1) + (out_r[0].astype(jnp.int32) & 1) + bump % 2
+    fold = (jnp.sum(out_l) + jnp.sum(out_r)).astype(jnp.int32) + jnp.sum(found).astype(jnp.int32)
+    return (fold & 1) + bump % 2
 
 
 def bench_join(n, seed, iters=8):
