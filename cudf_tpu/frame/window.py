@@ -20,10 +20,17 @@ from cudf_tpu.frame.series import Series
 
 
 class Rolling:
-    def __init__(self, obj, window: int, min_periods=None, center=False):
+    def __init__(self, obj, window, min_periods=None, center=False):
         self._obj = obj
-        self._window = int(window)
-        self._min_periods = int(min_periods) if min_periods is not None else int(window)
+        if isinstance(window, str):
+            # offset window over a datetime index (pandas rolling("2h"))
+            self._time_window = window
+            self._window = None
+            self._min_periods = int(min_periods) if min_periods is not None else 1
+        else:
+            self._time_window = None
+            self._window = int(window)
+            self._min_periods = int(min_periods) if min_periods is not None else int(window)
         self._center = center
 
     def _apply(self, fn_name: str):
@@ -41,6 +48,8 @@ class Rolling:
         return DataFrame._from(Table(cols), self._obj._index)
 
     def _apply_series(self, s: Series, fn_name: str) -> Series:
+        if self._time_window is not None:
+            return self._apply_series_time(s, fn_name)
         col = s._column
         n = col.length
         w = self._window
@@ -81,6 +90,53 @@ class Rolling:
             shift = (w - 1) // 2
             rolled = jnp.concatenate([out[shift:], jnp.full((shift,), jnp.nan)])
             out = rolled
+        return Series._from(Column(dt.FLOAT64, n, data=out), s._index, s.name)
+
+    def _apply_series_time(self, s: Series, fn_name: str) -> Series:
+        """Offset windows: per-row window start via searchsorted on the
+        (sorted) datetime index, then prefix-sum differences — the range
+        window path (reference: rolling range windows)."""
+        from cudf_tpu.ops.datetime import _freq_ticks
+        from cudf_tpu.frame.resample import _parse_rule
+
+        idx_col = s._index._column
+        if not idx_col.dtype.is_timestamp:
+            raise TypeError("time-based rolling requires a datetime index")
+        mult, unit = _parse_rule(self._time_window)
+        delta = _freq_ticks(unit, idx_col.dtype.time_unit or "s") * mult
+        t = idx_col.data.astype(jnp.int64)
+        n = s._column.length
+        # first row with time > t_i - delta (index assumed monotone, like pandas)
+        from cudf_tpu.ops._utils import searchsorted_fast
+
+        lo = searchsorted_fast(t, t - jnp.int64(delta - 1), "left")
+        col = s._column
+        x = col.data.astype(jnp.float64)
+        valid = jnp.ones((n,), jnp.bool_) if col.validity is None else col.validity
+        if col.dtype.is_float:
+            valid = valid & ~jnp.isnan(col.data)
+        xz = jnp.where(valid, x, 0.0)
+        csum = jnp.concatenate([jnp.zeros((1,), jnp.float64), jnp.cumsum(xz)])
+        ccnt = jnp.concatenate([jnp.zeros((1,), jnp.float64),
+                                jnp.cumsum(valid.astype(jnp.float64))])
+        pos = jnp.arange(n, dtype=jnp.int64)
+        total = jnp.take(csum, pos + 1) - jnp.take(csum, lo)
+        cnt = jnp.take(ccnt, pos + 1) - jnp.take(ccnt, lo)
+        if fn_name == "sum":
+            out = total
+        elif fn_name == "mean":
+            out = total / jnp.maximum(cnt, 1.0)
+        elif fn_name == "count":
+            out = cnt
+        elif fn_name in ("min", "max"):
+            import pandas as pd
+
+            ps = s.to_pandas()
+            res = getattr(ps.rolling(self._time_window, min_periods=self._min_periods), fn_name)()
+            return Series(res.values, index=s._index, name=s.name)
+        else:
+            raise NotImplementedError(fn_name)
+        out = jnp.where(cnt >= self._min_periods, out, jnp.nan)
         return Series._from(Column(dt.FLOAT64, n, data=out), s._index, s.name)
 
     def sum(self):
