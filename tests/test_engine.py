@@ -143,3 +143,67 @@ def test_explain_tree(data):
     gdf, _ = data
     plan = from_dataframe(gdf).filter(col("v") > 0).explain()
     assert "Filter" in plan or "DataFrameScan" in plan
+
+
+def test_conditional_join(data):
+    gdf, pdf = data
+    from cudf_tpu.engine import ir as IRs
+    from cudf_tpu.ops.binaryop import binary_operation
+
+    small_l = IRs.DataFrameScan(gdf.head(30)._table.select(["k", "v"]))
+    small_r = IRs.DataFrameScan(
+        ct.DataFrame({"lo": [0, 2, 4], "hi": [2, 4, 8]})._table
+    )
+
+    def pred(lt, rt):
+        ge = binary_operation(lt["k"], rt["lo"], "ge")
+        lt_ = binary_operation(lt["k"], rt["hi"], "lt")
+        return binary_operation(ge, lt_, "and")
+
+    node = IRs.ConditionalJoin(small_l, small_r, pred)
+    out = LazyFrame(node).collect().to_pandas()
+    pl = pdf.head(30)[["k", "v"]]
+    pr = pd.DataFrame({"lo": [0, 2, 4], "hi": [2, 4, 8]})
+    expect = pl.merge(pr, how="cross")
+    expect = expect[(expect.k >= expect.lo) & (expect.k < expect.hi)]
+    assert len(out) == len(expect)
+
+
+def test_sink_parquet(tmp_path, data):
+    gdf, pdf = data
+    path = str(tmp_path / "sink.pq")
+    from_dataframe(gdf).filter(col("v") > 0).sink_parquet(path).collect()
+    back = ct.read_parquet(path)
+    assert len(back) == int((pdf.v > 0).sum())
+
+
+def test_rolling_ir(data):
+    gdf, pdf = data
+    from cudf_tpu.engine import ir as IRs
+
+    srt = pdf.sort_values("w").reset_index(drop=True)
+    node = IRs.Rolling(
+        IRs.DataFrameScan(ct.DataFrame.from_pandas(srt)._table),
+        "w", 4, [("v_sum", "v", "sum")],
+    )
+    out = LazyFrame(node).collect().to_pandas()
+    expect = srt["v"].rolling(4).sum()
+    np.testing.assert_allclose(out["v_sum"].to_numpy(), expect.to_numpy(),
+                               equal_nan=True, rtol=1e-9)
+
+
+def test_python_scan():
+    from cudf_tpu.engine import ir as IRs
+
+    node = IRs.PythonScan(lambda: ct.DataFrame({"x": [1, 2, 3]}))
+    out = LazyFrame(node).select((col("x") * 2).alias("y")).collect()
+    assert out["y"].tolist() == [2, 4, 6]
+
+
+def test_time_rolling_frame(rng):
+    ts = pd.date_range("2021-01-01", periods=80, freq="11min")
+    ps = pd.Series(rng.normal(size=80), index=ts)
+    g = ct.from_pandas(ps)
+    got = g.rolling("1h").sum().to_pandas()
+    expect = ps.rolling("1h").sum()
+    np.testing.assert_allclose(got.values, expect.values, equal_nan=True, rtol=1e-9)
