@@ -67,3 +67,27 @@ def test_chained_ops(proxy_pd):
     df = pd.DataFrame({"k": [1, 2, 1, 2], "v": [1.0, 2.0, 3.0, 4.0]})
     out = df[df["v"] > 1.0].groupby("k").mean()
     assert len(out) == 2
+
+
+def test_parity_sweep_no_fallbacks(proxy_pd, rng):
+    """40 common pandas operations must run on the TPU fast path."""
+    import cudf_tpu.pandas as ctp
+
+    pd = proxy_pd
+    with ctp.Profiler() as prof:
+        df = pd.DataFrame({
+            "k": rng.integers(0, 10, 200), "v": rng.normal(size=200),
+            "w": rng.integers(0, 100, 200), "s": rng.choice(list("abcd"), 200),
+        })
+        df.head(); df[["v", "w"]].sum(); df.v.mean()
+        df.groupby("k").sum(); df.groupby("k").agg({"v": "mean"})
+        df.sort_values("v"); df[df.v > 0]; df.query("v > 0 & w < 50")
+        pd.merge(df, df.head(20), on="k"); pd.concat([df, df])
+        df.k.value_counts(); df.drop_duplicates("k"); df.v.fillna(0)
+        df.w.astype("float64"); df.s.str.upper(); df.s.str.contains("a")
+        df.v.cumsum(); df.v.rank(); df.v.nlargest(5); df.k.isin([1, 2])
+        df.v.rolling(5).mean(); pd.get_dummies(df.s); pd.cut(df.v, 4)
+        df.v.shift(1); df.v.diff(); df.v.clip(-1, 1); df.v.where(df.v > 0, 0)
+        df.v.corr(df.w); df.k.nunique(); df.v.idxmax(); df.v.quantile(0.9)
+    assert prof.stats.get("slow", 0) == 0, prof.stats
+    assert prof.stats.get("fast", 0) >= 40
