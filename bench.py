@@ -52,20 +52,18 @@ def groupby_pipeline(keys, vals):
     Outputs are padded to n, aligned to run-END positions, with num_groups
     as the live count (parallel/dist.local_groupby_sum convention)."""
     n = keys.shape[0]
-    ks, vs = jax.lax.sort([keys, vals], num_keys=1, is_stable=False)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    ks, order = jax.lax.sort([keys, idx], num_keys=1, is_stable=False)
+    vs = jnp.take(vals, order)
     neq = jnp.concatenate([jnp.ones((1,), jnp.bool_), ks[1:] != ks[:-1]])
     is_end = jnp.concatenate([neq[1:], jnp.ones((1,), jnp.bool_)])
-
-    # run-local running sum: reset at run starts (associative)
-    def combine(a, b):
-        aflag, aval = a
-        bflag, bval = b
-        return aflag | bflag, jnp.where(bflag, bval, aval + bval)
-
-    _, runsum = jax.lax.associative_scan(combine, (neq, vs))
     pos = jnp.arange(n, dtype=jnp.int32)
     run_start = jax.lax.cummax(jnp.where(neq, pos, jnp.int32(0)))
-    sums = jnp.where(is_end, runsum, 0)
+    cs = jnp.cumsum(vs)
+    cs_before = jnp.where(run_start > 0,
+                          jnp.take(cs, jnp.maximum(run_start - 1, 0)),
+                          jnp.zeros((), vs.dtype))
+    sums = jnp.where(is_end, cs - cs_before, 0)
     cnts = jnp.where(is_end, pos - run_start + 1, 0).astype(jnp.int32)
     means = sums / jnp.maximum(cnts, 1).astype(vs.dtype)
     gkeys = jnp.where(is_end, ks, 0)
