@@ -41,20 +41,23 @@ N = 10_000_000
 
 
 def groupby_pipeline(keys, vals):
-    """Static-shape G1 groupby: sort -> prefix-diff run reductions, fully
-    scatter-free.  Measured primitive costs on v5 lite at 2e7: lax.sort
-    ~290-450 Mrows/s, scans 2-4 Grows/s, random gather ~133 Mrows/s,
-    scatter ~90 Mrows/s — so scatters are eliminated and the remaining
-    cost is the sort + two gathers.  (Two faster formulations — values
-    riding the sort as payload, and associative reset-scans — both hit
-    pathological multi-minute remote Mosaic/XLA compiles on this tunnel
-    and are parked for round 2 with an AOT-compile workflow.)
+    """Static-shape G1 groupby: ONE sort (values riding as int32-bitcast
+    payload) -> prefix-diff run reductions.  Scatter-free and only one
+    monotone gather.  Measured primitive costs on v5 lite at 2e7:
+    lax.sort 290-450 Mrows/s, scans 2-4 Grows/s, random gather 133 Mrows/s,
+    scatter 90 Mrows/s.  The f32-payload sort and associative reset-scan
+    formulations hit pathological multi-minute remote Mosaic compiles and
+    are parked (NEXT_STEPS.md); bitcasting the payload to int32 sidesteps
+    the f32-payload pathology (20 s compile, 101 Mrows/s at 1e7).
     Outputs are padded to n, aligned to run-END positions, with num_groups
     as the live count (parallel/dist.local_groupby_sum convention)."""
     n = keys.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    ks, order = jax.lax.sort([keys, idx], num_keys=1, is_stable=False)
-    vs = jnp.take(vals, order)
+    # values ride the sort BITCAST to int32: int payload operands compile
+    # fine where f32 payloads hit a pathological remote Mosaic compile, and
+    # this removes a ~75 ms random gather at 1e7
+    vbits = jax.lax.bitcast_convert_type(vals, jnp.int32)
+    ks, vb = jax.lax.sort([keys, vbits], num_keys=1, is_stable=False)
+    vs = jax.lax.bitcast_convert_type(vb, jnp.float32)
     neq = jnp.concatenate([jnp.ones((1,), jnp.bool_), ks[1:] != ks[:-1]])
     is_end = jnp.concatenate([neq[1:], jnp.ones((1,), jnp.bool_)])
     pos = jnp.arange(n, dtype=jnp.int32)
