@@ -157,6 +157,33 @@ class StringMethods:
     def center(self, width, fillchar=" "):
         return self._wrap(str_ops.pad(self._col, width, "both", fillchar))
 
+    def slice_replace(self, start=None, stop=None, repl=""):
+        return self._wrap(str_ops._host_map(
+            self._col, lambda s: s[: (start or 0)] + repl + s[(stop if stop is not None else len(s)):],
+            dt.STRING).with_validity(self._col.validity))
+
+    def translate(self, table):
+        return self._wrap(str_ops._host_map(
+            self._col, lambda s: s.translate(table), dt.STRING
+        ).with_validity(self._col.validity))
+
+    def removeprefix(self, prefix):
+        return self._wrap(str_ops._host_map(
+            self._col, lambda s: s.removeprefix(prefix), dt.STRING
+        ).with_validity(self._col.validity))
+
+    def removesuffix(self, suffix):
+        return self._wrap(str_ops._host_map(
+            self._col, lambda s: s.removesuffix(suffix), dt.STRING
+        ).with_validity(self._col.validity))
+
+    def wrap(self, width):
+        import textwrap
+
+        return self._wrap(str_ops._host_map(
+            self._col, lambda s: "\n".join(textwrap.wrap(s, width)), dt.STRING
+        ).with_validity(self._col.validity))
+
     def zfill(self, width):
         return self._wrap(str_ops.zfill(self._col, width))
 

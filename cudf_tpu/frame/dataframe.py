@@ -205,7 +205,10 @@ class DataFrame:
         import pandas as pd
 
         idx = None
-        if not isinstance(pdf.index, pd.RangeIndex):
+        if isinstance(pdf.index, pd.MultiIndex):
+            cols = [as_column(pdf.index.get_level_values(i)) for i in range(pdf.index.nlevels)]
+            idx = MultiIndex(cols, list(pdf.index.names))
+        elif not isinstance(pdf.index, pd.RangeIndex):
             idx = Index(as_column(pd.Series(pdf.index)), name=pdf.index.name)
         return cls._from(Table.from_pandas(pdf.reset_index(drop=True)),
                          idx if idx is not None else default_index(len(pdf)))
@@ -759,6 +762,13 @@ class DataFrame:
     def join(self, other, on=None, how="left", lsuffix="", rsuffix=""):
         from cudf_tpu.frame.join import merge as _merge
 
+        if on is not None:
+            # left column(s) against the right index (pandas join(on=...))
+            right = other.reset_index()
+            ridx_name = other._index.name if other._index.name is not None else "index"
+            out = _merge(self, right, left_on=on, right_on=ridx_name, how=how,
+                         suffixes=(lsuffix or "_x", rsuffix or "_y"))
+            return out.drop(columns=[ridx_name]) if ridx_name in out._table and ridx_name != on else out
         return _merge(self, other, how=how, left_index=True, right_index=True,
                       suffixes=(lsuffix or "_x", rsuffix or "_y"))
 
@@ -791,6 +801,23 @@ class DataFrame:
             cols[n] = child if n == column else copying.gather(c, row_map, bounds_check=False)
         idx = default_index(child.length) if ignore_index else self._index.take(row_map)
         return DataFrame._from(Table(cols), idx)
+
+    def stack(self, level=-1, dropna=True):
+        """host tier (pivot-family reshape; device melt covers the common
+        long-format path)"""
+        import pandas as pd
+
+        res = self.to_pandas().stack(level)
+        flat = res.reset_index(drop=False)
+        if isinstance(flat, pd.Series):
+            flat = flat.to_frame("0")
+        flat.columns = [str(c) for c in flat.columns]
+        return DataFrame.from_pandas(flat)
+
+    def unstack(self, level=-1):
+        from cudf_tpu.frame.reshape import unstack as _unstack
+
+        return _unstack(self, level)
 
     def transpose(self):
         num = all(c.dtype.is_numeric for c in self._table.columns)
