@@ -469,6 +469,84 @@ _AGG_DISPATCH = {
 }
 
 
+def _try_onehot_fast_path(keys: Table, values, dropna: bool):
+    """Single-pass MXU path for low-cardinality int/dictionary keys
+    (the hash-groupby arm of the dispatcher, groupby.cu:54-69).
+
+    Gated by option groupby.onehot_fast_path (default off at the frame
+    layer: the kernel accumulates in float32, which is not bit-identical
+    to pandas float64 sums).  Supports sum/count/mean/min/max/size on
+    numeric values, single key column, TPU backend only.
+    """
+    import jax
+
+    from cudf_tpu.utils.config import get_option
+
+    if not get_option("groupby.onehot_fast_path"):
+        return None
+    if jax.default_backend() == "cpu":
+        return None
+    if keys.num_columns != 1:
+        return None
+    key = keys.column(0)
+    if key.dtype.is_dictionary:
+        codes = key.data.astype(jnp.int32)
+        K = key.children[0].length
+        key_values = key.children[0]
+    elif key.dtype.is_integer:
+        import numpy as _np
+
+        lo = int(jnp.min(key.data)) if key.length else 0
+        hi = int(jnp.max(key.data)) if key.length else 0
+        K = hi - lo + 1
+        if K <= 0 or K > 4096:
+            return None
+        codes = (key.data - lo).astype(jnp.int32)
+        key_values = None
+        key_lo = lo
+    else:
+        return None
+    if K > 4096:
+        return None
+    supported = {"sum", "count", "mean", "min", "max", "size"}
+    if any(a not in supported or not (c.dtype.is_numeric or c.dtype.is_bool)
+           for _, c, a in values):
+        return None
+    from cudf_tpu.kernels.hash_aggregate import onehot_groupby_aggregate
+
+    valid = key.validity if dropna else None
+    results: Dict[str, Column] = {}
+    occupied = None
+    for name, col, agg in values:
+        v = col.validity
+        both = valid if v is None else (v if valid is None else (v & valid))
+        s, c, mn, mx = onehot_groupby_aggregate(
+            codes, col.data.astype(jnp.float32), K, valid=both
+        )
+        occupied = c if occupied is None else jnp.maximum(occupied, c)
+        if agg == "sum":
+            results[name] = Column(dt.FLOAT64, K, data=s.astype(jnp.float64))
+        elif agg in ("count", "size"):
+            results[name] = Column(dt.INT64, K, data=c)
+        elif agg == "mean":
+            results[name] = Column(dt.FLOAT64, K,
+                                   data=s.astype(jnp.float64) / jnp.maximum(c, 1))
+        elif agg == "min":
+            results[name] = Column(dt.FLOAT64, K, data=mn.astype(jnp.float64))
+        else:
+            results[name] = Column(dt.FLOAT64, K, data=mx.astype(jnp.float64))
+    # compact to observed groups
+    present = filter_indices(occupied > 0)
+    out_aggs = Table({n: copying.gather(c, present, bounds_check=False)
+                      for n, c in results.items()})
+    if key_values is not None:
+        key_col = copying.gather(key_values, present, bounds_check=False)
+    else:
+        key_col = Column(key.dtype, int(present.shape[0]),
+                         data=(present + key_lo).astype(key.dtype.storage))
+    return Table({keys.names[0]: key_col}), out_aggs
+
+
 def groupby_agg(
     keys: Table,
     values: Sequence[Tuple[str, Column, str]],
@@ -476,8 +554,13 @@ def groupby_agg(
 ) -> Tuple[Table, Table]:
     """values: list of (output_name, column, agg) — returns (group keys, aggs).
 
-    Equivalent of cudf::groupby::groupby::aggregate (groupby.cu).
+    Equivalent of cudf::groupby::groupby::aggregate (groupby.cu) including
+    its hash-vs-sort dispatch: the one-hot MXU kernel serves small-K keys
+    when enabled (see _try_onehot_fast_path).
     """
+    fast = _try_onehot_fast_path(keys, list(values), dropna)
+    if fast is not None:
+        return fast
     grouper = make_grouper(list(keys.columns), dropna=dropna)
     out_keys = group_keys_table(keys, grouper)
     out_cols = {}

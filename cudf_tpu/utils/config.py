@@ -85,3 +85,6 @@ _register("io.parquet.chunk_read_limit", 0, "bytes per parquet pass (0 = whole f
 _register("executor.target_partition_size", 1 << 28, "bytes per partition in distributed exec")
 _register("executor.broadcast_limit", 1 << 25, "max bytes for broadcast-join small side")
 _register("strings.host_fallback", True, "allow host fallback for regex/non-ASCII string ops")
+_register("groupby.onehot_fast_path", False,
+          "use the Pallas one-hot MXU kernel for low-cardinality groupby "
+          "(float32 accumulation: fast, not bit-identical to pandas f64 sums)")
