@@ -154,6 +154,16 @@ class Column:
         """Build from a python sequence; None / NaN-likes become nulls."""
         seq = list(seq)
         n = len(seq)
+        import decimal as _pydec
+
+        want = dt.dtype(dtype) if dtype is not None else None
+        if (want is not None and want.is_decimal) or (
+            want is None and any(isinstance(v, _pydec.Decimal) for v in seq)
+        ):
+            from cudf_tpu.ops.decimal import cast_to_decimal, from_decimals
+
+            col = from_decimals(seq)
+            return cast_to_decimal(col, want) if want is not None else col
         if any(isinstance(v, (list, tuple, np.ndarray)) for v in seq):
             from cudf_tpu.ops.lists import from_pylists
 
@@ -286,6 +296,20 @@ class Column:
                 validity = jnp.asarray(bits.astype(bool))
             return cls(dt.STRING, n, data=jnp.asarray(chars.copy()),
                        offsets=jnp.asarray(off.copy()), validity=validity)
+        if pa.types.is_decimal(arr.type):
+            # arrow decimal(p, s): value = unscaled * 10**-s → our scale = -s
+            vals = arr.to_pylist()
+            mask = np.array([v is not None for v in vals], dtype=bool)
+            reps = np.array(
+                [0 if v is None else int(v.scaleb(arr.type.scale)) for v in vals],
+                dtype=np.int64,
+            )
+            bits = 64 if arr.type.bit_width <= 64 else 128
+            dtype_ = dt.decimal_dtype(scale=-arr.type.scale, bits=bits)
+            validity = None if mask.all() else jnp.asarray(mask)
+            return cls(dtype_, len(vals),
+                       data=jnp.asarray(reps.astype(dtype_.storage)),
+                       validity=validity)
         # fixed-width via numpy (fill nulls so int columns don't widen to float)
         if arr.null_count > 0:
             mask = ~np.asarray(arr.is_null())
@@ -350,6 +374,10 @@ class Column:
                 else:
                     out.append(chars[offs[i]:offs[i + 1]].decode("utf-8"))
             return out
+        if self.dtype.is_decimal:
+            from cudf_tpu.ops.decimal import to_decimals
+
+            return to_decimals(self)
         arr = self.to_numpy()
         return [None if _is_null(v) else v.item() if hasattr(v, "item") else v for v in arr]
 
@@ -393,6 +421,11 @@ class Column:
             if self.validity is not None:
                 mask = ~np.asarray(self.validity)
             return pa.DictionaryArray.from_arrays(pa.array(codes, mask=mask), keys)
+        if self.dtype.is_decimal:
+            from cudf_tpu.ops.decimal import to_decimals
+
+            return pa.array(to_decimals(self),
+                            type=pa.decimal128(38, max(0, -self.dtype.scale)))
         data = np.asarray(self.data)
         if self.dtype.is_temporal:
             data = data.astype(self.dtype.to_numpy())
@@ -495,12 +528,16 @@ def _infer_dtype(values: Iterable[Any]) -> DType:
         return dt.FLOAT64  # pandas object default for empty
     import datetime as _datetime
 
+    import decimal as _pydec2
+
     has_float = False
     has_bool = False
     has_int = False
     for v in values:
         if isinstance(v, str):
             return dt.STRING
+        if isinstance(v, _pydec2.Decimal):
+            return dt.decimal_dtype(scale=int(v.as_tuple().exponent))
         tname = type(v).__name__
         if tname == "Timestamp" or isinstance(v, _datetime.datetime):
             return dt.TIMESTAMP_NS
@@ -551,6 +588,16 @@ def _coerce_value(v: Any, dtype: DType):
         return np.int64(v)
     if dtype.is_bool:
         return bool(v)
+    if dtype.is_decimal:
+        from cudf_tpu.ops.decimal import _pow10, _scalar_to_fixed
+
+        rep, s = _scalar_to_fixed(v)
+        if s >= dtype.scale:
+            return rep * _pow10(s - dtype.scale)
+        import decimal as _pydec
+
+        return int(_pydec.Decimal(rep).scaleb(s - dtype.scale)
+                   .to_integral_value(rounding=_pydec.ROUND_HALF_EVEN))
     return v
 
 

@@ -128,6 +128,9 @@ _STORAGE: dict = {
     TypeId.DICTIONARY32: np.dtype("int32"),
     TypeId.DECIMAL32: np.dtype("int32"),
     TypeId.DECIMAL64: np.dtype("int64"),
+    # no int128 in jnp: DECIMAL128 stores int64 reps (precision <= 18);
+    # a two-limb Pallas path is the full-precision extension
+    TypeId.DECIMAL128: np.dtype("int64"),
 }
 
 _TIME_UNIT: dict = {

@@ -83,6 +83,12 @@ def binary_operation(lhs: ColumnOrScalar, rhs: ColumnOrScalar, op: str) -> Colum
     if l_str or r_str:
         return _string_binary(lhs, rhs, op, n)
 
+    # fixed-point decimals: integer-rep arithmetic with scale matching
+    if (lhs_col and lhs.dtype.is_decimal) or (rhs_col and rhs.dtype.is_decimal):
+        from cudf_tpu.ops.decimal import decimal_binary_operation
+
+        return decimal_binary_operation(lhs, rhs, op)
+
     # dictionary: decode then operate
     if lhs_col and lhs.dtype.is_dictionary:
         return binary_operation(lhs.decode_dictionary(), rhs, op)

@@ -31,6 +31,14 @@ def cast(col: Column, target: dt.DType) -> Column:
         from cudf_tpu.ops.dictionary import encode
 
         return encode(cast(col, target.value_type) if target.value_type else col)
+    if target.is_decimal:
+        from cudf_tpu.ops.decimal import cast_to_decimal
+
+        return cast_to_decimal(col, target)
+    if col.dtype.is_decimal:
+        from cudf_tpu.ops.decimal import cast_from_decimal
+
+        return cast_from_decimal(col, target)
     if col.dtype.is_string:
         from cudf_tpu.ops import strings as str_ops
 

@@ -1,0 +1,121 @@
+"""Fixed-point decimal columns (reference: cudf decimal32/64/128,
+cpp/include/cudf/fixed_point/fixed_point.hpp scale semantics)."""
+
+from decimal import Decimal
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import cudf_tpu as ct
+from cudf_tpu.core.column import Column
+from cudf_tpu.core import dtypes as dt
+from cudf_tpu.ops import binaryop, unary
+from cudf_tpu.ops import decimal as dec
+
+
+def col(*vals, scale=None):
+    return dec.from_decimals([Decimal(v) if v is not None else None for v in vals],
+                             scale=scale)
+
+
+def test_from_sequence_infers_decimal():
+    c = Column.from_sequence([Decimal("1.25"), Decimal("-0.50"), None])
+    assert c.dtype.is_decimal and c.dtype.scale == -2
+    assert c.to_pylist() == [Decimal("1.25"), Decimal("-0.50"), None]
+
+
+def test_rescale_truncates_toward_zero():
+    c = col("1.29", "-1.29")
+    r = dec.rescale(c, -1)
+    assert r.to_pylist() == [Decimal("1.2"), Decimal("-1.2")]
+    f = dec.rescale(r, -3)  # finer: exact
+    assert f.to_pylist() == [Decimal("1.200"), Decimal("-1.200")]
+
+
+def test_add_sub_scale_matching():
+    a = col("1.5", "2.25", scale=-2)
+    b = col("0.125", "0.125", scale=-3)
+    s = binaryop.binary_operation(a, b, "add")
+    assert s.dtype.scale == -3
+    assert s.to_pylist() == [Decimal("1.625"), Decimal("2.375")]
+    d = binaryop.binary_operation(a, b, "sub")
+    assert d.to_pylist() == [Decimal("1.375"), Decimal("2.125")]
+
+
+def test_mul_div_scales():
+    a = col("1.5", "3.0")      # scale -1
+    b = col("0.5", "1.5")      # scale -1
+    m = binaryop.binary_operation(a, b, "mul")
+    assert m.dtype.scale == -2
+    assert m.to_pylist() == [Decimal("0.75"), Decimal("4.50")]
+    q = binaryop.binary_operation(a, b, "truediv")
+    assert q.dtype.scale == 0          # ls - rs
+    assert q.to_pylist() == [Decimal("3"), Decimal("2")]
+
+
+def test_div_by_zero_is_null():
+    a = col("1.0", "2.0")
+    b = col("0.5", "0.0")
+    q = binaryop.binary_operation(a, b, "truediv")
+    assert q.to_pylist()[1] is None
+
+
+def test_comparisons_cross_scale():
+    a = col("1.50", scale=-2)
+    b = col("1.5", scale=-1)
+    assert binaryop.binary_operation(a, b, "eq").to_pylist() == [True]
+    assert binaryop.binary_operation(a, b, "lt").to_pylist() == [False]
+
+
+def test_scalar_operand():
+    a = col("1.25", "2.00")
+    s = binaryop.binary_operation(a, Decimal("0.75"), "add")
+    assert s.to_pylist() == [Decimal("2.00"), Decimal("2.75")]
+    s2 = binaryop.binary_operation(a, 2, "mul")
+    assert s2.to_pylist() == [Decimal("2.50"), Decimal("4.00")]
+
+
+def test_null_propagation():
+    a = col("1.00", None)
+    b = col("0.50", "0.50")
+    assert binaryop.binary_operation(a, b, "add").to_pylist() == [Decimal("1.50"), None]
+
+
+def test_casts():
+    c = col("1.25", "-2.50")
+    f = unary.cast(c, dt.FLOAT64)
+    np.testing.assert_allclose(np.asarray(f.data), [1.25, -2.5])
+    i = unary.cast(c, dt.INT64)
+    assert i.to_pylist() == [1, -2]
+    back = unary.cast(f, dt.decimal_dtype(scale=-2))
+    assert back.to_pylist() == [Decimal("1.25"), Decimal("-2.50")]
+    from_int = unary.cast(Column.from_sequence([3, 4]), dt.decimal_dtype(scale=-1))
+    assert from_int.to_pylist() == [Decimal("3.0"), Decimal("4.0")]
+    s = unary.cast(c, dt.STRING)
+    assert s.to_pylist() == ["1.25", "-2.50"]
+    parsed = unary.cast(Column.from_strings(["7.125", "-0.25"]),
+                        dt.decimal_dtype(scale=-3))
+    assert parsed.to_pylist() == [Decimal("7.125"), Decimal("-0.250")]
+
+
+def test_arrow_roundtrip():
+    arr = pa.array([Decimal("12.34"), None, Decimal("-0.01")], pa.decimal128(9, 2))
+    c = Column.from_arrow(arr)
+    assert c.dtype.is_decimal and c.dtype.scale == -2
+    assert c.to_pylist() == [Decimal("12.34"), None, Decimal("-0.01")]
+    rt = c.to_arrow()
+    assert rt.to_pylist() == arr.to_pylist()
+
+
+def test_round_half_even():
+    c = col("1.25", "1.35", "-1.25")
+    r = dec.round_decimal(c, 1)
+    assert r.to_pylist() == [Decimal("1.2"), Decimal("1.4"), Decimal("-1.2")]
+
+
+def test_series_level():
+    s = ct.Series([Decimal("1.10"), Decimal("2.20")])
+    assert s.dtype.is_decimal
+    out = (s + s).to_pandas().tolist()
+    assert out == [Decimal("2.20"), Decimal("4.40")]
