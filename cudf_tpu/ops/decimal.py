@@ -218,7 +218,10 @@ def cast_from_decimal(col: Column, target: dt.DType) -> Column:
     """decimal → int/float."""
     s = col.dtype.scale
     if target.is_float:
-        data = col.data.astype(jnp.float64) * (10.0 ** s)
+        # divide for negative scales: 1999/100.0 rounds correctly where
+        # 1999*0.01 compounds the inexact 0.01 representation
+        f = col.data.astype(jnp.float64)
+        data = f / float(_pow10(-s)) if s < 0 else f * float(_pow10(s))
         return Column(target, col.length, data=data.astype(target.storage),
                       validity=col.validity)
     if target.is_integer or target.is_bool:
