@@ -737,6 +737,16 @@ class DataFrame:
                                   keep if keep is not False else "none")
         return Series._from(Column(dt.BOOL8, len(self), data=mask), self._index, None)
 
+    def hash_values(self, method="murmur3", seed=0) -> Series:
+        """Per-row hash (cudf DataFrame.hash_values; cpp/include/cudf/hashing.hpp).
+
+        ``murmur3``/``xxhash64`` run on device; md5/sha* are host checksums.
+        """
+        from cudf_tpu.ops import hashing
+
+        col = hashing.hash_values(list(self._table.columns), method, seed)
+        return Series._from(col, self._index, None)
+
     def value_counts(self, subset=None, normalize=False, sort=True, ascending=False, dropna=True):
         names = [subset] if isinstance(subset, str) else list(subset or self._table.names)
         gb = self.groupby(names, dropna=dropna, sort=not sort)

@@ -657,6 +657,13 @@ class Series:
         mask = sc.duplicated_mask([self._column], keep if keep is not False else "none")
         return Series._from(Column(dt.BOOL8, len(self), data=mask), self._index, self.name)
 
+    def hash_values(self, method="murmur3", seed=0) -> "Series":
+        """Per-element hash (cudf Series.hash_values)."""
+        from cudf_tpu.ops import hashing
+
+        col = hashing.hash_values([self._column], method, seed)
+        return Series._from(col, self._index, self.name)
+
     def value_counts(self, normalize=False, sort=True, ascending=False, dropna=True):
         from cudf_tpu.ops import groupby as gb
         from cudf_tpu.core.table import Table
