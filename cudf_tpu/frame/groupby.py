@@ -91,6 +91,13 @@ class _GroupByBase:
     def ngroups(self):
         return self.grouper.num_groups
 
+    def rolling(self, window, min_periods=None):
+        """Grouped trailing windows (cudf grouped_rolling_window,
+        cpp/src/rolling/grouped_rolling.cu)."""
+        from cudf_tpu.frame.window import RollingGroupby
+
+        return RollingGroupby(self, window, min_periods)
+
     def size(self) -> Series:
         col = gb_ops.group_size(self.grouper)
         return Series._from(col, self._result_index(), None)

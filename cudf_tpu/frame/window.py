@@ -128,12 +128,9 @@ class Rolling:
             out = total / jnp.maximum(cnt, 1.0)
         elif fn_name == "count":
             out = cnt
-        elif fn_name in ("min", "max"):
-            import pandas as pd
-
-            ps = s.to_pandas()
-            res = getattr(ps.rolling(self._time_window, min_periods=self._min_periods), fn_name)()
-            return Series(res.values, index=s._index, name=s.name)
+        elif fn_name in ("min", "max", "var", "std"):
+            data = _range_prefix_reduce(col.data, valid, lo, fn_name, self._min_periods)
+            return Series._from(Column(dt.FLOAT64, n, data=data), s._index, s.name)
         else:
             raise NotImplementedError(fn_name)
         out = jnp.where(cnt >= self._min_periods, out, jnp.nan)
@@ -234,3 +231,153 @@ class EWM:
             if s.dtype.is_numeric:
                 cols[n] = EWM(s, self._alpha, self._adjust).mean()._column
         return DataFrame._from(Table(cols), self._obj._index)
+
+
+# ---------------------------------------------------------------------------
+# Variable-start ("range") windows: each row i reduces x[lo[i] .. i].
+# Powers the time-offset windows and grouped rolling (reference:
+# cpp/src/rolling/grouped_rolling.cu range-window path) — per-row window
+# starts instead of a constant width, still O(n log n) vectorized.
+# ---------------------------------------------------------------------------
+
+def _range_prefix_reduce(x, valid, lo, fn_name, min_periods):
+    """Reduce x[lo[i]..i] for every i given per-row window starts lo.
+
+    sum/mean/count/var/std via inclusive-prefix differences (two gathers);
+    min/max via a sparse table (log-depth doubling + one stacked gather).
+    Returns float64 with NaN where count < min_periods.
+    """
+    n = x.shape[0]
+    xf = x.astype(jnp.float64)
+    valid = valid & ~jnp.isnan(xf) if x.dtype in (jnp.float32, jnp.float64) else valid
+    xz = jnp.where(valid, xf, 0.0)
+    pos = jnp.arange(n, dtype=jnp.int64)
+
+    def pref(a):
+        return jnp.concatenate([jnp.zeros((1,), jnp.float64), jnp.cumsum(a)])
+
+    ccnt = pref(valid.astype(jnp.float64))
+    cnt = jnp.take(ccnt, pos + 1) - jnp.take(ccnt, lo)
+    if fn_name in ("sum", "mean", "var", "std"):
+        csum = pref(xz)
+        total = jnp.take(csum, pos + 1) - jnp.take(csum, lo)
+        if fn_name == "sum":
+            out = total
+        elif fn_name == "mean":
+            out = total / jnp.maximum(cnt, 1.0)
+        else:
+            csq = pref(xz * xz)
+            sq = jnp.take(csq, pos + 1) - jnp.take(csq, lo)
+            m = total / jnp.maximum(cnt, 1.0)
+            var = (sq - cnt * m * m) / jnp.maximum(cnt - 1.0, 1.0)
+            var = jnp.where(cnt > 1, jnp.maximum(var, 0.0), jnp.nan)
+            out = jnp.sqrt(var) if fn_name == "std" else var
+    elif fn_name == "count":
+        out = cnt
+    elif fn_name in ("min", "max"):
+        fill = jnp.inf if fn_name == "min" else -jnp.inf
+        fn = jnp.minimum if fn_name == "min" else jnp.maximum
+        base = jnp.where(valid, xf, fill)
+        levels = [base]
+        span = 1
+        while span < n:
+            prev = levels[-1]
+            shifted = jnp.concatenate(
+                [jnp.full((min(span, n),), fill), prev[:max(n - span, 0)]])
+            levels.append(fn(prev, shifted))
+            span *= 2
+        sp = jnp.stack(levels)  # [L, n]; level j = reduce over (i-2^j, i]
+        length = (pos - lo + 1).astype(jnp.float64)
+        j = jnp.floor(jnp.log2(jnp.maximum(length, 1.0))).astype(jnp.int64)
+        j = jnp.clip(j, 0, len(levels) - 1)
+        flat = sp.reshape(-1)
+        a = jnp.take(flat, j * n + pos)
+        b_pos = lo + (jnp.int64(1) << j) - 1
+        b = jnp.take(flat, j * n + jnp.clip(b_pos, 0, n - 1))
+        out = fn(a, b)
+        out = jnp.where(jnp.isfinite(out), out, jnp.nan)
+    else:
+        raise NotImplementedError(fn_name)
+    return jnp.where(cnt >= min_periods, out, jnp.nan)
+
+
+class RollingGroupby:
+    """df.groupby(keys).rolling(window) — grouped trailing windows.
+
+    Windows never cross group boundaries: rows are stably ordered by
+    group, each row's window start is clamped to its group's first row,
+    then everything lowers to `_range_prefix_reduce`.  Matches pandas'
+    result shape: MultiIndex (keys..., original row label), group-major.
+    """
+
+    def __init__(self, gb, window: int, min_periods: Optional[int] = None):
+        self._gb = gb
+        self._window = int(window)
+        self._min_periods = int(min_periods) if min_periods is not None else int(window)
+
+    def _reduce(self, fn_name: str):
+        from cudf_tpu.core.table import Table
+        from cudf_tpu.frame.dataframe import DataFrame
+        from cudf_tpu.frame.index import Index, MultiIndex
+        from cudf_tpu.ops import copying
+        from cudf_tpu.ops.row_ops import equality_keys, lex_sort_indices
+
+        gb = self._gb
+        keys = gb._key_cols
+        obj = gb._obj
+        order = lex_sort_indices(keys, stable=True)
+        n = keys[0].length
+        pos = jnp.arange(n, dtype=jnp.int64)
+        sorted_keys = [copying.gather(k, order, bounds_check=False) for k in keys]
+        new_seg = jnp.zeros((n,), jnp.bool_)
+        for k in sorted_keys:
+            for opnd in equality_keys(k):
+                new_seg = new_seg | jnp.concatenate(
+                    [jnp.ones((1,), jnp.bool_), opnd[1:] != opnd[:-1]])
+        seg_start = jax.lax.cummax(jnp.where(new_seg, pos, 0))
+        lo = jnp.maximum(pos - self._window + 1, seg_start)
+
+        if isinstance(obj, Series):
+            value_names = [obj.name or "value"]
+            value_cols = [obj._column]
+        else:
+            value_names = [nm for nm in obj._table.names
+                           if nm not in gb._key_names and obj._table[nm].dtype.is_numeric]
+            value_cols = [obj._table[nm] for nm in value_names]
+        out_cols = {}
+        for nm, c in zip(value_names, value_cols):
+            cs = copying.gather(c, order, bounds_check=False)
+            valid = (cs.validity if cs.validity is not None
+                     else jnp.ones((n,), jnp.bool_))
+            data = _range_prefix_reduce(cs.data, valid, lo, fn_name, self._min_periods)
+            out_cols[nm] = Column(dt.FLOAT64, n, data=data)
+
+        orig_idx = obj._index.take(order)
+        idx = MultiIndex(
+            [*sorted_keys, orig_idx._column],
+            [*gb._key_names, getattr(obj._index, "name", None)],
+        )
+        if isinstance(obj, Series):
+            return Series._from(out_cols[value_names[0]], idx, obj.name)
+        return DataFrame._from(Table(out_cols), idx)
+
+    def sum(self):
+        return self._reduce("sum")
+
+    def mean(self):
+        return self._reduce("mean")
+
+    def min(self):
+        return self._reduce("min")
+
+    def max(self):
+        return self._reduce("max")
+
+    def count(self):
+        return self._reduce("count")
+
+    def var(self):
+        return self._reduce("var")
+
+    def std(self):
+        return self._reduce("std")

@@ -115,3 +115,40 @@ def test_bench_pipelines_cpu(rng):
     expect_n = len(pd.merge(pd.DataFrame({"k": np.asarray(lk)}),
                             pd.DataFrame({"k": np.asarray(rk)}), on="k"))
     assert int(np.asarray(ov).sum()) == expect_n
+
+
+def test_grouped_rolling_vs_pandas(rng):
+    pdf = pd.DataFrame({"k": rng.integers(0, 5, 60),
+                        "v": rng.normal(size=60),
+                        "w": rng.normal(size=60)})
+    gdf = ct.DataFrame.from_pandas(pdf)
+    for agg in ("sum", "mean", "min", "max", "count", "std"):
+        got = getattr(gdf.groupby("k").rolling(3), agg)().to_pandas()
+        expect = getattr(pdf.groupby("k").rolling(3), agg)()
+        np.testing.assert_allclose(
+            got[["v", "w"]].fillna(-9e9).to_numpy(),
+            expect[["v", "w"]].fillna(-9e9).to_numpy(), rtol=1e-9, atol=1e-12)
+        # MultiIndex levels match
+        assert got.index.get_level_values(0).tolist() == \
+            expect.index.get_level_values(0).tolist()
+        assert got.index.get_level_values(1).tolist() == \
+            expect.index.get_level_values(1).tolist()
+
+
+def test_grouped_rolling_min_periods(rng):
+    pdf = pd.DataFrame({"k": rng.integers(0, 3, 30), "v": rng.normal(size=30)})
+    gdf = ct.DataFrame.from_pandas(pdf)
+    got = gdf.groupby("k").rolling(4, min_periods=1).sum().to_pandas()
+    expect = pdf.groupby("k").rolling(4, min_periods=1).sum()
+    np.testing.assert_allclose(got["v"].to_numpy(), expect["v"].to_numpy(), rtol=1e-9)
+
+
+def test_time_rolling_minmax_device(rng):
+    ts = pd.date_range("2023-01-01", periods=100, freq="7min")
+    pdf = pd.DataFrame({"v": rng.normal(size=100)}, index=ts)
+    gdf = ct.DataFrame.from_pandas(pdf)
+    for agg in ("min", "max", "std"):
+        got = getattr(gdf["v"].rolling("30min"), agg)().to_pandas()
+        expect = getattr(pdf["v"].rolling("30min"), agg)()
+        np.testing.assert_allclose(got.fillna(-9e9).to_numpy(),
+                                   expect.fillna(-9e9).to_numpy(), rtol=1e-9)
