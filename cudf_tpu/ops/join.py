@@ -284,3 +284,74 @@ def merge_sorted(key_cols_list: Sequence[Sequence[Column]],
     cols = [copying.concatenate([t[i] for t in key_cols_list])
             for i in range(len(key_cols_list[0]))]
     return lex_sort_indices(cols, ascending=ascending, na_position=na_position)
+
+
+# ---------------------------------------------------------------------------
+# Mixed joins: hash/sort equality join narrowed by an arbitrary predicate
+# (reference: cudf::mixed_inner_join family, cpp/src/join/mixed_join.cu).
+# The equality keys drive the sort-merge machinery; the conditional part is
+# a vectorized predicate over the candidate pairs — no nested loop.
+# ---------------------------------------------------------------------------
+
+def _mixed_pairs(left_keys, right_keys, predicate):
+    li, ri = inner_join(left_keys, right_keys)
+    if li.shape[0] == 0:
+        return li, ri, jnp.zeros((0,), jnp.bool_)
+    m = predicate(li, ri)
+    if isinstance(m, Column):
+        mb = m.data.astype(jnp.bool_)
+        if m.validity is not None:
+            mb = mb & m.validity
+        m = mb
+    return li, ri, m.astype(jnp.bool_)
+
+
+def mixed_inner_join(left_keys, right_keys, predicate):
+    """(left map, right map) for equality-join pairs where
+    ``predicate(li, ri) -> bool[k]`` also holds."""
+    from cudf_tpu.ops.stream_compaction import filter_indices
+
+    li, ri, m = _mixed_pairs(left_keys, right_keys, predicate)
+    keep = filter_indices(m)
+    return jnp.take(li, keep), jnp.take(ri, keep)
+
+
+def mixed_left_join(left_keys, right_keys, predicate):
+    """Left rows with no surviving pair appear once with right map -1."""
+    from cudf_tpu.ops.stream_compaction import filter_indices
+
+    nl = left_keys[0].length
+    li, ri, m = _mixed_pairs(left_keys, right_keys, predicate)
+    matched = jnp.zeros((nl,), jnp.bool_)
+    if li.shape[0]:
+        matched = matched.at[jnp.where(m, li, nl)].set(True, mode="drop")
+    keep = filter_indices(m)
+    li_k, ri_k = jnp.take(li, keep), jnp.take(ri, keep)
+    unmatched = filter_indices(~matched)
+    return (jnp.concatenate([li_k, unmatched]),
+            jnp.concatenate([ri_k, jnp.full(unmatched.shape, -1, jnp.int64)]))
+
+
+def mixed_semi_join(left_keys, right_keys, predicate):
+    """Indices of left rows with at least one surviving pair
+    (cudf::mixed_left_semi_join)."""
+    from cudf_tpu.ops.stream_compaction import filter_indices
+
+    nl = left_keys[0].length
+    li, ri, m = _mixed_pairs(left_keys, right_keys, predicate)
+    matched = jnp.zeros((nl,), jnp.bool_)
+    if li.shape[0]:
+        matched = matched.at[jnp.where(m, li, nl)].set(True, mode="drop")
+    return filter_indices(matched)
+
+
+def mixed_anti_join(left_keys, right_keys, predicate):
+    """Indices of left rows with no surviving pair (cudf::mixed_left_anti_join)."""
+    from cudf_tpu.ops.stream_compaction import filter_indices
+
+    nl = left_keys[0].length
+    li, ri, m = _mixed_pairs(left_keys, right_keys, predicate)
+    matched = jnp.zeros((nl,), jnp.bool_)
+    if li.shape[0]:
+        matched = matched.at[jnp.where(m, li, nl)].set(True, mode="drop")
+    return filter_indices(~matched)

@@ -199,3 +199,45 @@ def test_merge_sorted():
     order = merge_sorted([[a], [b]])
     merged = copying.gather(copying.concatenate([a, b]), order, bounds_check=False)
     assert merged.to_pylist() == [1, 2, 3, 4, 9, 10]
+
+
+# ------------------------- mixed joins -------------------------
+
+def _pred_lt(lvals, rvals):
+    import jax.numpy as jnp
+    from cudf_tpu.ops import join as join_ops
+
+    def pred(li, ri):
+        return jnp.take(lvals, li) < jnp.take(rvals, ri)
+    return pred
+
+
+def test_mixed_inner_join():
+    import jax.numpy as jnp
+    from cudf_tpu.ops import join as join_ops
+
+    lk = Column.from_sequence([1, 1, 2, 3])
+    rk = Column.from_sequence([1, 2, 2, 4])
+    lv = jnp.asarray([10.0, 99.0, 5.0, 0.0])
+    rv = jnp.asarray([50.0, 6.0, 4.0, 1.0])
+    li, ri = join_ops.mixed_inner_join([lk], [rk], _pred_lt(lv, rv))
+    pairs = sorted(zip(np.asarray(li).tolist(), np.asarray(ri).tolist()))
+    # equality pairs: (0,0),(1,0),(2,1),(2,2); predicate lv<rv keeps (0,0),(2,1)
+    assert pairs == [(0, 0), (2, 1)]
+
+
+def test_mixed_left_and_semi_anti():
+    import jax.numpy as jnp
+    from cudf_tpu.ops import join as join_ops
+
+    lk = Column.from_sequence([1, 1, 2, 3])
+    rk = Column.from_sequence([1, 2, 2, 4])
+    lv = jnp.asarray([10.0, 99.0, 5.0, 0.0])
+    rv = jnp.asarray([50.0, 6.0, 4.0, 1.0])
+    pred = _pred_lt(lv, rv)
+    li, ri = join_ops.mixed_left_join([lk], [rk], pred)
+    got = sorted(zip(np.asarray(li).tolist(), np.asarray(ri).tolist()))
+    assert got == [(0, 0), (1, -1), (2, 1), (3, -1)]
+    semi = sorted(np.asarray(join_ops.mixed_semi_join([lk], [rk], pred)).tolist())
+    anti = sorted(np.asarray(join_ops.mixed_anti_join([lk], [rk], pred)).tolist())
+    assert semi == [0, 2] and anti == [1, 3]
