@@ -376,7 +376,21 @@ def count_literal(col: Column, pat: str) -> Column:
 # regex (host fallback tier)
 # ----------------------------------------------------------------------
 
+def _re_predicate(col: Column, pat: str, flags: int, mode: str) -> Optional[Column]:
+    """Device DFA path (regex_engine.py); None if the pattern needs host."""
+    from cudf_tpu.ops import regex_engine as rex
+
+    try:
+        hit = rex.run_predicate(col, pat, flags, mode)
+    except rex.Unsupported:
+        return None
+    return Column(dt.BOOL8, col.length, data=hit, validity=col.validity)
+
+
 def contains_re(col: Column, pat: str, flags: int = 0) -> Column:
+    out = _re_predicate(col, pat, flags, "search")
+    if out is not None:
+        return out
     import re
 
     rx = re.compile(pat, flags)
@@ -384,6 +398,9 @@ def contains_re(col: Column, pat: str, flags: int = 0) -> Column:
 
 
 def match_re(col: Column, pat: str, flags: int = 0) -> Column:
+    out = _re_predicate(col, pat, flags, "match")
+    if out is not None:
+        return out
     import re
 
     rx = re.compile(pat, flags)
@@ -391,6 +408,9 @@ def match_re(col: Column, pat: str, flags: int = 0) -> Column:
 
 
 def fullmatch_re(col: Column, pat: str, flags: int = 0) -> Column:
+    out = _re_predicate(col, pat, flags, "fullmatch")
+    if out is not None:
+        return out
     import re
 
     rx = re.compile(pat, flags)
