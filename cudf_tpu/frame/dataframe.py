@@ -884,12 +884,32 @@ class DataFrame:
             if all(np.isscalar(v) or v is None for v in out.values()):
                 return Series(list(out.values()), index=Index(list(out.keys())))
             return DataFrame(out)
-        if kw.pop("engine", None) == "jax":
+        if kw.get("engine", None) == "jax":
             # rowwise UDF on device: vmap over a dict of column buffers —
             # the TPU-native replacement for numba-CUDA masked UDFs
             # (reference: core/udf/, Series.apply/DataFrame.apply JIT engine)
             import jax as _jax
 
+            kw.pop("engine")
+            if kw.pop("masked", False):
+                # null-aware UDF: each field is a Masked (value, valid) pair
+                # (reference: core/udf/masked_typing.py semantics)
+                from cudf_tpu.utils.masked import Masked
+
+                arrays = {}
+                for n in self._table.names:
+                    c = self._table[n]
+                    if not (c.dtype.is_numeric or c.dtype.is_bool):
+                        continue
+                    v = c.validity if c.validity is not None else jnp.ones(
+                        (c.length,), jnp.bool_)
+                    arrays[n] = Masked(c.data, v)
+                out = _jax.vmap(func)(arrays)
+                if isinstance(out, Masked):
+                    col = Column(dt.dtype(np.dtype(out.value.dtype)), len(self),
+                                 data=out.value, validity=out.valid)
+                    return Series._from(col, self._index, None)
+                return Series._from(Column.from_jnp(out), self._index, None)
             arrays = {n: self._table[n].data for n in self._table.names
                       if self._table[n].dtype.is_numeric or self._table[n].dtype.is_bool}
             out = _jax.vmap(func)(arrays)

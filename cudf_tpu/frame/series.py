@@ -770,12 +770,26 @@ class Series:
         vals = self.to_pylist()
         return Series([None if v is None else arg(v) for v in vals], index=self._index, name=self.name)
 
-    def apply(self, func, convert_dtype=True) -> "Series":
+    def apply(self, func, convert_dtype=True, masked=False) -> "Series":
         """Elementwise UDF.  jnp-traceable funcs run on device via vmap
-        (replaces numba-CUDA UDF JIT, core/udf/); others fall back to host."""
-        try:
-            import jax
+        (replaces numba-CUDA UDF JIT, core/udf/); others fall back to host.
+        ``masked=True`` hands the UDF a Masked (value, valid) pair for
+        null-aware logic (core/udf/masked_typing.py semantics)."""
+        import jax
 
+        if masked:
+            from cudf_tpu.utils.masked import Masked
+
+            v = (self._column.validity if self._column.validity is not None
+                 else jnp.ones((len(self),), jnp.bool_))
+            out = jax.vmap(func)(Masked(self._column.data, v))
+            if isinstance(out, Masked):
+                col = Column(dt.dtype(np.dtype(out.value.dtype)), len(self),
+                             data=out.value, validity=out.valid)
+            else:
+                col = Column.from_jnp(out)
+            return Series._from(col, self._index, self.name)
+        try:
             out = jax.vmap(func)(self._column.data)
             col = Column.from_jnp(out, validity=self._column.validity)
             return Series._from(col, self._index, self.name)

@@ -152,3 +152,25 @@ def test_time_rolling_minmax_device(rng):
         expect = getattr(pdf["v"].rolling("30min"), agg)()
         np.testing.assert_allclose(got.fillna(-9e9).to_numpy(),
                                    expect.fillna(-9e9).to_numpy(), rtol=1e-9)
+
+
+def test_masked_udf_dataframe():
+    from cudf_tpu.utils import masked as mk
+
+    df = ct.DataFrame({"a": [1.0, None, 3.0], "b": [10.0, 20.0, None]})
+    out = df.apply(lambda r: r["a"] + r["b"], axis=1, engine="jax", masked=True)
+    assert out.to_pandas().fillna(-1).tolist() == [11.0, -1.0, -1.0]
+    # fillna inside the UDF clears nullness
+    out2 = df.apply(lambda r: r["a"].fillna(0.0) + r["b"].fillna(0.0),
+                    axis=1, engine="jax", masked=True)
+    assert out2.to_pandas().tolist() == [11.0, 20.0, 3.0]
+    # masked.where select
+    out3 = df.apply(lambda r: mk.where(r["a"] > 2.0, r["a"], r["b"]),
+                    axis=1, engine="jax", masked=True)
+    assert out3.to_pandas().fillna(-1).tolist() == [10.0, -1.0, 3.0]
+
+
+def test_masked_udf_series():
+    s = ct.Series([1.0, None, -3.0])
+    out = s.apply(lambda m: abs(m) * 2, masked=True)
+    assert out.to_pandas().fillna(-1).tolist() == [2.0, -1.0, 6.0]
