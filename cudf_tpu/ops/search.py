@@ -21,10 +21,53 @@ from cudf_tpu.core.column import Column
 from cudf_tpu.ops.row_ops import equality_keys, lex_sort_indices, order_keys
 
 
+def _aligned_order_ops(haystack: Column, needles: Column):
+    """Order-key operands for both columns with identical operand layout.
+
+    Aligns three sources of shape mismatch: dictionary encoding, a
+    null-flag operand present on one side only, and string chunk counts
+    that differ because max lengths differ (missing chunks pad with the
+    intra-column empty-chunk value, int64 min, keeping byte order exact).
+    """
+    h, n = haystack, needles
+    if h.dtype != n.dtype:
+        if h.dtype.is_dictionary:
+            h = h.decode_dictionary()
+        if n.dtype.is_dictionary:
+            n = n.decode_dictionary()
+        if h.dtype != n.dtype:
+            from cudf_tpu.core import dtypes as dt
+            from cudf_tpu.ops.unary import cast
+
+            target = dt.common_dtype(h.dtype, n.dtype)
+            h, n = cast(h, target), cast(n, target)
+    h_null = h.validity is not None
+    n_null = n.validity is not None
+    if h_null != n_null:
+        if not h_null:
+            h = h.with_validity(jnp.ones((h.length,), jnp.bool_))
+        else:
+            n = n.with_validity(jnp.ones((n.length,), jnp.bool_))
+    h_ops = order_keys(h, True, "last")
+    n_ops = order_keys(n, True, "last")
+    if len(h_ops) != len(n_ops):
+        tgt = max(len(h_ops), len(n_ops))
+        pad_val = jnp.int64(-(2 ** 63))
+
+        def pad(ops, length):
+            head, ln = list(ops[:-1]), ops[-1]
+            while len(head) + 1 < tgt:
+                head.append(jnp.full((length,), pad_val))
+            return [*head, ln]
+
+        h_ops = pad(h_ops, h.length)
+        n_ops = pad(n_ops, n.length)
+    return h_ops, n_ops
+
+
 def lower_bound(haystack: Column, needles: Column, side: str = "left") -> jnp.ndarray:
     """Insertion points of needles into sorted haystack (cudf::lower_bound)."""
-    h_ops = order_keys(haystack, True, "last")
-    n_ops = order_keys(needles.with_validity(needles.validity), True, "last")
+    h_ops, n_ops = _aligned_order_ops(haystack, needles)
     if len(h_ops) == 1 and len(n_ops) == 1:
         from cudf_tpu.ops._utils import searchsorted_fast
 

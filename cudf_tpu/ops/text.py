@@ -204,3 +204,147 @@ def porter_stemmer_measure(col: Column) -> Column:
         return len(re.findall("VC", seq.replace("VV", "V").replace("CC", "C")))
 
     return _host_map(col, measure, dt.INT32).with_validity(col.validity)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary / subword tokenizers (reference: nvtext subword_tokenize.cu,
+# byte_pair_encoding.cu, vocabulary tokenizer tokenize.cu:vocabulary)
+# ---------------------------------------------------------------------------
+
+def tokenize_with_vocabulary(col: Column, vocab: Column,
+                             delimiter: Optional[str] = None,
+                             default_id: int = -1) -> Column:
+    """LIST<int32> of per-row token ids looked up in `vocab`
+    (nvtext::tokenize_with_vocabulary).  The id lookup runs on device:
+    tokens and vocabulary are compared as packed string-chunk key operands
+    through one sorted search — no host hash table."""
+    from cudf_tpu.ops.lists import make_list_column
+    from cudf_tpu.ops.row_ops import order_keys
+    from cudf_tpu.ops._utils import searchsorted_fast
+    from cudf_tpu.ops.row_ops import rows_equal_at
+
+    vals = col.to_pylist()
+    toks: List[str] = []
+    counts: List[int] = []
+    for v in vals:
+        t = [] if v is None else [t for t in v.split(delimiter) if t != ""]
+        counts.append(len(t))
+        toks.extend(t)
+    tok_col = Column.from_strings(toks)
+    # device lookup: lexicographic order keys for vocab + tokens, then a
+    # sorted binary search per packed key (ties broken by chunk equality)
+    from cudf_tpu.ops import sort as sort_ops
+    from cudf_tpu.ops import copying as cp
+
+    order = sort_ops.sorted_order([vocab], [True], "last")
+    sorted_vocab = cp.gather(vocab, order, bounds_check=False)
+    lo = _vocab_lookup(sorted_vocab, tok_col)
+    ids = jnp.where(lo >= 0, jnp.take(order, jnp.maximum(lo, 0)), default_id)
+    offsets = np.zeros(len(vals) + 1, np.int64)
+    np.cumsum(np.asarray(counts), out=offsets[1:])
+    validity = jnp.asarray(np.asarray([v is not None for v in vals])) if any(
+        v is None for v in vals) else None
+    ids_col = Column(dt.INT32, len(toks), data=ids.astype(jnp.int32))
+    return make_list_column(jnp.asarray(offsets), ids_col, validity)
+
+
+def _vocab_lookup(sorted_vocab: Column, needles: Column) -> jnp.ndarray:
+    """int64[n] position of each needle in sorted vocab, -1 if absent."""
+    from cudf_tpu.ops.join import _align_pair
+    from cudf_tpu.ops import search as search_ops
+
+    lo = search_ops.lower_bound(sorted_vocab, needles)
+    nv = sorted_vocab.length
+    safe = jnp.clip(lo, 0, max(nv - 1, 0))
+    eq = jnp.ones(needles.length, jnp.bool_)
+    hk_ops, nk_ops = _align_pair(sorted_vocab, needles)
+    for hk, nk in zip(hk_ops, nk_ops):
+        eq = eq & (jnp.take(hk, safe) == nk)
+    return jnp.where((lo < nv) & eq, lo, -1)
+
+
+def wordpiece_tokenize(col: Column, vocab, max_tokens: int = 128,
+                       unk_token: str = "[UNK]") -> Column:
+    """LIST<int32> BERT wordpiece ids: greedy longest-match-first with
+    ``##`` continuation prefixes (nvtext::subword_tokenize semantics).
+
+    Host tier: the greedy per-token loop is data-dependent and tiny
+    relative to the model compute it feeds; the reference's GPU hash-table
+    design (subword_tokenize.cu) targets throughputs the downstream TPU
+    embedding lookup doesn't need from a preprocessing step.
+    """
+    from cudf_tpu.ops.lists import from_pylists
+
+    if isinstance(vocab, Column):
+        vocab = {w: i for i, w in enumerate(vocab.to_pylist())}
+    unk = vocab.get(unk_token, -1)
+    max_word = max((len(w) for w in vocab), default=1)
+
+    def encode_word(w: str) -> List[int]:
+        out, start = [], 0
+        while start < len(w):
+            end = min(len(w), start + max_word)
+            cur = None
+            while end > start:
+                piece = w[start:end]
+                if start > 0:
+                    piece = "##" + piece
+                if piece in vocab:
+                    cur = vocab[piece]
+                    break
+                end -= 1
+            if cur is None:
+                return [unk]
+            out.append(cur)
+            start = end
+        return out
+
+    rows = []
+    for v in col.to_pylist():
+        if v is None:
+            rows.append(None)
+            continue
+        ids: List[int] = []
+        for w in v.split():
+            ids.extend(encode_word(w))
+            if len(ids) >= max_tokens:
+                break
+        rows.append(ids[:max_tokens])
+    return from_pylists(rows, dtype=dt.INT32)
+
+
+def byte_pair_encoding(col: Column, merge_pairs, separator: str = " ") -> Column:
+    """Apply BPE merges per whitespace token, joining pieces with
+    `separator` (nvtext::byte_pair_encoding, byte_pair_encoding.cu).
+
+    Host tier — the merge loop is sequential per token by construction.
+    """
+    if isinstance(merge_pairs, Column):
+        pairs = [tuple(p.split(" ", 1)) for p in merge_pairs.to_pylist()]
+    else:
+        pairs = [tuple(p) for p in merge_pairs]
+    rank = {p: i for i, p in enumerate(pairs)}
+
+    def encode(word: str) -> List[str]:
+        parts = list(word)
+        while len(parts) > 1:
+            best, bi = None, -1
+            for i in range(len(parts) - 1):
+                r = rank.get((parts[i], parts[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            parts[bi:bi + 2] = [parts[bi] + parts[bi + 1]]
+        return parts
+
+    out = []
+    for v in col.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        toks = []
+        for w in v.split():
+            toks.extend(encode(w))
+        out.append(separator.join(toks))
+    return Column.from_strings(out)

@@ -241,3 +241,21 @@ def test_mixed_left_and_semi_anti():
     semi = sorted(np.asarray(join_ops.mixed_semi_join([lk], [rk], pred)).tolist())
     anti = sorted(np.asarray(join_ops.mixed_anti_join([lk], [rk], pred)).tolist())
     assert semi == [0, 2] and anti == [1, 3]
+
+
+def test_lower_bound_string_chunk_mismatch():
+    # haystack max len 2 (1 chunk), needles max len 20 (3 chunks):
+    # operand layouts must be aligned, not zip-truncated
+    hay = Column.from_strings(["aa", "bb", "zz"])
+    needles = Column.from_strings(["bb", "bbbbbbbbbbbbbbbbbbbb", "a", "zz"])
+    lo = np.asarray(search_ops.lower_bound(hay, needles)).tolist()
+    assert lo == [1, 2, 0, 2]
+    got = np.asarray(search_ops.contains(hay, needles)).tolist()
+    assert got == [True, False, False, True]
+
+
+def test_lower_bound_null_flag_mismatch():
+    hay = Column.from_sequence([1, 3, 5])          # no nulls
+    needles = Column.from_sequence([0, 3, None])   # has nulls
+    lo = np.asarray(search_ops.lower_bound(hay, needles)).tolist()
+    assert lo[:2] == [0, 1] and lo[2] == 3  # null sorts last

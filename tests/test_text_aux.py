@@ -83,3 +83,32 @@ def test_config_env_and_context():
         assert get_option("display.max_rows") == 5
     with pytest.raises(ValueError):
         set_option("display.max_rows", -1)
+
+
+def test_tokenize_with_vocabulary():
+    from cudf_tpu.ops import text as text_ops
+
+    c = Column.from_strings(["the quick fox", "fox jumps", None, "unknown words"])
+    vocab = Column.from_strings(["fox", "jumps", "quick", "the"])
+    out = text_ops.tokenize_with_vocabulary(c, vocab)
+    assert out.to_pylist() == [[3, 2, 0], [0, 1], None, [-1, -1]]
+
+
+def test_wordpiece_tokenize():
+    from cudf_tpu.ops import text as text_ops
+
+    vocab = {"[UNK]": 0, "un": 1, "##aff": 2, "##able": 3, "hello": 4, "##b": 5}
+    c = Column.from_strings(["hello unaffable", "xyz", None])
+    out = text_ops.wordpiece_tokenize(c, vocab)
+    assert out.to_pylist() == [[4, 1, 2, 3], [0], None]
+
+
+def test_byte_pair_encoding():
+    from cudf_tpu.ops import text as text_ops
+
+    merges = [("h", "e"), ("l", "l"), ("he", "ll"), ("hell", "o")]
+    c = Column.from_strings(["hello hell", None])
+    out = text_ops.byte_pair_encoding(c, merges)
+    assert out.to_pylist() == ["hello hell", None]
+    out2 = text_ops.byte_pair_encoding(Column.from_strings(["help"]), merges)
+    assert out2.to_pylist() == ["he l p"]
