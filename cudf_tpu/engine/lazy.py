@@ -104,11 +104,16 @@ class LazyFrame:
         node = self.optimized() if optimized else self._node
         return node.explain()
 
-    def collect(self, mesh=None, no_optimization: bool = False):
+    def collect(self, mesh=None, no_optimization: bool = False, streaming=False):
+        """mesh: int partition count, a jax Mesh, or "auto" (HBM-budget
+        pass governance picks the partition count); streaming=True is
+        shorthand for mesh="auto"."""
         from cudf_tpu.frame.dataframe import DataFrame
         from cudf_tpu.frame.index import default_index
 
         node = self._node if no_optimization else self.optimized()
+        if streaming and mesh is None:
+            mesh = "auto"
         if mesh is not None:
             from cudf_tpu.engine.streaming import evaluate_streaming
 

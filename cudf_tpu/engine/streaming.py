@@ -29,12 +29,43 @@ from cudf_tpu.utils.config import get_option
 _POINTWISE = (IRs.Select, IRs.HStack, IRs.Filter, IRs.Projection)
 
 
-def evaluate_streaming(node: IRs.IR, mesh_or_nparts) -> Table:
-    n_parts = (
-        mesh_or_nparts
-        if isinstance(mesh_or_nparts, int)
-        else int(np.prod(list(mesh_or_nparts.shape.values())))
-    )
+def estimate_source_bytes(node: IRs.IR) -> int:
+    """Rough working-set estimate for pass governance: bytes of the plan's
+    sources (in-memory tables by nbytes, file scans by on-disk size)."""
+    import os
+
+    if isinstance(node, IRs.DataFrameScan):
+        return node.do_evaluate().nbytes
+    if isinstance(node, IRs.Scan):
+        total = 0
+        for p in node.paths:
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                total += 1 << 24
+        return total
+    kids = getattr(node, "children", ())
+    return sum(estimate_source_bytes(c) for c in kids) if kids else 0
+
+
+def choose_partitions(node: IRs.IR) -> int:
+    """HBM-budget pass governance: pick partition count so each pass's
+    working set stays under executor.target_partition_size (the analogue
+    of cudf-polars' target_partition_size / out-of-core chunking)."""
+    budget = int(get_option("executor.target_partition_size"))
+    est = estimate_source_bytes(node)
+    return max(1, min(-(-est // max(budget, 1)), 512))
+
+
+def evaluate_streaming(node: IRs.IR, mesh_or_nparts=None) -> Table:
+    if mesh_or_nparts is None or mesh_or_nparts == "auto":
+        n_parts = choose_partitions(node)
+    else:
+        n_parts = (
+            mesh_or_nparts
+            if isinstance(mesh_or_nparts, int)
+            else int(np.prod(list(mesh_or_nparts.shape.values())))
+        )
     parts = _eval(node, n_parts)
     from cudf_tpu.ops.copying import concatenate_tables
 

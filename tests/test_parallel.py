@@ -132,3 +132,35 @@ def test_broadcast_join(rng):
         on="k",
     )
     assert got_n == len(expect)
+
+
+def test_bootstrap_single_process():
+    from cudf_tpu.parallel import bootstrap
+
+    bootstrap.initialize()  # single-process: no-op
+    info = bootstrap.process_info()
+    assert info["process_count"] == 1 and info["global_devices"] >= 1
+    mesh = bootstrap.global_mesh()
+    assert mesh.devices.size == len(__import__("jax").devices())
+    sl = bootstrap.host_local_slice(100)
+    assert sl == slice(0, 100)
+
+
+def test_streaming_auto_partitions():
+    import cudf_tpu as ct
+    from cudf_tpu.engine.streaming import choose_partitions, estimate_source_bytes
+    from cudf_tpu.utils.config import option_context
+
+    from cudf_tpu.engine.lazy import LazyFrame
+    from cudf_tpu.engine.expr import col
+
+    df = ct.DataFrame({"k": list(range(1000)), "v": [1.0] * 1000})
+    lf = (LazyFrame.from_dataframe(df).group_by("k")
+          .agg(col("v").sum().alias("v")))
+    est = estimate_source_bytes(lf.optimized())
+    assert est > 0
+    with option_context("executor.target_partition_size", 4096):
+        n = choose_partitions(lf.optimized())
+        assert n > 1
+    out = lf.collect(streaming=True).to_pandas()
+    assert len(out) == 1000
