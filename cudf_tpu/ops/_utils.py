@@ -149,3 +149,31 @@ def unique_key_join(r_sorted: jnp.ndarray, r_order: jnp.ndarray, lk: jnp.ndarray
     r_sorted_idx = jnp.clip(hay_incl - 1, 0, max(nr - 1, 0))
     r_idx = jnp.take(r_order.astype(jnp.int32), r_sorted_idx)
     return tag_s, r_idx, found
+
+
+def dense_key_table(rk: jnp.ndarray, offset: int, domain: int) -> jnp.ndarray:
+    """Direct-address build for UNIQUE integer keys in [offset, offset+domain):
+    table[d] = right row id, -1 where absent.
+
+    The TPU replacement for the cuco static-map build (hash_join.hpp:70):
+    when the key domain is dense enough to materialize, addressing beats
+    hashing — the probe is ONE gather instead of hash+probe chains, and the
+    gather wall (latency-bound ~133 M/s/chip measured) is 5-10x above the
+    merged-sort probe path.  One scatter to build (~90 M/s, once).
+    """
+    import jax
+
+    nr = rk.shape[0]
+    tbl = jnp.full((domain + 1,), -1, jnp.int32)
+    pos = (rk.astype(jnp.int64) - offset)
+    safe = jnp.where((pos >= 0) & (pos < domain), pos, domain)
+    return tbl.at[safe].set(jnp.arange(nr, dtype=jnp.int32), mode="drop")[:domain]
+
+
+def dense_probe(tbl: jnp.ndarray, lk: jnp.ndarray, offset: int):
+    """(right_row_ids[nl], found[nl]) — one gather per probe row."""
+    domain = tbl.shape[0]
+    pos = lk.astype(jnp.int64) - offset
+    ok = (pos >= 0) & (pos < domain)
+    r = jnp.take(tbl, jnp.clip(pos, 0, domain - 1))
+    return r, ok & (r >= 0)

@@ -187,12 +187,64 @@ def full_join(
     return _join(left_keys, right_keys, how="outer")
 
 
+def _try_dense_inner(lc: Column, rc: Column) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Direct-address inner join for a single integer key whose build side
+    is unique over a dense-enough domain (db-benchmark dim-table shape).
+
+    Replaces the merged-sort probe with ONE gather per probe row — the
+    gather wall (~133 M/s/chip) sits 5-10x above the sort+scan path.  The
+    cuco static-map analogue (hash_join.hpp:70) with addressing instead of
+    hashing.  Returns None (caller falls back) when the key shape doesn't
+    qualify; pairs come back in left-row order (pandas inner-merge order).
+    """
+    from cudf_tpu.ops._utils import dense_key_table, dense_probe
+    from cudf_tpu.utils.config import get_option
+
+    if not get_option("join.dense_fast_path"):
+        return None
+    if not (lc.dtype.is_integer and rc.dtype.is_integer):
+        return None
+    nl, nr = lc.length, rc.length
+    if nr < 2 or nl < 64:
+        return None
+    rdata = rc.data.astype(jnp.int64)
+    if rc.validity is not None:
+        anyv = rdata[jnp.argmax(rc.validity)]
+        rdata_stat = jnp.where(rc.validity, rdata, anyv)
+    else:
+        rdata_stat = rdata
+    rmin = int(jnp.min(rdata_stat))
+    rmax = int(jnp.max(rdata_stat))
+    domain = rmax - rmin + 1
+    if domain > max(4 * nr, 1 << 16) or domain > (1 << 27):
+        return None
+    # uniqueness check: one scatter-add over the domain
+    pos = rdata - rmin
+    if rc.validity is not None:
+        pos = jnp.where(rc.validity, pos, domain)
+    cnt = jnp.zeros((domain + 1,), jnp.int32).at[
+        jnp.clip(pos, 0, domain)].add(1, mode="drop")
+    if int(jnp.max(cnt[:domain])) > 1:
+        return None
+    tbl = dense_key_table(jnp.where(pos < domain, pos, domain).astype(jnp.int64),
+                          0, domain)
+    r_idx, found = dense_probe(tbl, lc.data.astype(jnp.int64), rmin)
+    if lc.validity is not None:
+        found = found & lc.validity
+    li = filter_indices(found)
+    return li, jnp.take(r_idx, li).astype(jnp.int64)
+
+
 def _join(left_keys, right_keys, how: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
     left_keys, right_keys = list(left_keys), list(right_keys)
     nl, nr = left_keys[0].length, right_keys[0].length
     z = jnp.zeros((0,), jnp.int64)
     if how == "inner" and (nl == 0 or nr == 0):
         return z, z
+    if how == "inner" and len(left_keys) == 1 and len(right_keys) == 1:
+        fast = _try_dense_inner(left_keys[0], right_keys[0])
+        if fast is not None:
+            return fast
     if how == "left" and nl == 0:
         return z, z
     if nr == 0:

@@ -85,6 +85,9 @@ _register("io.parquet.chunk_read_limit", 0, "bytes per parquet pass (0 = whole f
 _register("executor.target_partition_size", 1 << 28, "bytes per partition in distributed exec")
 _register("executor.broadcast_limit", 1 << 25, "max bytes for broadcast-join small side")
 _register("strings.host_fallback", True, "allow host fallback for regex/non-ASCII string ops")
+_register("join.dense_fast_path", True,
+          "direct-address inner join when the single-int build side is "
+          "unique over a dense domain (exact semantics, left-row order)")
 _register("groupby.onehot_fast_path", False,
           "use the Pallas one-hot MXU kernel for low-cardinality groupby "
           "(float32 accumulation: fast, not bit-identical to pandas f64 sums)")

@@ -95,3 +95,43 @@ def test_merge_duplicate_keys():
     gl, gr = ct.DataFrame.from_pandas(pl), ct.DataFrame.from_pandas(pr)
     got = ct.merge(gl, gr, on="k").to_pandas()
     assert len(got) == 4  # 2x2 multiplicity
+
+
+def test_dense_fast_path_matches_general(rng):
+    from cudf_tpu.utils.config import option_context
+
+    # unique dense build side, shape that qualifies for the fast path
+    rkeys = rng.permutation(500).astype("int64")
+    pl = pd.DataFrame({"k": rng.integers(-10, 520, 400), "lv": np.arange(400)})
+    pr = pd.DataFrame({"k": rkeys, "rv": np.arange(500)})
+    gl, gr = ct.DataFrame.from_pandas(pl), ct.DataFrame.from_pandas(pr)
+    with option_context("join.dense_fast_path", True):
+        got = gl.merge(gr, on="k").to_pandas()
+    with option_context("join.dense_fast_path", False):
+        want = gl.merge(gr, on="k").to_pandas()
+    expect = pl.merge(pr, on="k")
+    key = lambda d: d.sort_values(["k", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(got), key(expect), check_dtype=False)
+    pd.testing.assert_frame_equal(key(got), key(want), check_dtype=False)
+
+
+def test_dense_fast_path_rejects_duplicates(rng):
+    # duplicate build keys must fall back and keep multiplicity
+    pl = pd.DataFrame({"k": rng.integers(0, 50, 300)})
+    pr = pd.DataFrame({"k": rng.integers(0, 50, 200), "rv": np.arange(200)})
+    gl, gr = ct.DataFrame.from_pandas(pl), ct.DataFrame.from_pandas(pr)
+    got = gl.merge(gr, on="k")
+    expect = pl.merge(pr, on="k")
+    assert len(got) == len(expect)
+
+
+def test_dense_fast_path_with_nulls():
+    pl = pd.DataFrame({"k": pd.array([1, None, 3, 700], dtype="Int64")})
+    pl = pd.concat([pl] * 20, ignore_index=True)  # pass the nl >= 64 gate
+    pr = pd.DataFrame({"k": pd.array(list(range(100)), dtype="Int64"),
+                       "rv": list(range(100))})
+    gl, gr = ct.DataFrame.from_pandas(pl), ct.DataFrame.from_pandas(pr)
+    got = gl.merge(gr, on="k").to_pandas()
+    expect = pl.merge(pr, on="k")
+    assert len(got) == len(expect) == 40  # nulls and 700 never match
+    assert set(got["k"].astype(int)) == {1, 3}

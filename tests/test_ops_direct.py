@@ -259,3 +259,16 @@ def test_lower_bound_null_flag_mismatch():
     needles = Column.from_sequence([0, 3, None])   # has nulls
     lo = np.asarray(search_ops.lower_bound(hay, needles)).tolist()
     assert lo[:2] == [0, 1] and lo[2] == 3  # null sorts last
+
+
+def test_dense_key_table_probe():
+    import jax.numpy as jnp
+    from cudf_tpu.ops._utils import dense_key_table, dense_probe
+
+    rk = jnp.asarray([7, 3, 5, 9], dtype=jnp.int32)  # unique keys
+    tbl = dense_key_table(rk, 3, 7)                  # domain [3, 10)
+    lk = jnp.asarray([3, 4, 9, 2, 10, 7], dtype=jnp.int32)
+    r, found = dense_probe(tbl, lk, 3)
+    assert np.asarray(found).tolist() == [True, False, True, False, False, True]
+    got = np.asarray(r)[np.asarray(found)].tolist()
+    assert got == [1, 3, 0]  # row ids of keys 3, 9, 7
