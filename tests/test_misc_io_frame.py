@@ -174,3 +174,20 @@ def test_masked_udf_series():
     s = ct.Series([1.0, None, -3.0])
     out = s.apply(lambda m: abs(m) * 2, masked=True)
     assert out.to_pandas().fillna(-1).tolist() == [2.0, -1.0, 6.0]
+
+
+def test_stream_consumer(tmp_path):
+    from cudf_tpu.io.streaming import FileLogSource, StreamConsumer
+
+    p = tmp_path / "log.jsonl"
+    p.write_bytes(b'{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n{"a": 3')
+    c = StreamConsumer(FileLogSource(str(p)), fmt="jsonl")
+    df = c.poll()
+    assert df is not None and len(df) == 2  # partial third record held back
+    assert df.to_pandas()["a"].tolist() == [1, 2]
+    assert c.poll() is None                  # nothing complete yet
+    with open(p, "ab") as f:
+        f.write(b', "b": "z"}\n')
+    df2 = c.poll()
+    assert df2.to_pandas()["a"].tolist() == [3]
+    assert c.poll() is None
