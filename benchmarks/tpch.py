@@ -58,6 +58,7 @@ def generate(scale: float = 0.01, seed: int = 0):
     })
     customer = ct.DataFrame({
         "c_custkey": np.arange(n_cust),
+        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
         "c_nationkey": rng.integers(0, n_nation, n_cust),
         "c_mktsegment": rng.choice(_SEGMENTS, n_cust),
         "c_acctbal": np.round(rng.uniform(-999, 9999, n_cust), 2),
@@ -196,6 +197,54 @@ def q9(tables, mesh=None):
     return plan.collect(mesh=mesh)
 
 
+def q3(tables, mesh=None):
+    """Shipping priority (reference: ndsh/q03; columns trimmed to the
+    generated schema — revenue per order for BUILDING-segment customers)."""
+    c = from_dataframe(tables["customer"])
+    o = from_dataframe(tables["orders"])
+    li = from_dataframe(tables["lineitem"])
+    cutoff = np.datetime64("1995-03-15")
+    plan = (
+        c.filter(col("c_mktsegment") == lit("BUILDING"))
+        .join(o, left_on="c_custkey", right_on="o_custkey")
+        .filter(col("o_orderdate") < lit(cutoff))
+        .join(li, left_on="o_orderkey", right_on="l_orderkey")
+        .filter(col("l_shipdate") > lit(cutoff))
+        .with_columns((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                      .alias("revenue"))
+        .group_by("o_orderkey", "o_orderdate")
+        .agg(col("revenue").sum().alias("revenue"))
+        .sort(["revenue", "o_orderdate"], descending=[True, False])
+        .head(10)
+    )
+    return plan.collect(mesh=mesh)
+
+
+def q10(tables, mesh=None):
+    """Returned item reporting (reference: ndsh/q10; top 20 customers by
+    lost revenue on returned lineitems)."""
+    c = from_dataframe(tables["customer"])
+    o = from_dataframe(tables["orders"])
+    li = from_dataframe(tables["lineitem"])
+    n = from_dataframe(tables["nation"])
+    lo = np.datetime64("1993-10-01")
+    hi = np.datetime64("1994-01-01")
+    plan = (
+        c.join(o, left_on="c_custkey", right_on="o_custkey")
+        .filter((col("o_orderdate") >= lit(lo)) & (col("o_orderdate") < lit(hi)))
+        .join(li, left_on="o_orderkey", right_on="l_orderkey")
+        .filter(col("l_returnflag") == lit("R"))
+        .join(n, left_on="c_nationkey", right_on="n_nationkey")
+        .with_columns((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                      .alias("revenue"))
+        .group_by("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(col("revenue").sum().alias("revenue"))
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .head(20)
+    )
+    return plan.collect(mesh=mesh)
+
+
 def pandas_reference(tables, query: str):
     """Same query in pandas for differential validation."""
     import pandas as pd
@@ -247,4 +296,31 @@ def pandas_reference(tables, query: str):
         df["amount"] = df.l_extendedprice * (1 - df.l_discount) - 10.0 * df.l_quantity
         return (df.groupby("n_name").agg(sum_profit=("amount", "sum"))
                 .reset_index().sort_values("n_name").reset_index(drop=True))
+    if query == "q3":
+        c = t["customer"]; o = t["orders"]; li = t["lineitem"]
+        cutoff = pd.Timestamp("1995-03-15")
+        df = c[c.c_mktsegment == "BUILDING"].merge(
+            o[o.o_orderdate < cutoff], left_on="c_custkey", right_on="o_custkey")
+        df = df.merge(li[li.l_shipdate > cutoff],
+                      left_on="o_orderkey", right_on="l_orderkey")
+        df["revenue"] = df.l_extendedprice * (1 - df.l_discount)
+        out = (df.groupby(["o_orderkey", "o_orderdate"])
+               .agg(revenue=("revenue", "sum")).reset_index()
+               .sort_values(["revenue", "o_orderdate"], ascending=[False, True])
+               .head(10).reset_index(drop=True))
+        return out[["o_orderkey", "o_orderdate", "revenue"]]
+    if query == "q10":
+        c = t["customer"]; o = t["orders"]; li = t["lineitem"]; n = t["nation"]
+        lo, hi = pd.Timestamp("1993-10-01"), pd.Timestamp("1994-01-01")
+        df = c.merge(o[(o.o_orderdate >= lo) & (o.o_orderdate < hi)],
+                     left_on="c_custkey", right_on="o_custkey")
+        df = df.merge(li[li.l_returnflag == "R"],
+                      left_on="o_orderkey", right_on="l_orderkey")
+        df = df.merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        df["revenue"] = df.l_extendedprice * (1 - df.l_discount)
+        out = (df.groupby(["c_custkey", "c_name", "c_acctbal", "n_name"])
+               .agg(revenue=("revenue", "sum")).reset_index()
+               .sort_values(["revenue", "c_custkey"], ascending=[False, True])
+               .head(20).reset_index(drop=True))
+        return out
     raise ValueError(query)

@@ -296,6 +296,11 @@ class Column:
                 validity = jnp.asarray(bits.astype(bool))
             return cls(dt.STRING, n, data=jnp.asarray(chars.copy()),
                        offsets=jnp.asarray(off.copy()), validity=validity)
+        if pa.types.is_timestamp(arr.type) and arr.type.tz is not None:
+            # arrow tz-aware ticks are UTC epochs — exactly our storage
+            naive = cls.from_arrow(arr.cast(pa.timestamp(arr.type.unit)))
+            return cls(dt.DType(naive.dtype.id, tz=str(arr.type.tz)),
+                       naive.length, data=naive.data, validity=naive.validity)
         if pa.types.is_decimal(arr.type):
             # arrow decimal(p, s): value = unscaled * 10**-s → our scale = -s
             vals = arr.to_pylist()
@@ -427,11 +432,15 @@ class Column:
             return pa.array(to_decimals(self),
                             type=pa.decimal128(38, max(0, -self.dtype.scale)))
         data = np.asarray(self.data)
-        if self.dtype.is_temporal:
-            data = data.astype(self.dtype.to_numpy())
         mask = None
         if self.validity is not None:
             mask = ~np.asarray(self.validity)
+        if self.dtype.is_timestamp and self.dtype.tz is not None:
+            unit = self.dtype.time_unit or "ns"
+            return pa.array(data.astype(np.int64), mask=mask).cast(
+                pa.timestamp(unit, tz=self.dtype.tz))
+        if self.dtype.is_temporal:
+            data = data.astype(self.dtype.to_numpy())
         return pa.array(data, mask=mask)
 
     def to_pandas(self, nullable: bool = False):

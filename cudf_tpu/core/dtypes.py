@@ -159,6 +159,9 @@ class DType:
     scale: int = 0
     fields: Tuple[Tuple[str, "DType"], ...] = field(default=())
     value_type: Optional["DType"] = None
+    # IANA zone name for tz-aware timestamps (ticks are always UTC epochs,
+    # like Arrow/cudf; tz is presentation metadata used by dt accessors)
+    tz: Optional[str] = None
 
     # ---- classification -------------------------------------------------
     @property
@@ -247,6 +250,8 @@ class DType:
         return self.storage.itemsize
 
     def __repr__(self) -> str:
+        if self.tz is not None:
+            return f"datetime64[{self.time_unit or 'ns'}, {self.tz}]"
         if self.is_decimal:
             return f"{self.id.name.lower()}(scale={self.scale})"
         if self.id == TypeId.LIST:
@@ -369,9 +374,16 @@ def dtype(obj: Any) -> DType:
         alias = _STR_ALIASES.get(obj)
         if alias is not None:
             return alias
+        if obj.startswith("datetime64[") and "," in obj:
+            unit, tzname = obj[len("datetime64["):-1].split(",", 1)
+            base = _FROM_NP_KIND_UNIT.get(("M", unit.strip()), TIMESTAMP_NS)
+            return DType(base.id, tz=tzname.strip())
         obj = np.dtype(obj)
     # pandas extension dtypes
     tname = type(obj).__name__
+    if tname == "DatetimeTZDtype":
+        base = _FROM_NP_KIND_UNIT.get(("M", obj.unit), TIMESTAMP_NS)
+        return DType(base.id, tz=str(obj.tz))
     if tname == "CategoricalDtype":
         return dictionary_dtype(STRING)
     if tname in ("StringDtype", "ArrowDtype") and "string" in str(obj):

@@ -255,7 +255,27 @@ def _eval_join(node: IRs.Join, n: int) -> List[Table]:
         nonempty = [p for p in right_parts if p.num_rows > 0]
         right_all = concatenate_tables(nonempty) if nonempty else right_parts[0]
         return [node.do_evaluate(p, right_all) for p in left_parts]
-    # shuffle join: repartition both sides on key hash
+    # shuffle join: repartition both sides on key hash; for inner/semi,
+    # a bloom filter built from the (smaller) right side pre-filters left
+    # partitions BEFORE the all-to-all, cutting shuffle volume on ICI
+    # (reference: join-filter pushdown in cudf-polars' runtime filters)
+    if node.how in ("inner", "semi") and right_bytes <= 8 * limit:
+        from cudf_tpu.ops.bloom import BloomFilter
+        from cudf_tpu.ops.stream_compaction import filter_indices
+        from cudf_tpu.ops import copying as _cp
+
+        bf = BloomFilter(num_bits=1 << 22)
+        for p in right_parts:
+            if p.num_rows:
+                bf.add([p[k] for k in node.right_on])
+        filtered = []
+        for p in left_parts:
+            if p.num_rows == 0:
+                filtered.append(p)
+                continue
+            keep = filter_indices(bf.maybe_contains([p[k] for k in node.left_on]))
+            filtered.append(_cp.gather_table(p, keep, bounds_check=False))
+        left_parts = filtered
     ls = _repartition_by_hash([p for p in left_parts], node.left_on, n)
     rs = _repartition_by_hash([p for p in right_parts], node.right_on, n)
     return [node.do_evaluate(l, r) for l, r in zip(ls, rs)]

@@ -249,7 +249,26 @@ class DatetimeProperties:
         return Series._from(col, self._s._index, self._s.name)
 
     def _extract(self, field: str) -> Series:
-        return self._wrap(dt_ops.extract(self._s._column, field))
+        col = self._s._column
+        if col.dtype.tz is not None:
+            from cudf_tpu.ops.timezone import wall_clock_column
+
+            col = wall_clock_column(col)
+        return self._wrap(dt_ops.extract(col, field))
+
+    @property
+    def tz(self):
+        return self._s._column.dtype.tz
+
+    def tz_localize(self, tz) -> Series:
+        from cudf_tpu.ops import timezone as tz_ops
+
+        return self._wrap(tz_ops.tz_localize(self._s._column, tz))
+
+    def tz_convert(self, tz) -> Series:
+        from cudf_tpu.ops import timezone as tz_ops
+
+        return self._wrap(tz_ops.tz_convert(self._s._column, tz))
 
     @property
     def year(self):
@@ -336,11 +355,6 @@ class DatetimeProperties:
     def strftime(self, fmt):
         return Series(self._s.to_pandas().dt.strftime(fmt).tolist(),
                       index=self._s._index, name=self._s.name)
-
-    def tz_localize(self, tz):
-        if tz is None:
-            return self._s.copy()
-        raise NotImplementedError("timezone tables land in a later round")
 
     # duration properties
     @property

@@ -153,10 +153,11 @@ class Series:
     # export
     # ------------------------------------------------------------------
     def to_pandas(self):
-        import pandas as pd
-
         data = self._column.to_arrow().to_pandas()
-        return pd.Series(data.values, index=self._index.to_pandas(), name=self.name)
+        data = data.reset_index(drop=True)  # keep extension dtypes (e.g. tz)
+        data.index = self._index.to_pandas()
+        data.name = self.name
+        return data
 
     def to_numpy(self):
         return self._column.to_numpy()

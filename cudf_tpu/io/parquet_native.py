@@ -117,6 +117,23 @@ def read_column_chunk(path: str, meta: thrift.ColumnChunkMeta, nullable: bool = 
             vals = _decode_plain(body, phys, n_present)
         elif ph.encoding in (_ENC_RLE_DICT, _ENC_PLAIN_DICT):
             bw = body[0]
+            from cudf_tpu.utils.config import get_option
+
+            if get_option("io.parquet.device_decode") and phys in _NP:
+                # device tier: RLE/bit-pack expand + dictionary gather on
+                # the VPU (io/parquet_device.py); page-buffer assembly is
+                # still host-side — full HBM-resident assembly is the
+                # round-2 step (page_decode.cuh parity)
+                import jax.numpy as _jnp
+
+                from cudf_tpu.io.parquet_device import device_rle_decode
+
+                idx_j = device_rle_decode(bytes(body[1:]), bw, n_present)
+                vals = np.asarray(_jnp.take(_jnp.asarray(dictionary), idx_j))
+                values_parts.append(vals)
+                validity_parts.append(valid)
+                remaining -= nv
+                continue
             idx = native.rle_decode32(body[1:], bw, n_present)
             if phys == 6:
                 offs, chars = dictionary

@@ -82,6 +82,9 @@ _register("default_float_bitwidth", 64, "default float width", lambda v: v in (3
 _register("spill", False, "enable HBM->host spilling of cold buffers")
 _register("spill.device_limit_fraction", 0.85, "fraction of HBM before spilling")
 _register("io.parquet.chunk_read_limit", 0, "bytes per parquet pass (0 = whole file)")
+_register("io.parquet.device_decode", False,
+          "decode RLE/dictionary pages on device (VPU expand + gather); "
+          "page assembly still host-side — experimental")
 _register("executor.target_partition_size", 1 << 28, "bytes per partition in distributed exec")
 _register("executor.broadcast_limit", 1 << 25, "max bytes for broadcast-join small side")
 _register("strings.host_fallback", True, "allow host fallback for regex/non-ASCII string ops")

@@ -272,3 +272,27 @@ def test_dense_key_table_probe():
     assert np.asarray(found).tolist() == [True, False, True, False, False, True]
     got = np.asarray(r)[np.asarray(found)].tolist()
     assert got == [1, 3, 0]  # row ids of keys 3, 9, 7
+
+
+def test_bloom_filter(rng):
+    from cudf_tpu.ops.bloom import BloomFilter
+
+    build = Column.from_numpy(rng.integers(0, 10_000, 5000))
+    probe_in = Column.from_numpy(np.asarray(build.to_numpy()[:100]))
+    probe_out = Column.from_numpy(rng.integers(100_000, 200_000, 2000))
+    bf = BloomFilter(num_bits=1 << 18).add([build])
+    assert np.asarray(bf.maybe_contains([probe_in])).all()  # no false negatives
+    fp = np.asarray(bf.maybe_contains([probe_out])).mean()
+    assert fp < 0.05  # false-positive rate small at this fill
+    assert 0 < bf.fill_ratio() < 0.2
+
+
+def test_bloom_filter_strings():
+    from cudf_tpu.ops.bloom import BloomFilter
+
+    build = Column.from_strings(["apple", "banana", "cherry"])
+    bf = BloomFilter(num_bits=1 << 14, num_hashes=3).add([build])
+    probe = Column.from_strings(["banana", "durian", "apple", "grape"])
+    got = np.asarray(bf.maybe_contains([probe])).tolist()
+    assert got[0] and got[2]
+    assert not (got[1] and got[3])  # both being FPs at this size is ~impossible

@@ -164,3 +164,24 @@ def test_streaming_auto_partitions():
         assert n > 1
     out = lf.collect(streaming=True).to_pandas()
     assert len(out) == 1000
+
+
+def test_streaming_join_bloom_prefilter(rng):
+    # force the shuffle-join path (broadcast_limit=0) to exercise the
+    # bloom pre-filter; results must match the in-memory join exactly
+    import cudf_tpu as ct
+    import pandas as pd
+    from cudf_tpu.engine.lazy import LazyFrame
+    from cudf_tpu.utils.config import option_context
+
+    pl = pd.DataFrame({"k": rng.integers(0, 2000, 3000), "lv": np.arange(3000)})
+    pr = pd.DataFrame({"k": rng.integers(0, 300, 500), "rv": np.arange(500)})
+    lf = LazyFrame.from_dataframe(ct.DataFrame.from_pandas(pl)).join(
+        LazyFrame.from_dataframe(ct.DataFrame.from_pandas(pr)), on="k")
+    with option_context("executor.broadcast_limit", 0):
+        got = lf.collect(mesh=4).to_pandas()
+    expect = pl.merge(pr, on="k")
+    key = lambda d: d.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        key(got)[["k", "lv", "rv"]], key(expect)[["k", "lv", "rv"]],
+        check_dtype=False)

@@ -54,3 +54,26 @@ def test_q9_partitioned(tables):
     got = tpch.q9(tables, mesh=4).to_pandas().sort_values("n_name").reset_index(drop=True)
     expect = tpch.pandas_reference(tables, "q9")
     pd.testing.assert_frame_equal(got, expect, check_dtype=False, rtol=1e-9)
+
+
+def test_q3(tables):
+    got = tpch.q3(tables).to_pandas()
+    expect = tpch.pandas_reference(tables, "q3")
+    pd.testing.assert_frame_equal(got[["o_orderkey", "revenue"]],
+                                  expect[["o_orderkey", "revenue"]],
+                                  check_dtype=False, rtol=1e-9)
+
+
+def test_q10(tables):
+    got = tpch.q10(tables).to_pandas()
+    expect = tpch.pandas_reference(tables, "q10")
+    pd.testing.assert_frame_equal(got[["c_custkey", "revenue"]],
+                                  expect[["c_custkey", "revenue"]],
+                                  check_dtype=False, rtol=1e-9)
+
+
+def test_q10_partitioned(tables):
+    got = tpch.q10(tables, mesh=4).to_pandas()
+    expect = tpch.pandas_reference(tables, "q10")
+    np.testing.assert_allclose(got["revenue"].to_numpy(),
+                               expect["revenue"].to_numpy(), rtol=1e-9)
