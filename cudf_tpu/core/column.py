@@ -633,6 +633,20 @@ def as_column(obj, dtype: Optional[DType] = None) -> Column:
             import pyarrow as pa
 
             col = Column.from_arrow(pa.Array.from_pandas(obj))
+            if type(obj.dtype).__name__ in (
+                "Int8Dtype", "Int16Dtype", "Int32Dtype", "Int64Dtype",
+                "UInt8Dtype", "UInt16Dtype", "UInt32Dtype", "UInt64Dtype",
+                "Float32Dtype", "Float64Dtype", "BooleanDtype",
+            ):
+                # keep nullable extension provenance for exact round-trip
+                want_n = dt.dtype(obj.dtype)
+                if want_n.id != col.dtype.id:
+                    from cudf_tpu.ops import unary as _un
+
+                    col = _un.cast(col, dt.DType(want_n.id))
+                col = Column(want_n, col.length, data=col.data,
+                             validity=col.validity, offsets=col.offsets,
+                             children=col.children)
         else:
             col = Column.from_sequence(list(obj))
     elif np.isscalar(obj) or obj is None:

@@ -162,6 +162,10 @@ class DType:
     # IANA zone name for tz-aware timestamps (ticks are always UTC epochs,
     # like Arrow/cudf; tz is presentation metadata used by dt accessors)
     tz: Optional[str] = None
+    # provenance marker: column came from a pandas nullable extension dtype
+    # (Int64/UInt8/boolean/Float64...) — to_pandas round-trips it as such
+    # instead of degrading int+nulls to float64/NaN
+    nullable: bool = False
 
     # ---- classification -------------------------------------------------
     @property
@@ -224,6 +228,26 @@ class DType:
     def time_unit(self) -> Optional[str]:
         return _TIME_UNIT.get(self.id)
 
+    # ---- numpy duck-typing (pandas' asserters/validators read these) ----
+    @property
+    def kind(self) -> str:
+        try:
+            return self.to_numpy().kind
+        except TypeError:
+            return "O"
+
+    @property
+    def name(self) -> str:
+        return repr(self)
+
+    @property
+    def type(self):
+        """scalar type constructor, numpy-dtype style."""
+        try:
+            return self.to_numpy().type
+        except TypeError:
+            return object
+
     # ---- storage mapping -------------------------------------------------
     @property
     def storage(self) -> np.dtype:
@@ -250,6 +274,11 @@ class DType:
         return self.storage.itemsize
 
     def __repr__(self) -> str:
+        if self.nullable:
+            if self.id == TypeId.BOOL8:
+                return "boolean"
+            base = _CANONICAL_NAMES.get(self.id, self.id.name.lower())
+            return base.title().replace("Uint", "UInt")  # pandas-style Int64/UInt8
         if self.tz is not None:
             return f"datetime64[{self.time_unit or 'ns'}, {self.tz}]"
         if self.is_decimal:
@@ -374,6 +403,15 @@ def dtype(obj: Any) -> DType:
         alias = _STR_ALIASES.get(obj)
         if alias is not None:
             return alias
+        _NULLABLE_NAMES = {
+            "Int8": TypeId.INT8, "Int16": TypeId.INT16, "Int32": TypeId.INT32,
+            "Int64": TypeId.INT64, "UInt8": TypeId.UINT8,
+            "UInt16": TypeId.UINT16, "UInt32": TypeId.UINT32,
+            "UInt64": TypeId.UINT64, "Float32": TypeId.FLOAT32,
+            "Float64": TypeId.FLOAT64, "boolean": TypeId.BOOL8,
+        }
+        if obj in _NULLABLE_NAMES:
+            return DType(_NULLABLE_NAMES[obj], nullable=True)
         if obj.startswith("datetime64[") and "," in obj:
             unit, tzname = obj[len("datetime64["):-1].split(",", 1)
             base = _FROM_NP_KIND_UNIT.get(("M", unit.strip()), TIMESTAMP_NS)
@@ -384,6 +422,16 @@ def dtype(obj: Any) -> DType:
     if tname == "DatetimeTZDtype":
         base = _FROM_NP_KIND_UNIT.get(("M", obj.unit), TIMESTAMP_NS)
         return DType(base.id, tz=str(obj.tz))
+    _NULLABLE_EXT = {
+        "Int8Dtype": TypeId.INT8, "Int16Dtype": TypeId.INT16,
+        "Int32Dtype": TypeId.INT32, "Int64Dtype": TypeId.INT64,
+        "UInt8Dtype": TypeId.UINT8, "UInt16Dtype": TypeId.UINT16,
+        "UInt32Dtype": TypeId.UINT32, "UInt64Dtype": TypeId.UINT64,
+        "Float32Dtype": TypeId.FLOAT32, "Float64Dtype": TypeId.FLOAT64,
+        "BooleanDtype": TypeId.BOOL8,
+    }
+    if tname in _NULLABLE_EXT:
+        return DType(_NULLABLE_EXT[tname], nullable=True)
     if tname == "CategoricalDtype":
         return dictionary_dtype(STRING)
     if tname in ("StringDtype", "ArrowDtype") and "string" in str(obj):

@@ -153,7 +153,23 @@ class Series:
     # export
     # ------------------------------------------------------------------
     def to_pandas(self):
-        data = self._column.to_arrow().to_pandas()
+        import pandas as pd
+
+        col = self._column
+        if col.dtype.nullable:
+            # round-trip pandas nullable extension dtypes (Int64/UInt8/
+            # boolean/Float64) through our validity instead of float+NaN
+            vals = np.asarray(col.data)
+            mask = (~np.asarray(col.validity) if col.validity is not None
+                    else np.zeros(col.length, bool))
+            if col.dtype.is_bool:
+                arr = pd.arrays.BooleanArray(vals.astype(bool), mask)
+            elif col.dtype.is_float:
+                arr = pd.arrays.FloatingArray(vals.astype(col.dtype.storage), mask)
+            else:
+                arr = pd.arrays.IntegerArray(vals.astype(col.dtype.storage), mask)
+            return pd.Series(arr, index=self._index.to_pandas(), name=self.name)
+        data = col.to_arrow().to_pandas()
         data = data.reset_index(drop=True)  # keep extension dtypes (e.g. tz)
         data.index = self._index.to_pandas()
         data.name = self.name

@@ -87,6 +87,13 @@ def _wrap(result):
         return ProxyDataFrame(slow=result)
     if isinstance(result, pd.Series):
         return ProxySeries(slow=result)
+    from cudf_tpu.frame.index import Index as _FastIndex
+
+    if isinstance(result, _FastIndex):
+        # indexes cross the boundary as real pandas objects: pandas
+        # internals isinstance-check them constantly and they're small
+        # relative to column data (reference wraps them as proxies too)
+        return result.to_pandas()
     if isinstance(result, (list, tuple)) and any(
         isinstance(r, (cudf_tpu.DataFrame, cudf_tpu.Series, pd.DataFrame, pd.Series))
         for r in result
@@ -116,6 +123,15 @@ class _FastSlowProxy:
         object.__setattr__(self, "_fast", fast)
         object.__setattr__(self, "_slow", slow)
 
+    @property
+    def __class__(self):
+        # isinstance(proxy, real pandas.Series/DataFrame) must hold for
+        # pandas-internal code imported BEFORE install() (e.g.
+        # pandas._testing.asserters binds the real classes at import) —
+        # same trick as the reference (fast_slow_proxy.py __class__)
+        real = getattr(type(self), "_real_class", None)
+        return real if real is not None else type(self)
+
     # domain transport -------------------------------------------------
     def _fast_obj(self):
         if self._fast is None:
@@ -140,7 +156,13 @@ class _FastSlowProxy:
     # attribute dispatch ----------------------------------------------
     def __getattr__(self, name):
         if name.startswith("_"):
-            raise AttributeError(name)
+            if name.startswith("__") or name in ("_fast", "_slow"):
+                raise AttributeError(name)
+            # pandas-internal private API (_values, _mgr, ...): serve from
+            # the slow domain so pandas' own code paths (asserters,
+            # indexing internals) work against proxies (fast_slow_proxy
+            # semantics in the reference)
+            return getattr(self._slow_obj(), name)
         return _FastSlowAttr(self, name).resolve()
 
     def __setattr__(self, name, value):
