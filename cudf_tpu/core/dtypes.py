@@ -241,6 +241,12 @@ class DType:
         return repr(self)
 
     @property
+    def names(self):
+        """numpy structured-dtype field names: always None (flat dtypes);
+        read by numpy/pandas validation code paths."""
+        return None
+
+    @property
     def type(self):
         """scalar type constructor, numpy-dtype style."""
         try:

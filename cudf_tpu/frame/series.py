@@ -315,6 +315,10 @@ class Series:
         return self.loc[key]
 
     def __setitem__(self, key, value):
+        if isinstance(key, (np.ndarray, list)) and len(key) == len(self) and all(
+            isinstance(v, (bool, np.bool_)) for v in (key if isinstance(key, list) else key[:1])
+        ) and (not isinstance(key, np.ndarray) or key.dtype == bool):
+            key = Series(np.asarray(key, dtype=bool))
         if isinstance(key, Series) and key.dtype.is_bool:
             mask = key._column.data
             if key._column.validity is not None:

@@ -144,7 +144,15 @@ class _FastSlowProxy:
     def _slow_obj(self):
         if self._slow is None:
             with _entering_fast():
-                object.__setattr__(self, "_slow", self._fast.to_pandas())
+                slow = self._fast.to_pandas()
+                # jnp buffers surface as read-only numpy views; pandas
+                # mutates in place (fillna(inplace=True), __setitem__) —
+                # hand the slow domain writable memory
+                try:
+                    slow = slow.copy(deep=True)
+                except Exception:
+                    pass
+            object.__setattr__(self, "_slow", slow)
         return self._slow
 
     def _invalidate_fast(self):
