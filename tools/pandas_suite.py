@@ -24,6 +24,11 @@ SMOKE = [
     "tests/series/methods/test_fillna.py",
     "tests/frame/methods/test_sort_values.py",
     "tests/reductions/test_reductions.py::TestSeriesReductions",
+    "tests/series/methods/test_rank.py",
+    "tests/series/methods/test_value_counts.py",
+    "tests/frame/methods/test_rename.py",
+    "tests/series/methods/test_isin.py",
+    "tests/series/methods/test_round.py",
 ]
 
 
