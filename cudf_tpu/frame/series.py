@@ -638,10 +638,23 @@ class Series:
         return EWM(self, alpha, adjust)
 
     def rank(self, method="average", ascending=True, na_option="keep", pct=False):
-        return Series._from(
-            sort_ops.rank(self._nan_null(), method, ascending, na_option, pct),
-            self._index, self.name,
-        )
+        col = sort_ops.rank(self._nan_null(), method, ascending, na_option, pct)
+        if self.dtype.nullable and not col.dtype.nullable:
+            # pandas: rank of a nullable extension series is Float64
+            # (average/pct) or UInt64 (min/max/first/dense) with NA —
+            # not NaN — at the null slots
+            validity = col.validity
+            if col.dtype.is_float:
+                nn = ~jnp.isnan(col.data)
+                validity = nn if validity is None else (validity & nn)
+            if method in ("min", "max", "first", "dense") and not pct:
+                data = jnp.nan_to_num(col.data).astype(jnp.uint64)
+                col = Column(dt.DType(dt.TypeId.UINT64, nullable=True),
+                             col.length, data=data, validity=validity)
+            else:
+                col = Column(dt.DType(col.dtype.id, nullable=True), col.length,
+                             data=col.data, validity=validity)
+        return Series._from(col, self._index, self.name)
 
     # ------------------------------------------------------------------
     # sorting / dedup

@@ -17,3 +17,32 @@ def pytest_configure(config):
     from cudf_tpu.pandas import install
 
     install()
+
+    # pandas' asserters compare type() identity; hand them real pandas
+    # objects (the reference's module accelerator does the same unwrap
+    # for pandas-internal callers)
+    from cudf_tpu.pandas.proxy import _FastSlowProxy
+
+    def _unp(o):
+        return o._slow_obj() if isinstance(o, _FastSlowProxy) else o
+
+    import pandas._testing as tm
+
+    def _patched(orig):
+        import functools
+
+        @functools.wraps(orig)
+        def run(left=None, right=None, *a, **k):
+            return orig(_unp(left), _unp(right), *a, **k)
+
+        return run
+
+    for mod in (tm, __import__("pandas").testing):
+        for name in ("assert_series_equal", "assert_frame_equal",
+                     "assert_index_equal", "assert_equal",
+                     "assert_almost_equal"):
+            orig = getattr(mod, name, None)
+            if orig is not None and not getattr(orig, "_cudf_tpu_patch", False):
+                wrapped = _patched(orig)
+                wrapped._cudf_tpu_patch = True
+                setattr(mod, name, wrapped)
