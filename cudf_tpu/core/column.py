@@ -633,6 +633,12 @@ def as_column(obj, dtype: Optional[DType] = None) -> Column:
             import pyarrow as pa
 
             col = Column.from_arrow(pa.Array.from_pandas(obj))
+            if type(obj.dtype).__name__ == "ArrowDtype" and not (
+                col.dtype.is_string or col.dtype.is_nested
+            ):
+                col = Column(dt.DType(col.dtype.id, tz=col.dtype.tz, arrow=True),
+                             col.length, data=col.data, validity=col.validity,
+                             offsets=col.offsets, children=col.children)
             if type(obj.dtype).__name__ in (
                 "Int8Dtype", "Int16Dtype", "Int32Dtype", "Int64Dtype",
                 "UInt8Dtype", "UInt16Dtype", "UInt32Dtype", "UInt64Dtype",

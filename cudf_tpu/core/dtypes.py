@@ -166,6 +166,9 @@ class DType:
     # (Int64/UInt8/boolean/Float64...) — to_pandas round-trips it as such
     # instead of degrading int+nulls to float64/NaN
     nullable: bool = False
+    # provenance marker: column came from a pandas ArrowDtype
+    # ("uint64[pyarrow]" ...) — to_pandas round-trips as ArrowExtensionArray
+    arrow: bool = False
 
     # ---- classification -------------------------------------------------
     @property
@@ -280,6 +283,13 @@ class DType:
         return self.storage.itemsize
 
     def __repr__(self) -> str:
+        if self.arrow:
+            base = _CANONICAL_NAMES.get(self.id, self.id.name.lower())
+            if self.is_string:
+                base = "string"
+            if self.is_timestamp:
+                base = f"timestamp[{self.time_unit or 'ns'}]"
+            return f"{base}[pyarrow]"
         if self.nullable:
             if self.id == TypeId.BOOL8:
                 return "boolean"
@@ -422,6 +432,9 @@ def dtype(obj: Any) -> DType:
             unit, tzname = obj[len("datetime64["):-1].split(",", 1)
             base = _FROM_NP_KIND_UNIT.get(("M", unit.strip()), TIMESTAMP_NS)
             return DType(base.id, tz=tzname.strip())
+        if obj.endswith("[pyarrow]"):
+            base = dtype(obj[:-len("[pyarrow]")].strip())
+            return DType(base.id, tz=base.tz, arrow=True)
         obj = np.dtype(obj)
     # pandas extension dtypes
     tname = type(obj).__name__
@@ -442,6 +455,9 @@ def dtype(obj: Any) -> DType:
         return dictionary_dtype(STRING)
     if tname in ("StringDtype", "ArrowDtype") and "string" in str(obj):
         return STRING
+    if tname == "ArrowDtype":
+        base = dtype(obj.numpy_dtype)
+        return DType(base.id, tz=base.tz, arrow=True)
     npd = np.dtype(obj) if not isinstance(obj, np.dtype) else obj
     if npd.kind in ("M", "m"):
         unit = np.datetime_data(npd)[0]

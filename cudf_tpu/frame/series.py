@@ -156,6 +156,11 @@ class Series:
         import pandas as pd
 
         col = self._column
+        if col.dtype.arrow:
+            arr = col.to_arrow()
+            ext = pd.arrays.ArrowExtensionArray(
+                arr if not hasattr(arr, "combine_chunks") else arr)
+            return pd.Series(ext, index=self._index.to_pandas(), name=self.name)
         if col.dtype.nullable:
             # round-trip pandas nullable extension dtypes (Int64/UInt8/
             # boolean/Float64) through our validity instead of float+NaN
@@ -639,20 +644,23 @@ class Series:
 
     def rank(self, method="average", ascending=True, na_option="keep", pct=False):
         col = sort_ops.rank(self._nan_null(), method, ascending, na_option, pct)
-        if self.dtype.nullable and not col.dtype.nullable:
-            # pandas: rank of a nullable extension series is Float64
-            # (average/pct) or UInt64 (min/max/first/dense) with NA —
-            # not NaN — at the null slots
+        if (self.dtype.nullable or self.dtype.arrow) and not col.dtype.nullable:
+            # pandas: rank of a nullable/arrow extension series is
+            # Float64|double[pyarrow] (average/pct) or UInt64|uint64[pyarrow]
+            # (min/max/first/dense) with NA — not NaN — at the null slots
             validity = col.validity
             if col.dtype.is_float:
                 nn = ~jnp.isnan(col.data)
                 validity = nn if validity is None else (validity & nn)
+            is_arrow = self.dtype.arrow
             if method in ("min", "max", "first", "dense") and not pct:
                 data = jnp.nan_to_num(col.data).astype(jnp.uint64)
-                col = Column(dt.DType(dt.TypeId.UINT64, nullable=True),
+                col = Column(dt.DType(dt.TypeId.UINT64, nullable=not is_arrow,
+                                      arrow=is_arrow),
                              col.length, data=data, validity=validity)
             else:
-                col = Column(dt.DType(col.dtype.id, nullable=True), col.length,
+                col = Column(dt.DType(col.dtype.id, nullable=not is_arrow,
+                                      arrow=is_arrow), col.length,
                              data=col.data, validity=validity)
         return Series._from(col, self._index, self.name)
 
