@@ -130,7 +130,15 @@ _FREQ_TICKS_NS = {
 
 
 def _freq_ticks(freq: str, unit: str) -> int:
-    ns = _FREQ_TICKS_NS[freq]
+    # accept multiplied offsets: "5min", "15s", "2h" (pandas Tick aliases)
+    mult = 1
+    i = 0
+    while i < len(freq) and freq[i].isdigit():
+        i += 1
+    if i:
+        mult = int(freq[:i])
+        freq = freq[i:]
+    ns = _FREQ_TICKS_NS[freq] * mult
     denom = 1_000_000_000 // _TICKS[unit]
     if ns % denom:
         raise ValueError(f"freq {freq} not representable in unit {unit}")

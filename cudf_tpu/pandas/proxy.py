@@ -99,7 +99,50 @@ def _wrap(result):
         for r in result
     ):
         return type(result)(_wrap(r) for r in result)
+    if type(result).__name__ in ("_DataFrameLoc", "_DataFrameILoc",
+                                 "_SeriesLoc", "_SeriesILoc",
+                                 "_LocIndexer", "_ILocIndexer"):
+        return _IndexerProxy(result)
+    if type(result).__module__ == "cudf_tpu.frame.accessors":
+        return _AccessorProxy(result)
     return result
+
+
+class _AccessorProxy:
+    """Wraps fast-domain .str/.dt/.cat/.list/.struct accessors so their
+    results re-enter the proxy domain."""
+
+    def __init__(self, raw):
+        object.__setattr__(self, "_raw", raw)
+
+    def __getattr__(self, name):
+        attr = getattr(self._raw, name)
+        if callable(attr):
+            import functools
+
+            @functools.wraps(attr)
+            def call(*a, **k):
+                return _wrap(attr(*_unwrap(a, True), **_unwrap(k, True)))
+
+            return call
+        return _wrap(attr)
+
+    def __getitem__(self, key):
+        return _wrap(self._raw[_unwrap(key, True)])
+
+
+class _IndexerProxy:
+    """Wraps fast-domain .loc/.iloc indexers so their results re-enter the
+    proxy domain (otherwise raw cudf_tpu frames leak into pandas code)."""
+
+    def __init__(self, raw):
+        self._raw = raw
+
+    def __getitem__(self, key):
+        return _wrap(self._raw[_unwrap(key, True)])
+
+    def __setitem__(self, key, value):
+        self._raw[_unwrap(key, True)] = _unwrap(value, True)
 
 
 class _ProxyMeta(type):
@@ -107,6 +150,22 @@ class _ProxyMeta(type):
     imported lazily after install() bind ProxyDataFrame as `DataFrame` and
     run isinstance checks against it with real objects
     (reference: _FastSlowProxyMeta, fast_slow_proxy.py:622)."""
+
+    def __getattr__(cls, name):
+        # pandas-internal code reaches class attributes on the proxied
+        # DataFrame/Series (e.g. concat → DataFrame._get_axis_number);
+        # delegate unknown class attrs to the real pandas class
+        if name.startswith("__") or name == "_real_class":
+            raise AttributeError(name)
+        real = cls.__dict__.get("_real_class")
+        if real is None:
+            for base in cls.__mro__:
+                real = base.__dict__.get("_real_class")
+                if real is not None:
+                    break
+        if real is not None:
+            return getattr(real, name)
+        raise AttributeError(name)
 
     def __instancecheck__(cls, obj):
         if type.__instancecheck__(cls, obj):
