@@ -457,6 +457,32 @@ class Series:
     # ------------------------------------------------------------------
     # reductions
     # ------------------------------------------------------------------
+    def _reduce_scalar(self, value, skipna=True):
+        """pandas scalar conventions: NA for nullable/arrow dtypes, NaT for
+        temporal, and nan-poisoning when skipna=False with nulls present."""
+        import pandas as pd
+
+        if not skipna and self._has_nulls_or_nans():
+            value = None
+        is_missing = value is None or (isinstance(value, float) and np.isnan(value))
+        if is_missing:
+            if self.dtype.is_timestamp:
+                return pd.NaT
+            if self.dtype.is_duration:
+                return pd.NaT
+            if self.dtype.nullable or self.dtype.arrow:
+                return pd.NA
+            return float("nan")
+        return value
+
+    def _has_nulls_or_nans(self) -> bool:
+        col = self._column
+        if col.null_count > 0:
+            return True
+        if col.dtype.is_float:
+            return bool(jnp.any(jnp.isnan(col.data)))
+        return False
+
     def sum(self, skipna=True, min_count=0):
         return reductions.sum(self._column, min_count)
 
@@ -466,22 +492,22 @@ class Series:
     product = prod
 
     def mean(self, skipna=True):
-        return reductions.mean(self._column)
+        return self._reduce_scalar(reductions.mean(self._column), skipna)
 
     def min(self, skipna=True):
-        return reductions.min(self._column)
+        return self._reduce_scalar(reductions.min(self._column), skipna)
 
     def max(self, skipna=True):
-        return reductions.max(self._column)
+        return self._reduce_scalar(reductions.max(self._column), skipna)
 
     def var(self, ddof=1, skipna=True):
-        return reductions.var(self._column, ddof)
+        return self._reduce_scalar(reductions.var(self._column, ddof), skipna)
 
     def std(self, ddof=1, skipna=True):
-        return reductions.std(self._column, ddof)
+        return self._reduce_scalar(reductions.std(self._column, ddof), skipna)
 
     def median(self, skipna=True):
-        return reductions.median(self._column)
+        return self._reduce_scalar(reductions.median(self._column), skipna)
 
     def sem(self, ddof=1):
         n = self.count()
@@ -496,10 +522,27 @@ class Series:
     kurt = kurtosis
 
     def any(self, skipna=True):
-        return reductions.any(self._column)
+        got = reductions.any(self._column)
+        if not skipna and self._column.null_count > 0 and (
+            self.dtype.nullable or self.dtype.arrow
+        ):
+            # Kleene: unknowns only matter when no definite True exists
+            if not got:
+                import pandas as pd
+
+                return pd.NA
+        return got
 
     def all(self, skipna=True):
-        return reductions.all(self._column)
+        got = reductions.all(self._column)
+        if not skipna and self._column.null_count > 0 and (
+            self.dtype.nullable or self.dtype.arrow
+        ):
+            if got:  # no definite False: nulls make it unknown
+                import pandas as pd
+
+                return pd.NA
+        return got
 
     def count(self):
         return reductions.count(self._column)

@@ -49,7 +49,8 @@ def test_idx_minmax():
 def test_empty_and_allnull():
     assert ct.Series([], dtype="float64").sum() == 0
     assert np.isnan(ct.Series([None, None], dtype="float64").mean())
-    assert ct.Series([None, None], dtype="float64").min() is None
+    # pandas: min of all-NaN float64 is nan (was None in our early API)
+    assert np.isnan(ct.Series([None, None], dtype="float64").min())
 
 
 def test_cumsum_vs_pandas(rng):
