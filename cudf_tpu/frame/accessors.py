@@ -352,6 +352,20 @@ class DatetimeProperties:
     def round(self, freq):
         return self._wrap(dt_ops.round(self._s._column, freq))
 
+    def as_unit(self, unit):
+        """Change timestamp/duration resolution (pandas Series.dt.as_unit)."""
+        col = self._s._column
+        ts = {"s": dt.TypeId.TIMESTAMP_SECONDS, "ms": dt.TypeId.TIMESTAMP_MILLISECONDS,
+              "us": dt.TypeId.TIMESTAMP_MICROSECONDS, "ns": dt.TypeId.TIMESTAMP_NANOSECONDS}
+        dur = {"s": dt.TypeId.DURATION_SECONDS, "ms": dt.TypeId.DURATION_MILLISECONDS,
+               "us": dt.TypeId.DURATION_MICROSECONDS, "ns": dt.TypeId.DURATION_NANOSECONDS}
+        tid = (ts if col.dtype.is_timestamp else dur)[unit]
+        out = unary.cast(col, dt.DType(tid))
+        if col.dtype.tz is not None:
+            out = Column(dt.DType(tid, tz=col.dtype.tz), out.length,
+                         data=out.data, validity=out.validity)
+        return self._wrap(out)
+
     def strftime(self, fmt):
         return Series(self._s.to_pandas().dt.strftime(fmt).tolist(),
                       index=self._s._index, name=self._s.name)
