@@ -88,8 +88,11 @@ def generate(scale: float = 0.01, seed: int = 0):
         "l_discount": np.round(rng.uniform(0.0, 0.1, n_li), 2),
         "l_tax": np.round(rng.uniform(0.0, 0.08, n_li), 2),
         "l_returnflag": rng.choice(_FLAGS, n_li),
+        "l_shipmode": rng.choice(["MAIL", "SHIP", "AIR", "TRUCK"], n_li),
         "l_linestatus": rng.choice(_STATUS, n_li),
         "l_shipdate": _dates(rng, n_li),
+        "l_commitdate": _dates(rng, n_li),
+        "l_receiptdate": _dates(rng, n_li),
     })
     return {
         "lineitem": lineitem, "orders": orders, "customer": customer,
@@ -245,6 +248,77 @@ def q10(tables, mesh=None):
     return plan.collect(mesh=mesh)
 
 
+def q4(tables, mesh=None):
+    """Order priority checking (reference: ndsh/q04) — semi-join against
+    late lineitems, count orders per priority."""
+    o = from_dataframe(tables["orders"])
+    li = from_dataframe(tables["lineitem"])
+    lo = np.datetime64("1993-07-01")
+    hi = np.datetime64("1993-10-01")
+    late = li.filter(col("l_commitdate") < col("l_receiptdate"))
+    plan = (
+        o.filter((col("o_orderdate") >= lit(lo)) & (col("o_orderdate") < lit(hi)))
+        .join(late, left_on="o_orderkey", right_on="l_orderkey", how="semi")
+        .group_by("o_orderpriority")
+        .agg(col("o_orderkey").count().alias("order_count"))
+        .sort("o_orderpriority")
+    )
+    return plan.collect(mesh=mesh)
+
+
+def q12(tables, mesh=None):
+    """Shipping modes and order priority (reference: ndsh/q12) — CASE
+    aggregation via when/then/otherwise."""
+    o = from_dataframe(tables["orders"])
+    li = from_dataframe(tables["lineitem"])
+    lo = np.datetime64("1994-01-01")
+    hi = np.datetime64("1995-01-01")
+    high = (col("o_orderpriority") == lit("1-URGENT")) | (
+        col("o_orderpriority") == lit("2-HIGH"))
+    plan = (
+        li.filter(col("l_shipmode").is_in(["MAIL", "SHIP"])
+                  & (col("l_commitdate") < col("l_receiptdate"))
+                  & (col("l_shipdate") < col("l_commitdate"))
+                  & (col("l_receiptdate") >= lit(lo))
+                  & (col("l_receiptdate") < lit(hi)))
+        .join(o, left_on="l_orderkey", right_on="o_orderkey")
+        .with_columns(
+            when(high).then(lit(1)).otherwise(lit(0)).alias("high_line"),
+            when(~high).then(lit(1)).otherwise(lit(0)).alias("low_line"),
+        )
+        .group_by("l_shipmode")
+        .agg(col("high_line").sum().alias("high_line_count"),
+             col("low_line").sum().alias("low_line_count"))
+        .sort("l_shipmode")
+    )
+    return plan.collect(mesh=mesh)
+
+
+def q14(tables, mesh=None):
+    """Promotion effect (reference: ndsh/q14) — promo revenue share.
+    (Generated p_type domain is finite, so the PROMO% prefix test reduces
+    to one equality.)"""
+    li = from_dataframe(tables["lineitem"])
+    p = from_dataframe(tables["part"])
+    lo = np.datetime64("1995-09-01")
+    hi = np.datetime64("1995-10-01")
+    plan = (
+        li.filter((col("l_shipdate") >= lit(lo)) & (col("l_shipdate") < lit(hi)))
+        .join(p, left_on="l_partkey", right_on="p_partkey")
+        .with_columns((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                      .alias("rev"))
+        .with_columns(
+            when(col("p_type") == lit("PROMO BURNISHED NICKEL"))
+            .then(col("rev")).otherwise(lit(0.0)).alias("promo_rev"))
+        .agg(col("promo_rev").sum().alias("promo"),
+             col("rev").sum().alias("total"))
+    )
+    out = plan.collect(mesh=mesh)
+    promo = float(out.to_pandas()["promo"][0])
+    total = float(out.to_pandas()["total"][0])
+    return 100.0 * promo / total if total else 0.0
+
+
 def pandas_reference(tables, query: str):
     """Same query in pandas for differential validation."""
     import pandas as pd
@@ -296,6 +370,37 @@ def pandas_reference(tables, query: str):
         df["amount"] = df.l_extendedprice * (1 - df.l_discount) - 10.0 * df.l_quantity
         return (df.groupby("n_name").agg(sum_profit=("amount", "sum"))
                 .reset_index().sort_values("n_name").reset_index(drop=True))
+    if query == "q4":
+        o = t["orders"]; li = t["lineitem"]
+        lo, hi = pd.Timestamp("1993-07-01"), pd.Timestamp("1993-10-01")
+        late = li[li.l_commitdate < li.l_receiptdate]
+        sel = o[(o.o_orderdate >= lo) & (o.o_orderdate < hi)]
+        sel = sel[sel.o_orderkey.isin(late.l_orderkey)]
+        return (sel.groupby("o_orderpriority")
+                .agg(order_count=("o_orderkey", "count")).reset_index()
+                .sort_values("o_orderpriority").reset_index(drop=True))
+    if query == "q12":
+        o = t["orders"]; li = t["lineitem"]
+        lo, hi = pd.Timestamp("1994-01-01"), pd.Timestamp("1995-01-01")
+        m = (li.l_shipmode.isin(["MAIL", "SHIP"])
+             & (li.l_commitdate < li.l_receiptdate)
+             & (li.l_shipdate < li.l_commitdate)
+             & (li.l_receiptdate >= lo) & (li.l_receiptdate < hi))
+        df = li[m].merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        high = df.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+        df = df.assign(high_line=high.astype(int), low_line=(~high).astype(int))
+        return (df.groupby("l_shipmode")
+                .agg(high_line_count=("high_line", "sum"),
+                     low_line_count=("low_line", "sum")).reset_index()
+                .sort_values("l_shipmode").reset_index(drop=True))
+    if query == "q14":
+        li = t["lineitem"]; p = t["part"]
+        lo, hi = pd.Timestamp("1995-09-01"), pd.Timestamp("1995-10-01")
+        df = li[(li.l_shipdate >= lo) & (li.l_shipdate < hi)].merge(
+            p, left_on="l_partkey", right_on="p_partkey")
+        rev = df.l_extendedprice * (1 - df.l_discount)
+        promo = rev[df.p_type == "PROMO BURNISHED NICKEL"].sum()
+        return 100.0 * promo / rev.sum() if rev.sum() else 0.0
     if query == "q3":
         c = t["customer"]; o = t["orders"]; li = t["lineitem"]
         cutoff = pd.Timestamp("1995-03-15")

@@ -14,8 +14,9 @@ def tpch_queries():
     """The TPC-H LazyFrame plans (benchmarks/tpch.py)."""
     from benchmarks import tpch
 
-    return {"q1": tpch.q1, "q3": tpch.q3, "q5": tpch.q5, "q6": tpch.q6,
-            "q9": tpch.q9, "q10": tpch.q10, "generate": tpch.generate}
+    return {"q1": tpch.q1, "q3": tpch.q3, "q4": tpch.q4, "q5": tpch.q5,
+            "q6": tpch.q6, "q9": tpch.q9, "q10": tpch.q10, "q12": tpch.q12,
+            "q14": tpch.q14, "generate": tpch.generate}
 
 
 __all__ = ["g1_groupby_pipeline", "j1_join_pipeline", "tpch_queries"]

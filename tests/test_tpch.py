@@ -77,3 +77,21 @@ def test_q10_partitioned(tables):
     expect = tpch.pandas_reference(tables, "q10")
     np.testing.assert_allclose(got["revenue"].to_numpy(),
                                expect["revenue"].to_numpy(), rtol=1e-9)
+
+
+def test_q4(tables):
+    got = tpch.q4(tables).to_pandas()
+    expect = tpch.pandas_reference(tables, "q4")
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_q12(tables):
+    got = tpch.q12(tables).to_pandas()
+    expect = tpch.pandas_reference(tables, "q12")
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_q14(tables):
+    got = tpch.q14(tables)
+    expect = tpch.pandas_reference(tables, "q14")
+    assert abs(got - expect) < 1e-9
