@@ -587,7 +587,13 @@ def _coerce_value(v: Any, dtype: DType):
             return v.astype(dtype.to_numpy()).astype(np.int64)
         tname = type(v).__name__
         if tname in ("Timestamp", "Timedelta"):
-            return np.int64(v.value)  # pandas scalars carry ns ticks
+            # pandas scalars carry ns ticks; rescale to the column's unit
+            ns = np.int64(v.value)
+            unit = dtype.time_unit or "ns"
+            per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+            if per_sec == 10**9:
+                return ns
+            return np.int64(ns // (10**9 // per_sec))
         import datetime as _datetime
 
         if isinstance(v, _datetime.datetime):

@@ -29,6 +29,11 @@ SMOKE = [
     "tests/frame/methods/test_rename.py",
     "tests/series/methods/test_isin.py",
     "tests/series/methods/test_round.py",
+    "tests/series/methods/test_dropna.py",
+    "tests/series/methods/test_diff.py",
+    "tests/frame/methods/test_shift.py",
+    "tests/series/methods/test_quantile.py",
+    "tests/frame/methods/test_drop_duplicates.py",
 ]
 
 
