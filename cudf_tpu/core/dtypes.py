@@ -391,7 +391,8 @@ _STR_ALIASES = {
     "unicode": STRING,
     "category": dictionary_dtype(STRING),
     "bool": BOOL8,
-    "boolean": BOOL8,
+    # pandas: the string "boolean" names the NULLABLE extension dtype
+    "boolean": DType(TypeId.BOOL8, nullable=True),
     "int": INT64,
     "uint": UINT64,
     "float": FLOAT64,

@@ -551,10 +551,42 @@ class Series:
         return reductions.nunique(self._column, dropna)
 
     def quantile(self, q=0.5, interpolation="linear"):
-        out = reductions.quantile(self._column, q, interpolation)
+        import pandas as pd
+
+        col = self._column
+        temporal = col.dtype.is_temporal
+        if temporal:
+            # quantile over ticks, back to Timestamp/Timedelta (pandas:
+            # datetime quantiles interpolate on the tick grid)
+            col = Column(dt.INT64, col.length, data=col.data.astype(jnp.int64),
+                         validity=col.validity)
+        out = reductions.quantile(col, q, interpolation)
+
+        def fix(v):
+            missing = v is None or (isinstance(v, float) and np.isnan(v))
+            if temporal:
+                if missing:
+                    return pd.NaT
+                unit = self.dtype.time_unit or "ns"
+                iv = int(round(v))
+                if self.dtype.is_timestamp:
+                    return pd.Timestamp(np.datetime64(iv, unit))
+                return pd.Timedelta(np.timedelta64(iv, unit))
+            if missing and (self.dtype.nullable or self.dtype.arrow):
+                return pd.NA
+            return v
+
         if np.isscalar(q):
-            return out
-        return Series(out, index=Index(list(np.atleast_1d(q))), name=self.name)
+            return fix(out)
+        vals = [fix(v) for v in np.atleast_1d(np.asarray(out)).tolist()]
+        s = Series(vals, index=Index(list(np.atleast_1d(q))), name=self.name)
+        if (self.dtype.nullable or self.dtype.arrow) and s.dtype.is_float:
+            s._column = Column(
+                dt.DType(s._column.dtype.id, nullable=self.dtype.nullable,
+                         arrow=self.dtype.arrow),
+                s._column.length, data=s._column.data,
+                validity=s._column.validity)
+        return s
 
     def idxmin(self):
         pos = reductions.argmin(self._column)
@@ -767,11 +799,32 @@ class Series:
         return out
 
     def isin(self, values) -> "Series":
-        vals = as_column(list(values)) if not isinstance(values, (Series, Column)) else (
-            values._column if isinstance(values, Series) else values
-        )
-        mask = search_ops.contains(vals, self._column)
-        return Series._from(Column(dt.BOOL8, len(self), data=mask), self._index, self.name)
+        has_na = False
+        if not isinstance(values, (Series, Column)):
+            import pandas as pd
+
+            values = list(values)
+            # pandas: a null element matches only the *exact* NA marker of
+            # the masked family (pd.NA) — nan/NaT/None do not match NA
+            has_na = any(v is pd.NA for v in values)
+            nonnull = [v for v in values if not _is_null(v)]
+            vals = as_column(nonnull) if nonnull else None
+        else:
+            vals = values._column if isinstance(values, Series) else values
+            if vals.validity is not None:
+                has_na = bool(jnp.any(~vals.validity))
+        if vals is None:
+            mask = jnp.zeros((len(self),), jnp.bool_)
+        else:
+            mask = search_ops.contains(vals, self._column)
+        # pandas: NA elements match iff NA is among the values
+        if self._column.validity is not None:
+            mask = jnp.where(self._column.validity, mask, has_na)
+        out_dtype = (dt.DType(dt.TypeId.BOOL8, nullable=self.dtype.nullable,
+                              arrow=self.dtype.arrow)
+                     if (self.dtype.nullable or self.dtype.arrow) else dt.BOOL8)
+        return Series._from(Column(out_dtype, len(self), data=mask),
+                            self._index, self.name)
 
     def between(self, left, right, inclusive="both"):
         lo = self >= left if inclusive in ("both", "left") else self > left
