@@ -848,8 +848,24 @@ class Series:
     # ------------------------------------------------------------------
     # transforms
     # ------------------------------------------------------------------
-    def astype(self, dtype_) -> "Series":
-        return Series._from(unary.cast(self._column, dt.dtype(dtype_)), self._index, self.name)
+    def astype(self, dtype_, errors="raise") -> "Series":
+        target = dt.dtype(dtype_)
+        col = self._column
+        if errors == "raise" and target.is_integer and not target.nullable:
+            # pandas astype: lossy NA/inf -> int conversions raise
+            bad = col.null_count > 0
+            if not bad and col.dtype.is_float:
+                bad = bool(jnp.any(~jnp.isfinite(col.data)))
+            if bad:
+                raise ValueError(
+                    "Cannot convert non-finite values (NA or inf) to integer")
+        try:
+            out = unary.cast(col, target)
+        except Exception:
+            if errors == "ignore":
+                return self.copy()
+            raise
+        return Series._from(out, self._index, self.name)
 
     def where(self, cond, other=None) -> "Series":
         condcol = cond._column if isinstance(cond, Series) else as_column(cond)

@@ -34,6 +34,7 @@ SMOKE = [
     "tests/frame/methods/test_shift.py",
     "tests/series/methods/test_quantile.py",
     "tests/frame/methods/test_drop_duplicates.py",
+    "tests/series/methods/test_astype.py",
 ]
 
 
