@@ -27,6 +27,10 @@ class Index:
                 self._column = data._column
                 name = name if name is not None else data.name
             else:
+                if name is None and hasattr(data, "name") and not isinstance(
+                        data, (str, bytes)):
+                    # keep pandas Index/Series names through conversion
+                    name = data.name
                 self._column = _to_index_column(data, dtype)
         self.name = name
 
