@@ -332,13 +332,24 @@ class DataFrame:
             out[k] = v(out) if callable(v) else v
         return out
 
-    def rename(self, mapper=None, columns=None, index=None, **kw) -> "DataFrame":
+    def rename(self, mapper=None, columns=None, index=None, axis=0, **kw) -> "DataFrame":
+        if mapper is not None:
+            if axis in (1, "columns"):
+                columns = mapper
+            else:
+                index = mapper
         out = self.copy()
-        if columns:
-            m = columns if isinstance(columns, dict) else {c: columns(c) for c in self._table.names}
+        if columns is not None:
+            m = columns if isinstance(columns, dict) else {
+                c: columns(c) for c in self._table.names}
             out._table = out._table.rename(m)
-        if index:
-            raise NotImplementedError("index rename")
+        if index is not None:
+            # index relabeling is label metadata: map on host
+            labels = self._index.to_pandas().tolist()
+            fn = (index.get if isinstance(index, dict) else index)
+            new = [fn(l) if not isinstance(index, dict) else index.get(l, l)
+                   for l in labels]
+            out._index = Index(new, name=self._index.name)
         return out
 
     def drop(self, labels=None, axis=0, columns=None, index=None, errors="raise") -> "DataFrame":

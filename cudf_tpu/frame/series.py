@@ -147,6 +147,13 @@ class Series:
         return Series._from(self._column.copy(), self._index.copy(), self.name)
 
     def rename(self, name=None, **kw) -> "Series":
+        if callable(name) or isinstance(name, dict):
+            # mapping/callable relabels the INDEX (pandas Series.rename)
+            labels = self._index.to_pandas().tolist()
+            new = [name.get(l, l) if isinstance(name, dict) else name(l)
+                   for l in labels]
+            return Series._from(self._column,
+                                Index(new, name=self._index.name), self.name)
         return Series._from(self._column, self._index, name)
 
     # ------------------------------------------------------------------
