@@ -537,8 +537,28 @@ class DataFrame:
     def replace(self, to_replace, value=None):
         return self._per_column(lambda s: s.replace(to_replace, value))
 
-    def shift(self, periods=1):
-        return self._per_column(lambda s: s.shift(periods))
+    def shift(self, periods=1, freq=None, axis=0, fill_value=None):
+        if freq is not None:
+            import pandas as pd
+
+            idx = self._index.to_pandas().shift(periods, freq=freq)
+            out = self.copy()
+            out._index = Index(pd.Series(idx), name=self._index.name)
+            return out
+        if axis in (1, "columns"):
+            # column-axis shift: realign columns positionally
+            names = list(self._table.names)
+            cols = {}
+            for i, n in enumerate(names):
+                j = i - periods
+                if 0 <= j < len(names):
+                    src = self._table[names[j]]
+                    cols[n] = src
+                else:
+                    cols[n] = Column.full(len(self), None,
+                                          dtype=self._table[n].dtype)
+            return DataFrame._from(Table(cols), self._index)
+        return self._per_column(lambda s: s.shift(periods, fill_value=fill_value))
 
     def diff(self, periods=1):
         return self._per_column(lambda s: s.diff(periods))

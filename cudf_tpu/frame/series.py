@@ -657,7 +657,15 @@ class Series:
     def _nan_null(self):
         return replace_ops.nans_to_nulls(self._column) if self.dtype.is_float else self._column
 
-    def shift(self, periods=1, fill_value=None):
+    def shift(self, periods=1, freq=None, fill_value=None):
+        if freq is not None:
+            # freq shift moves the INDEX, values stay aligned (pandas)
+            import pandas as pd
+
+            idx = self._index.to_pandas().shift(periods, freq=freq)
+            return Series._from(self._column, Index(pd.Series(idx),
+                                                    name=self._index.name),
+                                self.name)
         return Series._from(copying.shift(self._column, periods, fill_value), self._index, self.name)
 
     def diff(self, periods=1):
