@@ -768,10 +768,18 @@ class Series:
         order = sort_ops.sorted_order([self._index._column], [ascending], "last")
         return self.take(order)
 
-    def nlargest(self, n=5):
+    def _check_n_selectable(self, n):
+        if not (self.dtype.is_numeric or self.dtype.is_bool or self.dtype.is_temporal):
+            raise TypeError(
+                f"Cannot use method 'nlargest/nsmallest' with dtype {self.dtype}")
+        return max(int(n), 0)  # pandas: n <= 0 selects nothing
+
+    def nlargest(self, n=5, keep="first"):
+        n = self._check_n_selectable(n)
         return self.sort_values(ascending=False).head(n)
 
-    def nsmallest(self, n=5):
+    def nsmallest(self, n=5, keep="first"):
+        n = self._check_n_selectable(n)
         return self.sort_values(ascending=True).head(n)
 
     def unique(self):

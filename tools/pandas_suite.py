@@ -35,6 +35,7 @@ SMOKE = [
     "tests/series/methods/test_quantile.py",
     "tests/frame/methods/test_drop_duplicates.py",
     "tests/series/methods/test_astype.py",
+    "tests/series/methods/test_nlargest.py",
 ]
 
 
