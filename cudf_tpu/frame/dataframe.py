@@ -747,11 +747,11 @@ class DataFrame:
         order = sort_ops.sorted_order([self._index._column], [ascending], "last")
         return self.take(order)
 
-    def nlargest(self, n, columns):
-        return self.sort_values(columns, ascending=False).head(n)
+    def nlargest(self, n, columns, keep="first"):
+        return self.sort_values(columns, ascending=False).head(max(int(n), 0))
 
-    def nsmallest(self, n, columns):
-        return self.sort_values(columns, ascending=True).head(n)
+    def nsmallest(self, n, columns, keep="first"):
+        return self.sort_values(columns, ascending=True).head(max(int(n), 0))
 
     def drop_duplicates(self, subset=None, keep="first", ignore_index=False):
         names = [subset] if isinstance(subset, str) else list(subset or self._table.names)
