@@ -36,6 +36,11 @@ SMOKE = [
     "tests/frame/methods/test_drop_duplicates.py",
     "tests/series/methods/test_astype.py",
     "tests/series/methods/test_nlargest.py",
+    "tests/series/methods/test_duplicated.py",
+    "tests/series/methods/test_unique.py",
+    "tests/series/methods/test_searchsorted.py",
+    "tests/series/methods/test_pct_change.py",
+    "tests/series/methods/test_between.py",
 ]
 
 
