@@ -225,6 +225,16 @@ class Series:
         if reflect:
             lhs, rhs = rhs, lhs
         out = binaryop.binary_operation(lhs, rhs, op)
+        # pandas numpy-dtype comparison semantics: missing values (NaN)
+        # compare False (True for !=), never null.  Nullable/arrow
+        # extension dtypes keep propagating NA.
+        if op in ("eq", "ne", "lt", "gt", "le", "ge") and out.validity is not None:
+            ext = self.dtype.nullable or self.dtype.arrow or (
+                isinstance(other, Series) and (other.dtype.nullable or other.dtype.arrow))
+            if not ext:
+                fill = jnp.asarray(op == "ne")
+                out = out.__class__(out.dtype, out.length,
+                                    data=jnp.where(out.validity, out.data, fill))
         name = self.name if not isinstance(other, Series) or other.name == self.name else None
         return Series._from(out, index, name)
 
@@ -720,7 +730,7 @@ class Series:
         pos = sc.filter_indices(v)
         return self._index[int(pos[-1])] if pos.shape[0] else None
 
-    def ewm(self, com=None, span=None, halflife=None, alpha=None, adjust=True):
+    def ewm(self, com=None, span=None, halflife=None, alpha=None, adjust=True, ignore_na=False):
         if alpha is None:
             if com is not None:
                 alpha = 1.0 / (1.0 + com)
@@ -730,7 +740,7 @@ class Series:
                 alpha = 1.0 - np.exp(-np.log(2.0) / halflife)
         from cudf_tpu.frame.window import EWM
 
-        return EWM(self, alpha, adjust)
+        return EWM(self, alpha, adjust, ignore_na)
 
     def rank(self, method="average", ascending=True, na_option="keep", pct=False):
         col = sort_ops.rank(self._nan_null(), method, ascending, na_option, pct)

@@ -207,10 +207,11 @@ def _sliding_minmax(x: jnp.ndarray, valid: jnp.ndarray, w: int, which: str) -> j
 
 
 class EWM:
-    def __init__(self, obj, alpha: float, adjust: bool = True):
+    def __init__(self, obj, alpha: float, adjust: bool = True, ignore_na: bool = False):
         self._obj = obj
         self._alpha = float(alpha)
         self._adjust = adjust
+        self._ignore_na = ignore_na
 
     def mean(self):
         from cudf_tpu.ops.scan import ewm_mean
@@ -220,7 +221,7 @@ class EWM:
             col = self._obj._column
             if col.dtype.is_float:
                 col = nans_to_nulls(col)
-            out = ewm_mean(col, self._alpha, self._adjust)
+            out = ewm_mean(col, self._alpha, self._adjust, ignore_na=self._ignore_na)
             return Series._from(out, self._obj._index, self._obj.name)
         from cudf_tpu.frame.dataframe import DataFrame
         from cudf_tpu.core.table import Table
@@ -229,7 +230,7 @@ class EWM:
         for n in self._obj._table.names:
             s = self._obj[n]
             if s.dtype.is_numeric:
-                cols[n] = EWM(s, self._alpha, self._adjust).mean()._column
+                cols[n] = EWM(s, self._alpha, self._adjust, self._ignore_na).mean()._column
         return DataFrame._from(Table(cols), self._obj._index)
 
 

@@ -90,7 +90,7 @@ def read_column_chunk(path: str, meta: thrift.ColumnChunkMeta, nullable: bool = 
     with open(path, "rb") as f:
         start = meta.dictionary_page_offset or meta.data_page_offset
         f.seek(start)
-        raw = f.read(meta.total_compressed_size + 1 << 16)
+        raw = f.read(meta.total_compressed_size + (1 << 16))
 
     pos = 0
     dictionary = None

@@ -53,13 +53,26 @@ def _compile_and_load():
     os.makedirs(outdir, exist_ok=True)
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
     out = os.path.join(outdir, "_tpudf_native" + suffix)
-    if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+    # Rebuild whenever the source hash changes: a stale or foreign .so is
+    # never loaded (the hash stamp ties the binary to the reviewed source).
+    import hashlib
+
+    with open(src, "rb") as f:
+        src_hash = hashlib.sha256(f.read()).hexdigest()
+    stamp = out + ".hash"
+    have = None
+    if os.path.exists(stamp):
+        with open(stamp) as f:
+            have = f.read().strip()
+    if not os.path.exists(out) or have != src_hash:
         include = sysconfig.get_paths()["include"]
         cmd = [
             "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
             f"-I{include}", src, "-o", out,
         ]
         subprocess.run(cmd, check=True, capture_output=True)
+        with open(stamp, "w") as f:
+            f.write(src_hash)
     spec = importlib.util.spec_from_file_location("_tpudf_native", out)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)

@@ -67,9 +67,16 @@ def binary_operation(lhs: ColumnOrScalar, rhs: ColumnOrScalar, op: str) -> Colum
         raise TypeError("at least one operand must be a Column")
     n = lhs.length if lhs_col else rhs.length
 
-    # scalar null → all-null result
-    if (not lhs_col and _is_null(lhs) and not (rhs_col and rhs.dtype.is_float and op in _COMPARISONS)) or (
-        not rhs_col and _is_null(rhs)
+    # scalar null → all-null result.  Exemption (both operand orders): a
+    # float NaN scalar compared against a float column is a real float
+    # comparison (pandas: NaN == x is False, not null).
+    def _nan_cmp_exempt(scalar, other):
+        return (isinstance(scalar, float) and scalar != scalar
+                and isinstance(other, Column) and other.dtype.is_float
+                and op in _COMPARISONS)
+
+    if (not lhs_col and _is_null(lhs) and not _nan_cmp_exempt(lhs, rhs)) or (
+        not rhs_col and _is_null(rhs) and not _nan_cmp_exempt(rhs, lhs)
     ):
         if _is_null(lhs if not lhs_col else rhs):
             out_dtype = dt.BOOL8 if op in _COMPARISONS or op in _LOGICAL else (

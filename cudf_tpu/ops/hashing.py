@@ -143,37 +143,71 @@ _P4 = _U64(0x85EBCA77C2B2AE63)
 _P5 = _U64(0x27D4EB2F165667C5)
 
 
-def _xxh64_small(b, lens, seed: int):
-    """xxhash64 small-input path (< 32 bytes) over byte matrix b[n, m]."""
+def _xxh64_rows(b, lens, seed: int):
+    """Spec-exact xxhash64 over byte matrix b[n, m] with per-row lengths.
+
+    Rows with len >= 32 run the 4-accumulator stripe loop (xxh64 spec;
+    reference cpp/src/hash/xxhash_64.cu), shorter rows start from
+    seed + P5; both converge into the shared 8/4/1-byte tail."""
     n, m = b.shape
     if m % 8:
         b = jnp.pad(b, ((0, 0), (0, 8 - m % 8)))
     m8 = b.shape[1]
     lens64 = lens.astype(jnp.int64)
-    acc = _U64(seed) + _P5 + lens64.astype(_U64)
     b64 = b.astype(_U64)
-    # 8-byte lanes
-    for j in range(m8 // 8):
+
+    def load64(start):
         k1 = _U64(0)
         for k in range(8):
-            k1 = k1 | (b64[:, 8 * j + k] << _U64(8 * k))
-        use = lens64 >= (j + 1) * 8
-        k1r = _rotl64(k1 * _P2, 31) * _P1
+            k1 = k1 | (b64[:, start + k] << _U64(8 * k))
+        return k1
+
+    def xround(v, k1):
+        return _rotl64(v + k1 * _P2, 31) * _P1
+
+    stripe_end = (lens64 // 32) * 32
+    # stripe loop: 4 accumulators over 32-byte stripes
+    if m8 >= 32:
+        v1 = jnp.full((n,), _U64(seed) + _P1 + _P2, _U64)
+        v2 = jnp.full((n,), _U64(seed) + _P2, _U64)
+        v3 = jnp.full((n,), _U64(seed), _U64)
+        v4 = jnp.full((n,), _U64(seed) - _P1, _U64)
+        for s in range(m8 // 32):
+            use = lens64 >= (s + 1) * 32
+            v1 = jnp.where(use, xround(v1, load64(32 * s)), v1)
+            v2 = jnp.where(use, xround(v2, load64(32 * s + 8)), v2)
+            v3 = jnp.where(use, xround(v3, load64(32 * s + 16)), v3)
+            v4 = jnp.where(use, xround(v4, load64(32 * s + 24)), v4)
+        h_big = (_rotl64(v1, 1) + _rotl64(v2, 7)
+                 + _rotl64(v3, 12) + _rotl64(v4, 18))
+        for v in (v1, v2, v3, v4):  # merge rounds
+            h_big = (h_big ^ xround(jnp.zeros((n,), _U64), v)) * _P1 + _P4
+        acc = jnp.where(lens64 >= 32, h_big, _U64(seed) + _P5)
+    else:
+        acc = jnp.full((n,), _U64(seed) + _P5, _U64)
+    acc = acc + lens64.astype(_U64)
+    # tail over bytes in [stripe_end, len)
+    end8 = stripe_end + ((lens64 - stripe_end) // 8) * 8
+    # 8-byte lanes
+    for j in range(m8 // 8):
+        p = 8 * j
+        use = (p >= stripe_end) & (p + 8 <= lens64)
+        k1r = _rotl64(load64(p) * _P2, 31) * _P1
         upd = _rotl64(acc ^ k1r, 27) * _P1 + _P4
         acc = jnp.where(use, upd, acc)
     # one 4-byte lane
     for j4 in range(m8 // 4):
-        start = j4 * 4
-        use = (lens64 - (lens64 // 8) * 8 >= 4) & (start == (lens64 // 8) * 8)
+        p = j4 * 4
+        use = (p == end8) & (p + 4 <= lens64)
         k1 = _U64(0)
         for k in range(4):
-            k1 = k1 | (b64[:, start + k] << _U64(8 * k))
+            k1 = k1 | (b64[:, p + k] << _U64(8 * k))
         upd = _rotl64(acc ^ (k1 * _P1), 23) * _P2 + _P3
         acc = jnp.where(use, upd, acc)
     # trailing bytes
+    done4 = end8 + jnp.where(lens64 - end8 >= 4, 4, 0)
     for pos in range(m8):
-        done8 = (jnp.minimum(lens64, (lens64 // 8) * 8 + ((lens64 % 8) // 4) * 4))
-        use = (pos >= done8) & (pos < lens64)
+        use = (pos >= done4) & (pos < lens64)
         upd = _rotl64(acc ^ (b64[:, pos] * _P5), 11) * _P1
         acc = jnp.where(use, upd, acc)
     acc = acc ^ (acc >> _U64(33))
@@ -187,20 +221,15 @@ def _xxh64_small(b, lens, seed: int):
 def xxhash_64(cols: Sequence[Column], seed: int = 0) -> Column:
     """uint64[n] spec-exact xxhash64 row hash (cpp/src/hash/xxhash_64.cu).
 
-    Device path covers elements up to 32 bytes (every fixed-width dtype;
-    strings up to 32 utf8 bytes).  Longer strings raise — use the host
-    ``checksum`` tier for long-blob hashing.
+    All element lengths supported: >= 32-byte elements run the
+    4-accumulator stripe loop, shorter ones the small-input path.
     """
     cols = list(cols)
     n = cols[0].length
     out = None
     for c in cols:
         b, lens = _byte_matrix(c)
-        if b.shape[1] > 32:
-            raise NotImplementedError(
-                "device xxhash_64 covers elements <= 32 bytes; longer strings "
-                "need the stripe loop (planned) or the host checksum tier")
-        h = _xxh64_small(b, lens, seed)
+        h = _xxh64_rows(b, lens, seed)
         if c.validity is not None:
             h = jnp.where(c.validity, h, _U64(0))
         if out is None:

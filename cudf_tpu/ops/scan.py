@@ -85,11 +85,21 @@ def cumcount(col: Column) -> Column:
     return Column(dt.INT64, col.length, data=jnp.cumsum(ones))
 
 
-def ewm_mean(col: Column, alpha: float, adjust: bool = True) -> Column:
+def ewm_mean(col: Column, alpha: float, adjust: bool = True,
+             ignore_na: bool = False) -> Column:
     """Exponentially weighted mean (reference: reductions/scan/ewm.cu).
 
     Expressed as an associative scan over (weighted_sum, weight) pairs —
     the classic linear-recurrence-as-scan trick, TPU-parallel.
+
+    Both ``adjust`` modes share one linear form: the output is a ratio
+    num/den where every row scales both by the decay and valid rows add a
+    weight.  For ``adjust=True`` the added weight is 1; for
+    ``adjust=False`` it is ``alpha`` — except the first valid row, whose
+    weight is 1 (pandas' ``old_wt = 1`` initialization).  Uniform per-row
+    scaling cancels in the ratio, so pandas' per-step renormalization is
+    unnecessary.  ``ignore_na=False`` decays on every row (absolute
+    positions); ``ignore_na=True`` decays only on valid rows.
     """
     x = col.data.astype(jnp.float64)
     valid = col.validity
@@ -99,18 +109,50 @@ def ewm_mean(col: Column, alpha: float, adjust: bool = True) -> Column:
     else:
         had_mask = True
     one_m = 1.0 - alpha
-    # pairs (a, b): state s -> a*s + b ; compose: (a2,b2)∘(a1,b1) = (a1*a2, a2*b1+b2)
-    a = jnp.where(valid, one_m, 1.0)
-    num_b = jnp.where(valid, x, 0.0)
-    den_b = jnp.where(valid, 1.0, 0.0)
+    n = col.length
+    seen_before = jnp.concatenate(
+        [jnp.zeros((1,), jnp.bool_), jnp.cumsum(valid.astype(jnp.int32))[:-1] > 0])
+    xv = jnp.where(valid, x, 0.0)
 
+    # pairs (a, b): state s -> a*s + b ; compose: (a2,b2)∘(a1,b1) = (a1*a2, a2*b1+b2)
     def compose(left, right):
         a1, b1 = left
         a2, b2 = right
         return a1 * a2, a2 * b1 + b2
 
-    _, num = jax.lax.associative_scan(compose, (a, num_b))
-    _, den = jax.lax.associative_scan(compose, (a, den_b))
-    out = num / den
-    validity = valid if had_mask else None
+    if adjust:
+        # ratio of two linear scans: weights decay by (1-alpha) per row
+        # (per valid row for ignore_na=True); each valid row adds weight 1
+        if ignore_na:
+            a = jnp.where(valid, one_m, 1.0)
+        else:
+            a = jnp.full((n,), one_m, jnp.float64)
+        w = jnp.where(valid, 1.0, 0.0)
+        _, num = jax.lax.associative_scan(compose, (a, w * xv))
+        _, den = jax.lax.associative_scan(compose, (a, w))
+        out = num / den
+    else:
+        # adjust=False is the recurrence y <- (1-beta)y + beta*x at each
+        # valid row, where beta = alpha/((1-alpha)^(g+1) + alpha) and g is
+        # the number of invalid rows since the last valid one (pandas'
+        # old_wt decays through gaps for ignore_na=False, then renormalizes
+        # to 1).  Per-row normalization keeps the scan numerically stable —
+        # no denominator needed.  For ignore_na=True, g is always 0 and
+        # beta = alpha.  The first valid row maps to (a=0, b=x).
+        if ignore_na:
+            beta = jnp.full((n,), alpha, jnp.float64)
+        else:
+            pos = jnp.arange(n, dtype=jnp.int64)
+            last_valid = jax.lax.cummax(jnp.where(valid, pos, jnp.int64(-1)))
+            prev_valid = jnp.concatenate(
+                [jnp.full((1,), -1, jnp.int64), last_valid[:-1]])
+            g = (pos - 1 - prev_valid).astype(jnp.float64)
+            w_old = one_m ** (g + 1.0)
+            beta = alpha / (w_old + alpha)
+        a = jnp.where(valid, jnp.where(seen_before, 1.0 - beta, 0.0), 1.0)
+        b = jnp.where(valid, jnp.where(seen_before, beta * xv, xv), 0.0)
+        _, out = jax.lax.associative_scan(compose, (a, b))
+    # pandas carries the running mean through NaN rows; only rows before
+    # the first valid observation are null.
+    validity = (seen_before | valid) if had_mask else None
     return Column(dt.FLOAT64, col.length, data=out, validity=validity)

@@ -36,10 +36,21 @@ def test_scalar_broadcast(rng):
 
 
 def test_string_ops():
+    # pandas object-dtype comparisons: missing compares False, never null
     a = ct.Series(["a", "bb", None])
-    assert (a == "a").tolist() == [True, False, None]
+    assert (a == "a").tolist() == [True, False, False]
     assert (a + "_x").tolist() == ["a_x", "bb_x", None]
-    assert (a < "b").tolist() == [True, False, None]
+    assert (a < "b").tolist() == [True, False, False]
+
+
+def test_nan_scalar_comparisons():
+    # ADVICE r1: NaN-scalar comparisons must be symmetric and pandas-exact
+    p = pd.Series([1.0, np.nan, 3.0])
+    a = ct.Series(p)
+    assert (a == np.nan).tolist() == (p == np.nan).tolist()
+    assert (np.nan == a).tolist() == (p == np.nan).tolist()
+    assert (a != np.nan).tolist() == (p != np.nan).tolist()
+    assert (a == 1.0).tolist() == (p == 1.0).tolist()
 
 
 def test_bool_logic():
