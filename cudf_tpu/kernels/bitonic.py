@@ -1,0 +1,131 @@
+"""In-VMEM bitonic sort over row-major [R, 128] tiles.
+
+TPU-native building block for the radix-partition kernel family
+(reference roles: cub::DeviceRadixSort in cpp/src/sort/sort_radix.cu:69-111
+and the block-level sorts inside cuco-based hash builds).  There is no
+scatter/gather-to-arbitrary-address primitive on the TPU vector core, so
+data-dependent reordering is expressed as a bitonic compare-exchange
+network built from the three movements Mosaic executes at vector speed:
+
+- lane-XOR partner (distance < 128): one static ``take_along_axis`` gather
+  along the 128-lane axis (tpu.DynamicGather with a constant index map);
+- sublane-XOR partner (distance >= 128): two ``pltpu.roll`` along the
+  sublane axis plus a select;
+- direction masks: compile-time constant [R, 128] boolean arrays.
+
+Cost is O(T log^2 T) compare-exchanges fully vectorized over 8x128 VPU
+lanes — the classic depth/width trade that fits a vector machine, where
+a counting-sort permutation (the CUDA choice) would serialize.
+
+Elements are ordered by a single int32 key; an arbitrary number of int32
+rider arrays move with it.  Ties are broken arbitrarily (unstable), which
+is all the radix partition needs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _partner_lane(x, d):
+    """x[p ^ d] for lane distance d (< 128): static lane gather."""
+    r = x.shape[0]
+    c = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
+    return jnp.take_along_axis(x, c ^ d, axis=-1)
+
+
+def _partner_sublane(x, m):
+    """x[(r ^ m), c] for sublane distance m: two rolls + select."""
+    r = x.shape[0]
+    down = pltpu.roll(x, r - m, axis=0)  # brings row r+m to row r
+    up = pltpu.roll(x, m, axis=0)        # brings row r-m to row r
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    take_down = (rows & m) == 0          # lower half of block pairs with +m
+    return jnp.where(take_down, down, up)
+
+
+def bitonic_sort(key, riders=(), ascending: bool = True):
+    """Sort a row-major [R, 128] int32 tile by ``key``; riders follow.
+
+    R must be a power of two.  Returns (key_sorted, riders_sorted...).
+    Runs inside a Pallas kernel (pure jnp/pltpu ops on values).
+    """
+    r, l = key.shape
+    assert l == LANES and (r & (r - 1)) == 0, key.shape
+    n = r * LANES
+    logn = n.bit_length() - 1
+    arrays = [key, *riders]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
+    pos = rows * LANES + cols
+
+    for k in range(1, logn + 1):
+        # ascending iff bit k of position is 0 (standard bitonic schedule)
+        if k == logn:
+            up = jnp.full((r, LANES), ascending, jnp.bool_)
+        else:
+            up = (pos & (1 << k)) == 0
+            if not ascending:
+                up = ~up
+        for j in range(k - 1, -1, -1):
+            d = 1 << j
+            if d < LANES:
+                partners = [_partner_lane(a, d) for a in arrays]
+            else:
+                partners = [_partner_sublane(a, d // LANES) for a in arrays]
+            is_low = (pos & d) == 0
+            pk = partners[0]
+            kk = arrays[0]
+            # keep the smaller at the low slot when ascending.  Expressed in
+            # i1 arithmetic (Mosaic crashes on selects with boolean
+            # operands): the high slot inverts the decision unless keys
+            # tie, in which case both slots act identically (consistent
+            # pairing keeps riders attached to their keys).
+            a_dec = (kk <= pk) == up
+            take_self = a_dec ^ ((~is_low) & (kk != pk))
+            arrays = [jnp.where(take_self, a, p)
+                      for a, p in zip(arrays, partners)]
+    return tuple(arrays)
+
+
+def _sort_kernel(n_riders, key_ref, *rest):
+    rider_refs = rest[:n_riders]
+    out_refs = rest[n_riders:]
+    res = bitonic_sort(key_ref[...], [rr[...] for rr in rider_refs])
+    for o, v in zip(out_refs, res):
+        o[...] = v
+
+
+@partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def tile_sort(key, *riders, tile_rows: int = 512, interpret: bool = False):
+    """Sort each [tile_rows, 128] tile of row-major inputs independently.
+
+    key/riders: int32 arrays of shape [R, 128] with R % tile_rows == 0.
+    Used standalone for tests/benchmarks; the radix partition kernel calls
+    ``bitonic_sort`` inline instead.
+    """
+    r, l = key.shape
+    assert r % tile_rows == 0 and l == LANES
+    grid = (r // tile_rows,)
+    spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    n_r = len(riders)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            partial(_sort_kernel, n_r),
+            grid=grid,
+            in_specs=[spec] * (1 + n_r),
+            out_specs=[spec] * (1 + n_r),
+            out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.int32)] * (1 + n_r),
+            interpret=interpret,
+        )(key, *riders)
+    return tuple(out)

@@ -1,0 +1,97 @@
+"""Radix partition kernel family: bitonic tile sort, partition layout,
+end-to-end dense-key groupby (interpret mode; the driver exercises the
+compiled path on hardware via bench.py)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from cudf_tpu.kernels.bitonic import tile_sort
+from cudf_tpu.kernels.radix_partition import (
+    digit_histogram, partition_layout, radix_groupby_sum_count, SENTINEL,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+@pytest.mark.parametrize("R,TR", [(8, 8), (32, 16), (64, 64)])
+def test_bitonic_tile_sort(rng, R, TR):
+    k = rng.integers(-2**31, 2**31 - 1, (R, 128)).astype(np.int32)
+    k[: R // 2] = rng.integers(0, 4, (R // 2, 128))  # heavy ties
+    v = np.arange(R * 128, dtype=np.int32).reshape(R, 128)
+    ks, vs = tile_sort(jnp.asarray(k), jnp.asarray(v), tile_rows=TR,
+                       interpret=True)
+    ks, vs = np.asarray(ks), np.asarray(vs)
+    for t in range(R // TR):
+        blk = slice(t * TR, (t + 1) * TR)
+        assert (ks[blk].ravel() == np.sort(k[blk].ravel())).all()
+        # riders stay paired with their keys, and form a permutation
+        assert (k.ravel()[vs[blk].ravel()] == ks[blk].ravel()).all()
+        assert (np.sort(vs[blk].ravel())
+                == np.arange(t * TR * 128, (t + 1) * TR * 128)).all()
+
+
+def test_digit_histogram(rng):
+    n, K = 20_000, 600
+    tile_rows = 16
+    keys = rng.integers(0, K, n).astype(np.int32)
+    tile_elems = tile_rows * 128
+    nt = -(-n // tile_elems)
+    pad = nt * tile_elems - n
+    kp = np.concatenate([keys, np.full(pad, SENTINEL, np.int32)])
+    hist = np.asarray(digit_histogram(
+        jnp.asarray(kp.reshape(nt * tile_rows, 128)), nbits=3, shift=7,
+        tile_rows=tile_rows, interpret=True))
+    assert hist.shape == (nt, 8)
+    digits = keys >> 7
+    exp = np.zeros((nt, 8), np.int64)
+    for t in range(nt):
+        seg = digits[t * tile_elems:(t + 1) * tile_elems]
+        exp[t] = np.bincount(seg, minlength=8)[:8]
+    assert (hist == exp).all()
+
+
+def test_partition_layout_invariants(rng):
+    hist = rng.integers(0, 700, (5, 16)).astype(np.int64)
+    dst, lstart, w, base, total = partition_layout(hist, tile_rows=64,
+                                                   chunk_rows=2,
+                                                   region_align_rows=8)
+    assert (w >= 2).all()
+    # runs within a bucket are disjoint and inside the bucket region
+    for b in range(16):
+        assert dst[0, b] >= base[b]
+        assert dst[-1, b] + w[-1, b] <= base[b + 1]
+        for t in range(1, 5):
+            assert dst[t, b] >= dst[t - 1, b] + w[t - 1, b]
+    assert total == base[-1]
+    assert total % 8 == 0
+
+
+@pytest.mark.parametrize("n,K", [(50_000, 1000), (150_000, 60_000),
+                                 (60_000, 7), (64_000, 1_000_000)])
+def test_radix_groupby_sum_count(rng, n, K):
+    keys = rng.integers(0, K, n).astype(np.int32)
+    vals = rng.normal(size=n).astype(np.float32)
+    s, c = radix_groupby_sum_count(jnp.asarray(keys), jnp.asarray(vals), K,
+                                   tile_rows=32, chunk_rows=2, agg_rows=8,
+                                   interpret=True)
+    s, c = np.asarray(s), np.asarray(c)
+    assert (c == np.bincount(keys, minlength=K)).all()
+    exp_s = np.bincount(keys, weights=vals.astype(np.float64), minlength=K)
+    np.testing.assert_allclose(s, exp_s, rtol=1e-4, atol=1e-3)
+
+
+def test_radix_groupby_skew(rng):
+    # adversarial skew: 90% of rows in one key — exact counts, no drops
+    n, K = 80_000, 50_000
+    keys = np.where(rng.random(n) < 0.9, 17, rng.integers(0, K, n)).astype(np.int32)
+    vals = np.ones(n, np.float32)
+    s, c = radix_groupby_sum_count(jnp.asarray(keys), jnp.asarray(vals), K,
+                                   tile_rows=32, chunk_rows=2, agg_rows=8,
+                                   interpret=True)
+    assert (np.asarray(c) == np.bincount(keys, minlength=K)).all()
+    np.testing.assert_allclose(np.asarray(s),
+                               np.bincount(keys, minlength=K), rtol=1e-5)
