@@ -494,25 +494,30 @@ def _try_onehot_fast_path(keys: Table, values, dropna: bool):
         K = key.children[0].length
         key_values = key.children[0]
     elif key.dtype.is_integer:
-        import numpy as _np
-
         lo = int(jnp.min(key.data)) if key.length else 0
         hi = int(jnp.max(key.data)) if key.length else 0
         K = hi - lo + 1
-        if K <= 0 or K > 4096:
+        if K <= 0 or K > (1 << 27):
             return None
         codes = (key.data - lo).astype(jnp.int32)
         key_values = None
         key_lo = lo
     else:
         return None
-    if K > 4096:
+    # tier decision (the hash-vs-sort dispatch of groupby.cu:54-69):
+    # small K -> single-pass one-hot MXU; large K -> radix partition +
+    # windowed aggregation (kernels/radix_partition.py, sum/count only)
+    radix_tier = K > 4096
+    if K > (1 << 27):
         return None
-    supported = {"sum", "count", "mean", "min", "max", "size"}
+    supported = ({"sum", "count", "mean", "size"} if radix_tier else
+                 {"sum", "count", "mean", "min", "max", "size"})
     if any(a not in supported or not (c.dtype.is_numeric or c.dtype.is_bool)
            for _, c, a in values):
         return None
     from cudf_tpu.kernels.hash_aggregate import onehot_groupby_aggregate
+    from cudf_tpu.kernels.radix_partition import (SENTINEL,
+                                                  radix_groupby_sum_count)
 
     valid = key.validity if dropna else None
     results: Dict[str, Column] = {}
@@ -520,14 +525,21 @@ def _try_onehot_fast_path(keys: Table, values, dropna: bool):
     for name, col, agg in values:
         v = col.validity
         both = valid if v is None else (v if valid is None else (v & valid))
-        s, c, mn, mx = onehot_groupby_aggregate(
-            codes, col.data.astype(jnp.float32), K, valid=both
-        )
+        if radix_tier:
+            k_in = codes if both is None else jnp.where(
+                both, codes, jnp.int32(SENTINEL))
+            s = c = mn = mx = None
+            s, c = radix_groupby_sum_count(
+                k_in, col.data.astype(jnp.float32), K)
+        else:
+            s, c, mn, mx = onehot_groupby_aggregate(
+                codes, col.data.astype(jnp.float32), K, valid=both
+            )
         occupied = c if occupied is None else jnp.maximum(occupied, c)
         if agg == "sum":
             results[name] = Column(dt.FLOAT64, K, data=s.astype(jnp.float64))
         elif agg in ("count", "size"):
-            results[name] = Column(dt.INT64, K, data=c)
+            results[name] = Column(dt.INT64, K, data=c.astype(jnp.int64))
         elif agg == "mean":
             results[name] = Column(dt.FLOAT64, K,
                                    data=s.astype(jnp.float64) / jnp.maximum(c, 1))

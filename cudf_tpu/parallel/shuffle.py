@@ -9,8 +9,10 @@ max-bucket-capacity design (SURVEY.md §5): each shard scatters its rows
 into a [P, C] padded send buffer per array + a per-destination count
 vector; ``lax.all_to_all`` exchanges buffers over ICI; receivers get
 [P, C] plus true counts and mask out padding.  Capacity C is a static
-overflow budget (rows beyond C would be dropped — callers size C with
-headroom; the eager layer asserts no overflow after the fact).
+overflow budget; every shuffle RETURNS the number of rows it had to
+drop, so jitted callers can detect overflow in-band (psum over shards)
+instead of silently masking — the wrong-answer hazard flagged in
+round 1's review.
 
 All functions here are shard-local (call inside shard_map).
 """
@@ -39,6 +41,15 @@ def key_hash(key: jnp.ndarray) -> jnp.ndarray:
     return _mix64(jax.lax.bitcast_convert_type(key.astype(jnp.int64), jnp.uint64))
 
 
+def row_hash(keys: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Combined uint64 hash over multiple int key columns (the row-hasher
+    role of row_operators.cu for shuffle routing)."""
+    h = jnp.zeros(keys[0].shape, jnp.uint64)
+    for k in keys:
+        h = _mix64(h ^ key_hash(k))
+    return h
+
+
 def bucketize(
     arrays: Sequence[jnp.ndarray],
     valid: jnp.ndarray,
@@ -48,7 +59,9 @@ def bucketize(
 ) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
     """Scatter local rows into [P, C] send buffers by destination partition.
 
-    Invalid rows are parked in no bucket.  Returns (buffers, counts[P]).
+    Invalid rows are parked in no bucket.  Returns (buffers, counts[P],
+    dropped) where ``dropped`` is the number of valid rows beyond the
+    static capacity (0 = lossless shuffle).
     """
     n = pids.shape[0]
     pids = jnp.where(valid, pids.astype(jnp.int32), num_parts)  # invalid → overflow row
@@ -67,8 +80,9 @@ def bucketize(
         buf = jnp.zeros((num_parts + 1, capacity) + a.shape[1:], a.dtype)
         buf = buf.at[dest_p, dest_s].set(src)
         bufs.append(buf[:num_parts])
+    dropped = jnp.sum(jnp.maximum(counts - capacity, 0))
     counts = jnp.minimum(counts, capacity)
-    return bufs, counts
+    return bufs, counts, dropped
 
 
 def exchange(

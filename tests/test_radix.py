@@ -95,3 +95,38 @@ def test_radix_groupby_skew(rng):
     assert (np.asarray(c) == np.bincount(keys, minlength=K)).all()
     np.testing.assert_allclose(np.asarray(s),
                                np.bincount(keys, minlength=K), rtol=1e-5)
+
+
+def test_radix_groupby_two_pass(rng):
+    # 22-bit key domain: exercises the second partition pass
+    n, K = 120_000, 3_000_000
+    keys = rng.integers(0, K, n).astype(np.int32)
+    vals = rng.normal(size=n).astype(np.float32)
+    s, c = radix_groupby_sum_count(jnp.asarray(keys), jnp.asarray(vals), K,
+                                   tile_rows=32, chunk_rows=2, agg_rows=8,
+                                   interpret=True)
+    assert (np.asarray(c) == np.bincount(keys, minlength=K)).all()
+    exp_s = np.bincount(keys, weights=vals.astype(np.float64), minlength=K)
+    np.testing.assert_allclose(np.asarray(s), exp_s, rtol=1e-4, atol=1e-3)
+
+
+def test_radix_join_inner_unique(rng):
+    from cudf_tpu.kernels.radix_partition import radix_join_inner_unique
+
+    nl, nr, dom = 40_000, 30_000, 60_000
+    rk = rng.permutation(dom)[:nr].astype(np.int32)
+    rv = rng.normal(size=nr).astype(np.float32)
+    lk = rng.integers(0, dom, nl).astype(np.int32)
+    lv = rng.normal(size=nl).astype(np.float32)
+    pkl, _, mval, found = radix_join_inner_unique(
+        jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk), jnp.asarray(rv),
+        dom, tile_rows=32, chunk_rows=2, agg_rows=8, interpret=True)
+    pkl = np.asarray(pkl).ravel()
+    mval = np.asarray(mval).ravel()
+    found = np.asarray(found).ravel() == 1
+    rmap = dict(zip(rk.tolist(), rv.tolist()))
+    # every found row is a correct match
+    for k, v in zip(pkl[found], mval[found]):
+        assert int(k) in rmap and abs(rmap[int(k)] - v) < 1e-5
+    # and the number of matches equals the expected inner-join size
+    assert found.sum() == sum(1 for k in lk.tolist() if k in rmap)
