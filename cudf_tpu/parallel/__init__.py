@@ -7,10 +7,14 @@ SURVEY.md §2.11): collectives are XLA all_to_all/all_gather/psum inside
 """
 
 from cudf_tpu.parallel.mesh import make_mesh, partition_frame, collect_frame
-from cudf_tpu.parallel.shuffle import bucketize, exchange
+from cudf_tpu.parallel.shuffle import bucketize, exchange, shuffle_by_key, shuffle_by_keys
 from cudf_tpu.parallel.dist import (
     dist_groupby_sum,
+    dist_groupby_sum_multi,
     dist_inner_join,
+    dist_join,
+    dist_sort,
+    dist_distinct,
     broadcast_inner_join,
     distributed_groupby_agg,
 )
@@ -21,8 +25,14 @@ __all__ = [
     "collect_frame",
     "bucketize",
     "exchange",
+    "shuffle_by_key",
+    "shuffle_by_keys",
     "dist_groupby_sum",
+    "dist_groupby_sum_multi",
     "dist_inner_join",
+    "dist_join",
+    "dist_sort",
+    "dist_distinct",
     "broadcast_inner_join",
     "distributed_groupby_agg",
 ]

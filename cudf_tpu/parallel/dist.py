@@ -23,31 +23,38 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from cudf_tpu.parallel.shuffle import key_hash, shuffle_by_key
+from cudf_tpu.parallel.shuffle import (bucketize, exchange, key_hash,
+                                       received_mask, shuffle_by_key,
+                                       shuffle_by_keys)
 
 
 # ----------------------------------------------------------------------
 # shard-local static-shape groupby (the jit-safe core)
 # ----------------------------------------------------------------------
 
-def local_groupby_sum(key, vals, valid):
-    """Shard-local groupby-sum with static shapes, fully scatter-free.
+def local_groupby_sum_multi(keys, vals, valid):
+    """Shard-local multi-key groupby-sum, static shapes, scatter-free.
 
-    Outputs are position-aligned to run starts in the sorted order (NOT
-    compacted): (group_keys[n], sums[n] per val, counts[n], group_valid[n])
-    where group_valid marks the run-start rows of real groups.  Consumers
-    treat these as padded masked arrays — exactly what shuffle_by_key
-    needs.  XLA scatter on TPU is ~5x slower than the sort, so run sums
-    come from prefix-sum differences and run ends from a reverse min-scan.
+    keys: list of int arrays (dictionary codes work as-is — the
+    match_dictionaries discipline of join.cu:37 happens at the frame
+    layer).  Outputs are position-aligned to run ENDS in the sorted
+    order: ([group_keys...], sums[n] per val, counts[n], group_valid[n]).
+    XLA scatter on TPU is ~5x slower than the sort, so run sums come
+    from prefix-sum differences.
     """
-    n = key.shape[0]
-    big = jnp.int64(jnp.iinfo(jnp.int64).max)
-    k_sort = jnp.where(valid, key.astype(jnp.int64), big)  # invalid rows last
+    n = keys[0].shape[0]
+    inv = (~valid).astype(jnp.int64)  # invalid rows last
     idx = jnp.arange(n, dtype=jnp.int64)
-    ks, order = jax.lax.sort([k_sort, idx], num_keys=1, is_stable=True)
-    neq = jnp.concatenate([jnp.ones((1,), jnp.bool_), ks[1:] != ks[:-1]])
+    sorted_ = jax.lax.sort(
+        [inv, *[k.astype(jnp.int64) for k in keys], idx],
+        num_keys=1 + len(keys), is_stable=True)
+    inv_s, ks_list, order = sorted_[0], sorted_[1:-1], sorted_[-1]
+    diff = inv_s[1:] != inv_s[:-1]
+    for ks in ks_list:
+        diff = diff | (ks[1:] != ks[:-1])
+    neq = jnp.concatenate([jnp.ones((1,), jnp.bool_), diff])
     is_end = jnp.concatenate([neq[1:], jnp.ones((1,), jnp.bool_)])
-    valid_s = jnp.take(valid, order)
+    valid_s = inv_s == 0
     pos = jnp.arange(n, dtype=jnp.int64)
     # start of MY run via forward cummax (reverse scans compile poorly)
     run_start = jax.lax.cummax(jnp.where(neq, pos, jnp.int64(0)))
@@ -66,23 +73,61 @@ def local_groupby_sum(key, vals, valid):
         vs = jnp.where(valid_s, vs, 0)
         sums.append(jnp.where(is_end, per_run_sum(vs), 0))
     cnt = jnp.where(is_end, per_run_sum(valid_s.astype(jnp.int64)), 0)
-    gkeys = jnp.where(is_end & valid_s, ks, jnp.int64(0))
+    gkeys = [jnp.where(is_end & valid_s, ks, jnp.int64(0)) for ks in ks_list]
     gvalid = is_end & valid_s & (cnt > 0)
     return gkeys, sums, cnt, gvalid
 
 
-def _dist_groupby_sum_shard(key, vals, valid, *, num_parts: int, capacity: int, axis: str):
+def local_groupby_sum(key, vals, valid):
+    """Single-key wrapper over local_groupby_sum_multi."""
+    gkeys, sums, cnt, gvalid = local_groupby_sum_multi([key], vals, valid)
+    return gkeys[0], sums, cnt, gvalid
+
+
+def _dist_groupby_sum_shard(keys, vals, valid, *, num_parts: int, capacity: int, axis: str):
     """Runs on each shard inside shard_map: pre-agg → shuffle → merge."""
     # local partial aggregation (shrinks shuffle traffic — the 'partial agg
     # tree' optimization of streaming/groupby.py)
-    gkeys, sums, cnt, gvalid = local_groupby_sum(key, vals, valid)
+    gkeys, sums, cnt, gvalid = local_groupby_sum_multi(keys, vals, valid)
     # shuffle partials to owner shard by key hash
-    k_recv, payload_recv, mask = shuffle_by_key(
+    k_recv, payload_recv, mask, dropped = shuffle_by_keys(
         gkeys, [*sums, cnt], gvalid, num_parts, capacity, axis
     )
     # merge: second local groupby over received partials (counts merge by sum)
-    m_keys, m_all, _, m_valid = local_groupby_sum(k_recv, payload_recv, mask)
-    return m_keys, m_all[:-1], m_all[-1], m_valid
+    m_keys, m_all, _, m_valid = local_groupby_sum_multi(k_recv, payload_recv, mask)
+    return m_keys, m_all[:-1], m_all[-1], m_valid, dropped.reshape(1)
+
+
+def dist_groupby_sum_multi(
+    mesh: Mesh,
+    keys: Sequence[jnp.ndarray],
+    vals: Sequence[jnp.ndarray],
+    valid: jnp.ndarray,
+    capacity_per_bucket: int = 0,
+    axis: str = "x",
+):
+    """Multi-key distributed groupby-sum (+count) over a 1-D mesh.
+
+    Inputs are globally-sharded flat arrays (row-partitioned on ``axis``);
+    keys are int columns (dictionary codes for strings).  Output is
+    shard-local padded group tables (also sharded on ``axis``):
+    ([keys...], [sums...], counts, valid, dropped[P]).  ``dropped`` is a
+    per-shard overflow count — nonzero means capacity_per_bucket was too
+    small (impossible at the default).  jit-compatible: wrap in jax.jit.
+    """
+    num_parts = mesh.shape[axis]
+    n_total = keys[0].shape[0]
+    per_shard = n_total // num_parts
+    cap = capacity_per_bucket or per_shard  # safe default: no overflow possible
+    fn = partial(
+        _dist_groupby_sum_shard, num_parts=num_parts, capacity=cap, axis=axis
+    )
+    return shard_map(
+        lambda ks, vs, m: fn(ks, vs, m),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+    )(list(keys), list(vals), valid)
 
 
 def dist_groupby_sum(
@@ -93,78 +138,161 @@ def dist_groupby_sum(
     capacity_per_bucket: int = 0,
     axis: str = "x",
 ):
-    """Distributed groupby-sum (+count) over a 1-D mesh.
+    """Single-key distributed groupby-sum (compat wrapper).
 
-    Inputs are globally-sharded flat arrays (row-partitioned on ``axis``).
-    Output is shard-local padded group tables (also sharded on ``axis``):
-    (keys, [sums...], counts, valid).  jit-compatible: wrap in jax.jit.
+    Returns (keys, [sums...], counts, valid) like round 1.
     """
-    num_parts = mesh.shape[axis]
-    n_total = key.shape[0]
-    per_shard = n_total // num_parts
-    cap = capacity_per_bucket or per_shard  # safe default: no overflow possible
-    fn = partial(
-        _dist_groupby_sum_shard, num_parts=num_parts, capacity=cap, axis=axis
-    )
-    vals = list(vals)
-    return shard_map(
-        lambda k, vs, m: fn(k, vs, m),
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(axis), P(axis)),
-    )(key, vals, valid)
+    ks, sums, cnt, gvalid, _ = dist_groupby_sum_multi(
+        mesh, [key], vals, valid, capacity_per_bucket, axis)
+    return ks[0], sums, cnt, gvalid
 
 
 # ----------------------------------------------------------------------
 # distributed joins
 # ----------------------------------------------------------------------
 
-def _local_inner_join_padded(lk, lvalid, rk, rvalid, max_out: int):
-    """Static-shape shard-local inner join on int64 keys.
+def _match_ranges_multi(lkeys, lvalid, rkeys, rvalid):
+    """Per-left-row match ranges against the right side, multi-key.
 
-    Two-phase with a static output budget: sort right, searchsorted ranges,
-    expand into a fixed [max_out] buffer via cumulative offsets.
-    Returns (l_idx[max_out], r_idx[max_out], out_valid[max_out], count).
+    ONE combined variadic sort over both sides (rights sort before lefts
+    within a key run — the lexicographic row_operator role,
+    row_operators.cu) yields for every left row in ORIGINAL order:
+    (count, lo) with matching right rows at positions lo..lo+count-1 of
+    the right side's stable sorted order, plus (r_sorted_keys, r_order).
     """
-    nr = rk.shape[0]
-    nl = lk.shape[0]
-    big = jnp.int64(jnp.iinfo(jnp.int64).max)
-    rks = jnp.where(rvalid, rk.astype(jnp.int64), big)
-    ridx = jnp.arange(nr, dtype=jnp.int64)
-    r_sorted, r_order = jax.lax.sort([rks, ridx], num_keys=1, is_stable=True)
-    lkk = jnp.where(lvalid, lk.astype(jnp.int64), big - 1)
-    lo = jnp.searchsorted(r_sorted, lkk, side="left")
-    hi = jnp.searchsorted(r_sorted, lkk, side="right")
-    counts = jnp.where(lvalid, hi - lo, 0)
-    offsets = jnp.concatenate([jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)])
+    nl, nr = lkeys[0].shape[0], rkeys[0].shape[0]
+    allk = [jnp.concatenate([r.astype(jnp.int64), l.astype(jnp.int64)])
+            for r, l in zip(rkeys, lkeys)]
+    inv = jnp.concatenate([~rvalid, ~lvalid]).astype(jnp.int64)
+    side = jnp.concatenate([jnp.zeros((nr,), jnp.int64),
+                            jnp.ones((nl,), jnp.int64)])
+    idx = jnp.concatenate([jnp.arange(nr, dtype=jnp.int64),
+                           jnp.arange(nl, dtype=jnp.int64)])
+    sorted_ = jax.lax.sort([inv, *allk, side, idx],
+                           num_keys=2 + len(allk), is_stable=True)
+    inv_s, ks_s, side_s, idx_s = (sorted_[0], sorted_[1:-2], sorted_[-2],
+                                  sorted_[-1])
+    diff = inv_s[1:] != inv_s[:-1]
+    for ks in ks_s:
+        diff = diff | (ks[1:] != ks[:-1])
+    neq = jnp.concatenate([jnp.ones((1,), jnp.bool_), diff])
+    pos = jnp.arange(nl + nr, dtype=jnp.int64)
+    run_start = jax.lax.cummax(jnp.where(neq, pos, jnp.int64(0)))
+    is_r = (side_s == 0).astype(jnp.int64)
+    excl_r = jnp.cumsum(is_r) - is_r          # rights strictly before pos
+    lo = jnp.take(excl_r, run_start)          # rights before my run
+    count = jnp.where(inv_s == 0, excl_r - lo, 0)  # rights in my run (lefts only)
+    # compact the left rows back to original order: sort by (side, idx)
+    back = jax.lax.sort([side_s, idx_s, count, lo], num_keys=2, is_stable=True)
+    counts_l, lo_l = back[2][nr:], back[3][nr:]
+    # right side's own stable sorted order (matches the combined order's
+    # relative right-row order — both stable over the same key tuple)
+    rsort = jax.lax.sort(
+        [jnp.where(rvalid, jnp.int64(0), jnp.int64(1)),
+         *[k.astype(jnp.int64) for k in rkeys],
+         jnp.arange(nr, dtype=jnp.int64)],
+        num_keys=1 + len(rkeys), is_stable=True)
+    r_order = rsort[-1]
+    return counts_l, lo_l, r_order
+
+
+def local_join_padded(lkeys, lvalid, rkeys, rvalid, max_out: int,
+                      how: str = "inner"):
+    """Static-shape shard-local multi-key join (inner/left).
+
+    Two-phase with a static output budget (the inner_join_size.cu →
+    inner_join_retrieve.cu shape): match ranges, then expand into a fixed
+    [max_out] buffer via cumulative offsets.
+    Returns (l_idx, r_idx, out_valid, r_matched, total).  For how="left",
+    unmatched left rows emit one output row with r_matched=False.
+    """
+    nl, nr = lkeys[0].shape[0], rkeys[0].shape[0]
+    counts, lo, r_order = _match_ranges_multi(lkeys, lvalid, rkeys, rvalid)
+    emit = counts if how == "inner" else jnp.where(
+        lvalid, jnp.maximum(counts, 1), 0)
+    offsets = jnp.concatenate([jnp.zeros((1,), emit.dtype), jnp.cumsum(emit)])
     total = offsets[-1]
-    # expand into static max_out buffer
     pos = jnp.arange(max_out, dtype=jnp.int64)
-    row = jnp.searchsorted(offsets[1:], pos, side="right")  # left row per output slot
+    row = jnp.searchsorted(offsets[1:], pos, side="right")
     row_c = jnp.clip(row, 0, nl - 1)
     within = pos - jnp.take(offsets, row_c)
     out_valid = pos < total
+    r_matched = out_valid & (within < jnp.take(counts, row_c))
     r_sorted_pos = jnp.take(lo, row_c) + within
     r_idx = jnp.take(r_order, jnp.clip(r_sorted_pos, 0, jnp.maximum(nr - 1, 0)))
-    l_idx = row_c
     return (
-        jnp.where(out_valid, l_idx, 0),
-        jnp.where(out_valid, r_idx, 0),
+        jnp.where(out_valid, row_c, 0),
+        jnp.where(r_matched, r_idx, 0),
         out_valid,
+        r_matched,
         total,
     )
 
 
-def _dist_join_shard(lk, lpay, lvalid, rk, rpay, rvalid, *, num_parts, cap_l, cap_r,
-                     max_out, axis):
+def local_semi_mask(lkeys, lvalid, rkeys, rvalid, anti: bool = False):
+    """bool[nl] mask of left rows with (no) match — semi/anti join
+    (the filtered_join/mixed_join_semi role)."""
+    counts, _, _ = _match_ranges_multi(lkeys, lvalid, rkeys, rvalid)
+    return lvalid & ((counts == 0) if anti else (counts > 0))
+
+
+def _dist_join_shard(lkeys, lpay, lvalid, rkeys, rpay, rvalid, *, how,
+                     num_parts, cap_l, cap_r, max_out, axis):
     # shuffle both sides by key hash → co-located matching keys
-    lk2, lpay2, lmask = shuffle_by_key(lk, list(lpay), lvalid, num_parts, cap_l, axis)
-    rk2, rpay2, rmask = shuffle_by_key(rk, list(rpay), rvalid, num_parts, cap_r, axis)
-    li, ri, ovalid, total = _local_inner_join_padded(lk2, lmask, rk2, rmask, max_out)
-    out_key = jnp.where(ovalid, jnp.take(lk2, li), 0)
+    lk2, lpay2, lmask, drop_l = shuffle_by_keys(
+        lkeys, list(lpay), lvalid, num_parts, cap_l, axis)
+    rk2, rpay2, rmask, drop_r = shuffle_by_keys(
+        rkeys, list(rpay), rvalid, num_parts, cap_r, axis)
+    dropped = (drop_l + drop_r).reshape(1)
+    if how in ("semi", "anti"):
+        sel = local_semi_mask(lk2, lmask, rk2, rmask, anti=(how == "anti"))
+        return lk2, lpay2, [], sel, jnp.ones_like(sel), dropped
+    li, ri, ovalid, rmatch, total = local_join_padded(
+        lk2, lmask, rk2, rmask, max_out, how)
+    out_keys = [jnp.where(ovalid, jnp.take(k, li), 0) for k in lk2]
     out_l = [jnp.where(ovalid, jnp.take(p, li), 0) for p in lpay2]
-    out_r = [jnp.where(ovalid, jnp.take(p, ri), 0) for p in rpay2]
-    return out_key, out_l, out_r, ovalid
+    out_r = [jnp.where(rmatch, jnp.take(p, ri), 0) for p in rpay2]
+    return out_keys, out_l, out_r, ovalid, rmatch, dropped
+
+
+def dist_join(
+    mesh: Mesh,
+    left_keys: Sequence[jnp.ndarray],
+    left_payload: Sequence[jnp.ndarray],
+    left_valid: jnp.ndarray,
+    right_keys: Sequence[jnp.ndarray],
+    right_payload: Sequence[jnp.ndarray],
+    right_valid: jnp.ndarray,
+    how: str = "inner",
+    max_out_per_shard: int = 0,
+    axis: str = "x",
+):
+    """Distributed hash-shuffle join, multi-key, how ∈ {inner, left,
+    semi, anti} (streaming/join.py:58-266 shuffle path; the reference
+    lowers all of these per-node).
+
+    Returns shard-local padded ([keys...], left payloads, right payloads,
+    out_valid, r_matched, dropped[P]).  For semi/anti the "payloads"
+    are the shuffled LEFT rows and out_valid is the selection mask
+    (right payloads empty).  ``dropped`` nonzero on any shard means a
+    shuffle capacity overflowed and results are incomplete — callers
+    must check (round-1 review: no silent drops).
+    """
+    num_parts = mesh.shape[axis]
+    nl = left_keys[0].shape[0] // num_parts
+    nr = right_keys[0].shape[0] // num_parts
+    # capacities: whole local shard may hash to one bucket in the worst case
+    cap_l, cap_r = nl, nr
+    max_out = max_out_per_shard or (num_parts * nl * 2)
+    fn = partial(_dist_join_shard, how=how, num_parts=num_parts, cap_l=cap_l,
+                 cap_r=cap_r, max_out=max_out, axis=axis)
+    return shard_map(
+        lambda a, b, c, d, e, f: fn(a, b, c, d, e, f),
+        mesh=mesh,
+        in_specs=(P(axis),) * 6,
+        out_specs=(P(axis),) * 6,
+    )(list(left_keys), list(left_payload), left_valid,
+      list(right_keys), list(right_payload), right_valid)
 
 
 def dist_inner_join(
@@ -178,24 +306,13 @@ def dist_inner_join(
     max_out_per_shard: int = 0,
     axis: str = "x",
 ):
-    """Distributed hash-shuffle inner join (streaming/join.py shuffle path).
-
-    Returns shard-local padded (key, left payloads, right payloads, valid).
-    """
-    num_parts = mesh.shape[axis]
-    nl = left_key.shape[0] // num_parts
-    nr = right_key.shape[0] // num_parts
-    # capacities: whole local shard may hash to one bucket in the worst case
-    cap_l, cap_r = nl, nr
-    max_out = max_out_per_shard or (num_parts * nl * 2)
-    fn = partial(_dist_join_shard, num_parts=num_parts, cap_l=cap_l, cap_r=cap_r,
-                 max_out=max_out, axis=axis)
-    return shard_map(
-        lambda a, b, c, d, e, f: fn(a, b, c, d, e, f),
-        mesh=mesh,
-        in_specs=(P(axis),) * 6,
-        out_specs=(P(axis), P(axis), P(axis), P(axis)),
-    )(left_key, list(left_payload), left_valid, right_key, list(right_payload), right_valid)
+    """Single-key inner-join compat wrapper: returns (key, left payloads,
+    right payloads, valid) like round 1."""
+    keys, out_l, out_r, ovalid, _, _ = dist_join(
+        mesh, [left_key], left_payload, left_valid,
+        [right_key], right_payload, right_valid,
+        how="inner", max_out_per_shard=max_out_per_shard, axis=axis)
+    return keys[0], out_l, out_r, ovalid
 
 
 def _bcast_join_shard(lk, lpay, lvalid, rk, rpay, rvalid, *, max_out, axis):
@@ -204,7 +321,8 @@ def _bcast_join_shard(lk, lpay, lvalid, rk, rpay, rvalid, *, max_out, axis):
     rk_all = jax.lax.all_gather(rk, axis, tiled=True)
     rvalid_all = jax.lax.all_gather(rvalid, axis, tiled=True)
     rpay_all = [jax.lax.all_gather(p, axis, tiled=True) for p in rpay]
-    li, ri, ovalid, total = _local_inner_join_padded(lk, lvalid, rk_all, rvalid_all, max_out)
+    li, ri, ovalid, rmatch, total = local_join_padded(
+        [lk], lvalid, [rk_all], rvalid_all, max_out, "inner")
     out_key = jnp.where(ovalid, jnp.take(lk, li), 0)
     out_l = [jnp.where(ovalid, jnp.take(p, li), 0) for p in lpay]
     out_r = [jnp.where(ovalid, jnp.take(p, ri), 0) for p in rpay_all]
@@ -228,6 +346,119 @@ def broadcast_inner_join(
         in_specs=(P(axis),) * 6,
         out_specs=(P(axis), P(axis), P(axis), P(axis)),
     )(left_key, list(left_payload), left_valid, right_key, list(right_payload), right_valid)
+
+
+# ----------------------------------------------------------------------
+# distributed sample-sort and distinct
+# ----------------------------------------------------------------------
+
+_SAMPLES_PER_SHARD = 64
+
+
+def _dist_sort_shard(key, pays, valid, *, num_parts, capacity, descending,
+                     axis):
+    n = key.shape[0]
+    big = jnp.int64(jnp.iinfo(jnp.int64).max)
+    k64 = key.astype(jnp.int64)
+    if descending:
+        k64 = -k64  # caller guarantees keys > INT64_MIN
+    ks = jnp.where(valid, k64, big)  # invalid rows last everywhere
+    # splitter selection: evenly-spaced local samples → all_gather → the
+    # P-1 global quantiles (the sample-sort of streaming/sort.py)
+    ks_sorted = jax.lax.sort([ks], num_keys=1)[0]
+    S = min(_SAMPLES_PER_SHARD, n)
+    samples = jnp.take(ks_sorted, (jnp.arange(S, dtype=jnp.int64) * n) // S)
+    all_samples = jax.lax.sort(
+        [jax.lax.all_gather(samples, axis, tiled=True)], num_keys=1)[0]
+    splitters = jnp.take(
+        all_samples,
+        (jnp.arange(1, num_parts, dtype=jnp.int64) * S * num_parts)
+        // num_parts)
+    pid = jnp.searchsorted(splitters, ks, side="right").astype(jnp.int32)
+    pid = jnp.minimum(pid, num_parts - 1)
+    bufs, counts, dropped = bucketize([ks, *pays], valid, pid, num_parts,
+                                      capacity)
+    out_bufs, out_counts = exchange(bufs, counts, axis)
+    mask = received_mask(out_counts, capacity)
+    C = capacity
+    flat = [b.reshape((num_parts * C,) + b.shape[2:]) for b in out_bufs]
+    k_recv = jnp.where(mask, flat[0], big)
+    idx = jnp.arange(num_parts * C, dtype=jnp.int64)
+    sorted2 = jax.lax.sort([k_recv, idx], num_keys=1, is_stable=True)
+    k_out, order = sorted2[0], sorted2[-1]
+    pays_out = [jnp.take(p, order) for p in flat[1:]]
+    mask_out = jnp.take(mask, order)
+    k_out = jnp.where(mask_out, k_out, 0)
+    if descending:
+        k_out = -k_out
+    return (k_out.astype(key.dtype), pays_out, mask_out,
+            dropped.reshape(1))
+
+
+def dist_sort(
+    mesh: Mesh,
+    key: jnp.ndarray,
+    payloads: Sequence[jnp.ndarray],
+    valid: jnp.ndarray,
+    capacity_factor: float = 2.0,
+    descending: bool = False,
+    axis: str = "x",
+):
+    """Distributed sample-sort over a 1-D mesh (streaming/sort.py role —
+    NOT the concat-and-resort the round-1 review flagged).
+
+    Each shard samples its sorted keys, all-gathers the samples, routes
+    rows to splitter ranges over ICI, and sorts locally.  Output: shard
+    g holds the g-th global key range, locally sorted, valid rows first;
+    concatenating shards in mesh order yields the total order.  Returns
+    (key, payloads, valid, dropped[P]); dropped > 0 on any shard means
+    skew beat capacity_factor and the sort is incomplete — resubmit with
+    a larger factor (count-then-retry, the reference's two-phase
+    discipline).
+    """
+    num_parts = mesh.shape[axis]
+    per_shard = key.shape[0] // num_parts
+    capacity = max(int(per_shard * capacity_factor / max(num_parts, 1)), 16)
+    fn = partial(_dist_sort_shard, num_parts=num_parts, capacity=capacity,
+                 descending=descending, axis=axis)
+    return shard_map(
+        lambda k, ps, m: fn(k, ps, m),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+    )(key, list(payloads), valid)
+
+
+def _dist_distinct_shard(keys, valid, *, num_parts, capacity, axis):
+    # local distinct → shuffle by hash → local distinct (streaming/
+    # distinct.py decomposition: duplicates co-locate by key hash)
+    gkeys, _, _, gvalid = local_groupby_sum_multi(keys, [], valid)
+    k2, _, mask, dropped = shuffle_by_keys(gkeys, [], gvalid, num_parts,
+                                           capacity, axis)
+    m_keys, _, _, m_valid = local_groupby_sum_multi(k2, [], mask)
+    return m_keys, m_valid, dropped.reshape(1)
+
+
+def dist_distinct(
+    mesh: Mesh,
+    keys: Sequence[jnp.ndarray],
+    valid: jnp.ndarray,
+    capacity_per_bucket: int = 0,
+    axis: str = "x",
+):
+    """Distributed multi-key distinct.  Returns ([keys...], valid,
+    dropped[P]) shard-local padded."""
+    num_parts = mesh.shape[axis]
+    per_shard = keys[0].shape[0] // num_parts
+    cap = capacity_per_bucket or per_shard
+    fn = partial(_dist_distinct_shard, num_parts=num_parts, capacity=cap,
+                 axis=axis)
+    return shard_map(
+        lambda ks, m: fn(ks, m),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )(list(keys), valid)
 
 
 # ----------------------------------------------------------------------

@@ -115,14 +115,35 @@ def shuffle_by_key(
     num_parts: int,
     capacity: int,
     axis: str = "x",
-) -> Tuple[jnp.ndarray, List[jnp.ndarray], jnp.ndarray]:
+) -> Tuple[jnp.ndarray, List[jnp.ndarray], jnp.ndarray, jnp.ndarray]:
     """One-call hash shuffle: rows land on shard hash(key) % P.
 
-    Returns (key_recv[P*C], payloads_recv, valid_recv[P*C]) — shard-local.
+    Returns (key_recv[P*C], payloads_recv, valid_recv[P*C], dropped) —
+    shard-local; ``dropped`` counts rows this shard could not send
+    (psum over the axis for a global overflow check).
     """
-    pids = (key_hash(key) % jnp.uint64(num_parts)).astype(jnp.int32)
-    bufs, counts = bucketize([key, *payloads], valid, pids, num_parts, capacity)
+    keys, payloads, mask, dropped = shuffle_by_keys(
+        [key], payloads, valid, num_parts, capacity, axis)
+    return keys[0], payloads, mask, dropped
+
+
+def shuffle_by_keys(
+    keys: Sequence[jnp.ndarray],
+    payloads: Sequence[jnp.ndarray],
+    valid: jnp.ndarray,
+    num_parts: int,
+    capacity: int,
+    axis: str = "x",
+) -> Tuple[List[jnp.ndarray], List[jnp.ndarray], jnp.ndarray, jnp.ndarray]:
+    """Multi-key hash shuffle: rows land on shard row_hash(keys) % P.
+
+    Returns (keys_recv, payloads_recv, valid_recv[P*C], dropped).
+    """
+    keys = list(keys)
+    pids = (row_hash(keys) % jnp.uint64(num_parts)).astype(jnp.int32)
+    bufs, counts, dropped = bucketize(
+        [*keys, *payloads], valid, pids, num_parts, capacity)
     out_bufs, out_counts = exchange(bufs, counts, axis)
     mask = received_mask(out_counts, capacity)
     flat = [b.reshape((num_parts * capacity,) + b.shape[2:]) for b in out_bufs]
-    return flat[0], flat[1:], mask
+    return flat[:len(keys)], flat[len(keys):], mask, dropped

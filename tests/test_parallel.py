@@ -185,3 +185,183 @@ def test_streaming_join_bloom_prefilter(rng):
     pd.testing.assert_frame_equal(
         key(got)[["k", "lv", "rv"]], key(expect)[["k", "lv", "rv"]],
         check_dtype=False)
+
+
+# ----------------------------------------------------------------------
+# round-2 widened tier: multi-key, join families, sample-sort, distinct
+# ----------------------------------------------------------------------
+
+def _pad_to(mesh, arrs, n_shards=8):
+    import jax.numpy as jnp
+    n = arrs[0].shape[0]
+    per = -(-n // n_shards)
+    total = per * n_shards
+    pad = total - n
+    out = []
+    for a in arrs:
+        a = jnp.asarray(a)
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((pad,), a.dtype)])
+        out.append(a)
+    valid = jnp.arange(total) < n
+    return out, valid
+
+
+def test_dist_groupby_multikey(rng):
+    import jax.numpy as jnp
+    from cudf_tpu.parallel import dist_groupby_sum_multi
+
+    mesh = make_mesh(8)
+    n = 700
+    k1 = rng.integers(0, 9, n)
+    k2 = rng.integers(0, 7, n)
+    v = rng.normal(size=n)
+    (k1j, k2j, vj), valid = _pad_to(mesh, [k1, k2, v])
+    keys, sums, cnt, gvalid, dropped = jax.jit(
+        lambda a, b, c, m: dist_groupby_sum_multi(mesh, [a, b], [c], m)
+    )(k1j, k2j, vj, valid)
+    assert int(np.asarray(dropped).sum()) == 0
+    mask = np.asarray(gvalid)
+    got = pd.DataFrame({
+        "k1": np.asarray(keys[0])[mask], "k2": np.asarray(keys[1])[mask],
+        "s": np.asarray(sums[0])[mask], "c": np.asarray(cnt)[mask],
+    }).sort_values(["k1", "k2"]).reset_index(drop=True)
+    exp = (pd.DataFrame({"k1": k1, "k2": k2, "v": v})
+           .groupby(["k1", "k2"]).agg(s=("v", "sum"), c=("v", "count"))
+           .reset_index().sort_values(["k1", "k2"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got["s"], exp["s"], rtol=1e-9)
+    np.testing.assert_array_equal(got["c"], exp["c"])
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_dist_join_families(rng, how):
+    from cudf_tpu.parallel import dist_join
+
+    mesh = make_mesh(8)
+    nl, nr = 600, 400
+    lk1 = rng.integers(0, 40, nl)
+    lk2 = rng.integers(0, 3, nl)
+    lv = rng.normal(size=nl)
+    rk1 = rng.integers(0, 40, nr)
+    rk2 = rng.integers(0, 3, nr)
+    rv = rng.normal(size=nr)
+    (lk1j, lk2j, lvj), lvalid = _pad_to(mesh, [lk1, lk2, lv])
+    (rk1j, rk2j, rvj), rvalid = _pad_to(mesh, [rk1, rk2, rv])
+    keys, out_l, out_r, ovalid, rmatch, dropped = jax.jit(
+        lambda a, b, c, vm, d, e, f, wm: dist_join(
+            mesh, [a, b], [c], vm, [d, e], [f], wm, how=how,
+            max_out_per_shard=8 * nl)
+    )(lk1j, lk2j, lvj, lvalid, rk1j, rk2j, rvj, rvalid)
+    assert int(np.asarray(dropped).sum()) == 0
+    ldf = pd.DataFrame({"k1": lk1, "k2": lk2, "lv": lv})
+    rdf = pd.DataFrame({"k1": rk1, "k2": rk2, "rv": rv})
+    mask = np.asarray(ovalid)
+    if how in ("semi", "anti"):
+        exists = ldf.merge(rdf[["k1", "k2"]].drop_duplicates(),
+                           on=["k1", "k2"], how="left", indicator=True)
+        exp_n = int((exists["_merge"] == "both").sum()) if how == "semi" \
+            else int((exists["_merge"] == "left_only").sum())
+        assert int(mask.sum()) == exp_n
+        # selected rows' lv multiset matches
+        sel_lv = np.sort(np.concatenate([np.asarray(p)[mask] for p in out_l[:1]]))
+        exp_lv = np.sort(exists.loc[exists["_merge"] ==
+                                    ("both" if how == "semi" else "left_only"),
+                                    "lv"].values)
+        np.testing.assert_allclose(sel_lv, exp_lv)
+    else:
+        exp = ldf.merge(rdf, on=["k1", "k2"], how=how)
+        assert int(mask.sum()) == len(exp)
+        got_sum_lv = np.asarray(out_l[0])[mask].sum()
+        np.testing.assert_allclose(got_sum_lv, exp["lv"].sum(), rtol=1e-9)
+        if how == "left":
+            nmatch = int(np.asarray(rmatch)[mask].sum())
+            assert nmatch == int(exp["rv"].notna().sum())
+            got_rv = np.asarray(out_r[0])[np.asarray(rmatch)].sum()
+            np.testing.assert_allclose(got_rv, exp["rv"].sum(), rtol=1e-9)
+
+
+def test_dist_sort_sample_sort(rng):
+    from cudf_tpu.parallel import dist_sort
+
+    mesh = make_mesh(8)
+    n = 4000
+    k = rng.integers(-1000, 1000, n)
+    v = rng.normal(size=n)
+    (kj, vj), valid = _pad_to(mesh, [k, v])
+    ks, pays, mask, dropped = jax.jit(
+        lambda a, b, m: dist_sort(mesh, a, [b], m, capacity_factor=3.0)
+    )(kj, vj, valid)
+    assert int(np.asarray(dropped).sum()) == 0
+    mask = np.asarray(mask)
+    got_k = np.asarray(ks)[mask]
+    got_v = np.asarray(pays[0])[mask]
+    assert len(got_k) == n
+    # concatenated shard order IS the global sorted order
+    np.testing.assert_array_equal(got_k, np.sort(k))
+    # payload rides correctly: per-key value multisets match
+    exp = pd.DataFrame({"k": k, "v": v}).sort_values("k")
+    np.testing.assert_allclose(np.sort(got_v), np.sort(exp["v"].values))
+    got_sum_by_key = pd.DataFrame({"k": got_k, "v": got_v}).groupby("k")["v"].sum()
+    exp_sum_by_key = exp.groupby("k")["v"].sum()
+    np.testing.assert_allclose(got_sum_by_key.values, exp_sum_by_key.values, rtol=1e-9)
+
+
+def test_dist_sort_descending(rng):
+    from cudf_tpu.parallel import dist_sort
+
+    mesh = make_mesh(8)
+    n = 1000
+    k = rng.integers(0, 500, n)
+    (kj,), valid = _pad_to(mesh, [k])
+    ks, _, mask, dropped = jax.jit(
+        lambda a, m: dist_sort(mesh, a, [], m, capacity_factor=3.0,
+                               descending=True)
+    )(kj, valid)
+    assert int(np.asarray(dropped).sum()) == 0
+    got = np.asarray(ks)[np.asarray(mask)]
+    np.testing.assert_array_equal(got, -np.sort(-k))
+
+
+def test_dist_distinct(rng):
+    from cudf_tpu.parallel import dist_distinct
+
+    mesh = make_mesh(8)
+    n = 900
+    k1 = rng.integers(0, 25, n)
+    k2 = rng.integers(0, 4, n)
+    (k1j, k2j), valid = _pad_to(mesh, [k1, k2])
+    keys, gvalid, dropped = jax.jit(
+        lambda a, b, m: dist_distinct(mesh, [a, b], m)
+    )(k1j, k2j, valid)
+    assert int(np.asarray(dropped).sum()) == 0
+    mask = np.asarray(gvalid)
+    got = set(zip(np.asarray(keys[0])[mask].tolist(),
+                  np.asarray(keys[1])[mask].tolist()))
+    exp = set(zip(k1.tolist(), k2.tolist()))
+    assert got == exp
+
+
+def test_shuffle_overflow_detected(rng):
+    """Undersized capacity must REPORT drops, not silently mask them."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from cudf_tpu.parallel import shuffle_by_key
+
+    mesh = make_mesh(8)
+    n = 512
+    key = jnp.asarray(rng.integers(0, 4, n))  # heavy skew: 4 keys, 8 shards
+    valid = jnp.ones((n,), bool)
+
+    def shard_fn(k, m):
+        kr, _, mk, dropped = shuffle_by_key(k, [], m, 8, 4, "x")
+        return kr, mk, dropped.reshape(1)
+
+    kr, mk, dropped = shard_map(
+        shard_fn, mesh=mesh, in_specs=(P("x"), P("x")),
+        out_specs=(P("x"), P("x"), P("x")))(key, valid)
+    total_dropped = int(np.asarray(dropped).sum())
+    total_kept = int(np.asarray(mk).sum())
+    assert total_dropped > 0
+    assert total_kept + total_dropped == n
