@@ -210,20 +210,27 @@ class DataFrameGroupBy(_GroupByBase):
                 k: (v[0], v[1]) if isinstance(v, tuple) else (v.column, v.aggfunc)
                 for k, v in named.items()
             }.items():
-                specs.append((out_name, col_name, agg, None))
+                specs.append((out_name, col_name, _norm_agg(agg), None))
         elif isinstance(func, str):
-            return getattr(self, func)()
+            if hasattr(self, func):
+                return getattr(self, func)()
+            return self._apply_simple(func)
+        elif func in (list, set):          # pandas agg(list) / agg(set)
+            return self._apply_simple(_norm_agg(func))
         elif isinstance(func, dict):
             for col_name, aggs in func.items():
-                aggs_l = [aggs] if isinstance(aggs, str) else list(aggs)
-                multi = len(aggs_l) > 1 or any(isinstance(a, (list, tuple)) for a in [aggs])
+                aggs_l = [aggs] if isinstance(aggs, (str, type)) or callable(aggs) \
+                    else list(aggs)
                 for a in aggs_l:
-                    out = col_name if (isinstance(aggs, str)) else f"{col_name}_{a}"
+                    a = _norm_agg(a)
+                    out = col_name if not isinstance(aggs, (list, tuple)) \
+                        else f"{col_name}_{a}"
                     specs.append((out, col_name, a, None))
         elif isinstance(func, (list, tuple)):
             for col_name in self._value_names():
                 col = self._obj._table[col_name]
                 for a in func:
+                    a = _norm_agg(a)
                     if not _agg_supported(col, a):
                         continue
                     specs.append((f"{col_name}_{a}", col_name, a, None))
@@ -389,6 +396,85 @@ for _agg in _SIMPLE_AGGS:
     setattr(DataFrameGroupBy, _agg, _mk())
 
 
+def _pairwise_group_stat(self, which: str, ddof: int = 1) -> DataFrame:
+    """pandas-layout groupby cov/corr: MultiIndex (keys..., column) rows ×
+    numeric columns (reference: group_correlation.cu; cudf GroupBy.corr)."""
+    g = self.grouper
+    names = [n for n in self._value_names()
+             if self._obj._table[n].dtype.is_numeric]
+    L = len(names)
+    G = g.num_groups
+    cols_in = {n: self._obj._table[n] for n in names}
+    out_cols: Dict[str, Column] = {}
+    for c2 in names:
+        per_c1 = []
+        for c1 in names:
+            if which == "cov":
+                r = gb_ops.group_cov(cols_in[c1], cols_in[c2], g, ddof=ddof)
+            else:
+                r = gb_ops.group_corr(cols_in[c1], cols_in[c2], g)
+            data = r.data
+            if r.validity is not None:
+                data = jnp.where(r.validity, data, jnp.nan)
+            per_c1.append(data)
+        # rows are group-major then c1: [g0c0, g0c1, ..., g1c0, ...]
+        stacked = jnp.stack(per_c1, axis=1).reshape(G * L)
+        out_cols[c2] = Column(dt.FLOAT64, G * L, data=stacked)
+    # index: group keys repeated L times + the column-name level
+    key_rows = g.key_rows
+    if g.row_mask is not None:
+        from cudf_tpu.ops.stream_compaction import filter_indices
+
+        keep = filter_indices(g.row_mask)
+        key_rows = jnp.take(keep, key_rows)
+    rep_rows = jnp.repeat(key_rows, L)
+    key_cols = [copying.gather(c, rep_rows, bounds_check=False)
+                for c in self._original_key_cols()]
+    name_col = Column.from_numpy(np.asarray(names * G, dtype=object))
+    idx = MultiIndex([*key_cols, name_col], [*self._key_names, None])
+    return DataFrame._from(Table(out_cols), idx)
+
+
+DataFrameGroupBy.cov = lambda self, ddof=1, **kw: _pairwise_group_stat(
+    self, "cov", ddof=ddof)
+DataFrameGroupBy.corr = lambda self, method="pearson", **kw: \
+    _pairwise_group_stat(self, "corr")
+
+
+class _GroupbyEWM:
+    """df.groupby(k)[v].ewm(...).mean() — per-group EWMA scan
+    (aggregation.hpp EWMA; group order, pandas layout)."""
+
+    def __init__(self, sgb, alpha, adjust, ignore_na):
+        self._sgb = sgb
+        self._alpha = alpha
+        self._adjust = adjust
+        self._ignore_na = ignore_na
+
+    def mean(self):
+        sgb = self._sgb
+        g = sgb.grouper
+        out = gb_ops.group_ewma(sgb._obj._column, g, self._alpha,
+                                adjust=self._adjust,
+                                ignore_na=self._ignore_na)
+        # pandas returns rows in group-sorted order with a
+        # (keys..., original label) MultiIndex
+        data = jnp.take(out.data, g.sorted_order)
+        rows = g.sorted_order
+        if g.row_mask is not None:
+            from cudf_tpu.ops.stream_compaction import filter_indices
+
+            keep = filter_indices(g.row_mask)
+            rows = jnp.take(keep, rows)
+        key_cols = [copying.gather(c, rows, bounds_check=False)
+                    for c in sgb._original_key_cols()]
+        label_col = copying.gather(sgb._obj._index._column, rows,
+                                   bounds_check=False)
+        idx = MultiIndex([*key_cols, label_col], [*sgb._key_names, None])
+        return Series._from(Column(dt.FLOAT64, rows.shape[0], data=data),
+                            idx, sgb._obj.name)
+
+
 class SeriesGroupBy(_GroupByBase):
     def __init__(self, obj: Series, by, level=None, sort=False, dropna=True, as_index=True):
         if by is None and level is None:
@@ -408,12 +494,30 @@ class SeriesGroupBy(_GroupByBase):
         return Series._from(col, self._result_index(), self._obj.name)
 
     def agg(self, func):
+        func = _norm_agg(func)
         if isinstance(func, str):
             return self._apply_simple(func)
         if isinstance(func, (list, tuple)):
-            cols = {a: gb_ops._AGG_DISPATCH[a](self._obj._column, self.grouper) for a in func}
+            cols = {a: gb_ops._AGG_DISPATCH[_norm_agg(a)](
+                self._obj._column, self.grouper) for a in func}
             return DataFrame._from(Table(cols), self._result_index())
         raise TypeError(func)
+
+    def ewm(self, com=None, span=None, halflife=None, alpha=None,
+            adjust=True, ignore_na=False):
+        if alpha is None:
+            if com is not None:
+                alpha = 1.0 / (1.0 + com)
+            elif span is not None:
+                alpha = 2.0 / (span + 1.0)
+            elif halflife is not None:
+                alpha = 1.0 - 0.5 ** (1.0 / halflife)
+            else:
+                raise ValueError("must pass one of com/span/halflife/alpha")
+        return _GroupbyEWM(self, alpha, adjust, ignore_na)
+
+    def unique(self):
+        return self._apply_simple("unique")
 
     aggregate = agg
 
@@ -457,9 +561,24 @@ for _agg in _SIMPLE_AGGS:
     setattr(SeriesGroupBy, _agg, _mks())
 
 
+def _norm_agg(a):
+    """Normalize builtin/callable agg specs to dispatch names
+    (pandas accepts agg(list), agg(set), agg(sum), ...)."""
+    if a is list:
+        return "list"
+    if a is set:
+        return "unique"
+    if callable(a) and getattr(a, "__name__", None) in (
+            "sum", "min", "max", "len"):
+        return {"len": "size"}.get(a.__name__, a.__name__)
+    return a
+
+
 def _agg_supported(col: Column, agg: str) -> bool:
     if col.dtype.is_string or col.dtype.is_dictionary:
-        return agg in ("count", "size", "nunique", "first", "last", "min", "max")
+        return agg in ("count", "size", "nunique", "first", "last", "min",
+                       "max", "collect", "list", "unique", "collect_set",
+                       "histogram")
     if col.dtype.is_temporal:
         return agg not in ("sum", "prod", "product", "var", "std", "any", "all")
     return True

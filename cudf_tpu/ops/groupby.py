@@ -447,6 +447,317 @@ def group_idxminmax(col: Column, grouper: Grouper, which: str) -> Column:
     return Column(dt.INT64, grouper.num_groups, data=jnp.clip(rows, 0, None), validity=validity)
 
 
+# ----------------------------------------------------------------------
+# round-2 agg completion toward the 41-kind enum (aggregation.hpp:78-121):
+# COLLECT_LIST/SET (group_collect.cu), TOP_K (group_topk.cu), HISTOGRAM,
+# COVARIANCE/CORRELATION (group_correlation.cu), EWMA, SUM_OF_SQUARES,
+# M2, BITWISE_AGG
+# ----------------------------------------------------------------------
+
+def group_sum_of_squares(col: Column, grouper: Grouper) -> Column:
+    col = _apply_row_mask(col, grouper)
+    data, v = _segment_data(col)
+    x = data.astype(jnp.float64)
+    if v is not None:
+        x = jnp.where(v, x, 0.0)
+    out = _run_sum(_sorted_values(x * x, grouper), grouper.group_offsets)
+    return Column(dt.FLOAT64, grouper.num_groups, data=out,
+                  validity=_any_valid(v, grouper))
+
+
+def group_m2(col: Column, grouper: Grouper) -> Column:
+    """Sum of squared deviations from the group mean (M2 — the partial
+    that merges across distributed partials via Chan's formula,
+    MERGE_M2)."""
+    v = group_var(col, grouper, ddof=0)
+    c = group_count(col, grouper)
+    data = v.data * c.data
+    return Column(dt.FLOAT64, grouper.num_groups, data=data, validity=v.validity)
+
+
+def group_collect_list(col: Column, grouper: Grouper) -> Column:
+    """LIST column: group's values in input row order (group_collect.cu)."""
+    from cudf_tpu.ops.lists import make_list_column
+
+    col = _apply_row_mask(col, grouper)
+    vals = copying.gather(col, grouper.sorted_order, bounds_check=False)
+    return make_list_column(grouper.group_offsets, vals)
+
+
+def _distinct_per_group(col: Column, grouper: Grouper):
+    """(rows, run_gid, run_counts): one input row per distinct
+    (group, value) pair, ordered by (group, value)."""
+    n = col.length
+    ops = [grouper.group_ids, *equality_keys(col)]
+    idx = jnp.arange(n, dtype=jnp.int64)
+    res = jax.lax.sort([*ops, idx], num_keys=len(ops), is_stable=True)
+    gid_s, idx_s = res[0], res[-1]
+    neq = jnp.concatenate([jnp.ones((1,), jnp.bool_), gid_s[1:] != gid_s[:-1]])
+    for k in res[1:-1]:
+        d = jnp.concatenate([jnp.ones((1,), jnp.bool_), k[1:] != k[:-1]])
+        neq = neq | d
+    starts = filter_indices(neq)
+    rows = jnp.take(idx_s, starts)
+    run_gid = jnp.take(gid_s, starts)
+    run_end = jnp.concatenate([starts[1:], jnp.asarray([n], jnp.int64)])
+    run_counts = run_end - starts
+    return rows, run_gid, run_counts
+
+
+def group_collect_set(col: Column, grouper: Grouper) -> Column:
+    """LIST column of each group's distinct values, value-ordered
+    (group_collect.cu + drop_list_duplicates)."""
+    from cudf_tpu.ops.lists import make_list_column
+
+    col = _apply_row_mask(col, grouper)
+    rows, run_gid, _ = _distinct_per_group(col, grouper)
+    vals = copying.gather(col, rows, bounds_check=False)
+    per_group = jax.ops.segment_sum(
+        jnp.ones_like(run_gid), run_gid, num_segments=grouper.num_groups)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int64), jnp.cumsum(per_group)])
+    return make_list_column(offsets, vals)
+
+
+def group_topk(col: Column, grouper: Grouper, k: int,
+               largest: bool = True) -> Column:
+    """LIST column of each group's k largest/smallest values
+    (group_topk.cu)."""
+    from cudf_tpu.ops.lists import make_list_column
+    from cudf_tpu.ops.row_ops import order_keys
+
+    col = _apply_row_mask(col, grouper)
+    n = col.length
+    ops = order_keys(col, ascending=not largest, na_position="last")
+    idx = jnp.arange(n, dtype=jnp.int64)
+    res = jax.lax.sort([grouper.group_ids, *ops, idx],
+                       num_keys=1 + len(ops), is_stable=True)
+    idx_s = res[-1]
+    sizes = grouper.group_offsets[1:] - grouper.group_offsets[:-1]
+    _, v = _segment_data(col)
+    if v is not None:
+        vcnt = _run_sum(_sorted_values(v.astype(jnp.int64), grouper),
+                        grouper.group_offsets)
+        sizes = jnp.minimum(sizes, vcnt)
+    gid_of_pos = jnp.repeat(jnp.arange(grouper.num_groups, dtype=jnp.int64),
+                            grouper.group_offsets[1:] - grouper.group_offsets[:-1],
+                            total_repeat_length=n)
+    within = jnp.arange(n, dtype=jnp.int64) - jnp.take(
+        grouper.group_offsets, gid_of_pos)
+    keepn = jnp.minimum(sizes, k)
+    keep = within < jnp.take(keepn, gid_of_pos)
+    rows = jnp.take(idx_s, filter_indices(keep))
+    vals = copying.gather(col, rows, bounds_check=False)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int64), jnp.cumsum(keepn)])
+    return make_list_column(offsets, vals)
+
+
+def group_histogram(col: Column, grouper: Grouper) -> Column:
+    """LIST<STRUCT<value, count>> per group (HISTOGRAM agg)."""
+    from cudf_tpu.ops.lists import make_list_column
+
+    col = _apply_row_mask(col, grouper)
+    rows, run_gid, run_counts = _distinct_per_group(col, grouper)
+    vals = copying.gather(col, rows, bounds_check=False)
+    cnts = Column(dt.INT64, vals.length, data=run_counts)
+    child = Column(
+        dt.struct_dtype([("value", vals.dtype), ("count", dt.INT64)]),
+        vals.length, children=(vals, cnts))
+    per_group = jax.ops.segment_sum(
+        jnp.ones_like(run_gid), run_gid, num_segments=grouper.num_groups)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int64), jnp.cumsum(per_group)])
+    return make_list_column(offsets, child)
+
+
+def group_cov(cx: Column, cy: Column, grouper: Grouper,
+              ddof: int = 1) -> Column:
+    """Per-group sample covariance of two columns (group_correlation.cu).
+    Pairwise-complete rows only (pandas semantics)."""
+    cx = _apply_row_mask(cx, grouper)
+    cy = _apply_row_mask(cy, grouper)
+    dxd, vx = _segment_data(cx)
+    dyd, vy = _segment_data(cy)
+    v = None
+    if vx is not None or vy is not None:
+        v = jnp.ones((cx.length,), jnp.bool_)
+        if vx is not None:
+            v = v & vx
+        if vy is not None:
+            v = v & vy
+    x = dxd.astype(jnp.float64)
+    y = dyd.astype(jnp.float64)
+    if v is not None:
+        x = jnp.where(v, x, 0.0)
+        y = jnp.where(v, y, 0.0)
+    off = grouper.group_offsets
+    if v is None:
+        cnt = off[1:] - off[:-1]
+    else:
+        cnt = _run_sum(_sorted_values(v.astype(jnp.int64), grouper), off)
+    sx = _run_sum(_sorted_values(x, grouper), off)
+    sy = _run_sum(_sorted_values(y, grouper), off)
+    sxy = _run_sum(_sorted_values(x * y, grouper), off)
+    cnf = cnt.astype(jnp.float64)
+    num = sxy - sx * sy / jnp.maximum(cnf, 1.0)
+    denom = cnt - ddof
+    out = jnp.where(denom > 0, num / jnp.maximum(denom, 1), jnp.nan)
+    validity = denom > 0
+    validity = None if bool(jnp.all(validity)) else validity
+    return Column(dt.FLOAT64, grouper.num_groups, data=out, validity=validity)
+
+
+def group_corr(cx: Column, cy: Column, grouper: Grouper) -> Column:
+    """Per-group Pearson correlation (CORRELATION agg)."""
+    cxm = _apply_row_mask(cx, grouper)
+    cym = _apply_row_mask(cy, grouper)
+    dxd, vx = _segment_data(cxm)
+    dyd, vy = _segment_data(cym)
+    v = None
+    if vx is not None or vy is not None:
+        v = jnp.ones((cxm.length,), jnp.bool_)
+        if vx is not None:
+            v = v & vx
+        if vy is not None:
+            v = v & vy
+    x = dxd.astype(jnp.float64)
+    y = dyd.astype(jnp.float64)
+    if v is not None:
+        x = jnp.where(v, x, 0.0)
+        y = jnp.where(v, y, 0.0)
+    off = grouper.group_offsets
+    if v is None:
+        cnt = off[1:] - off[:-1]
+    else:
+        cnt = _run_sum(_sorted_values(v.astype(jnp.int64), grouper), off)
+    cnf = cnt.astype(jnp.float64)
+    sx = _run_sum(_sorted_values(x, grouper), off)
+    sy = _run_sum(_sorted_values(y, grouper), off)
+    sxx = _run_sum(_sorted_values(x * x, grouper), off)
+    syy = _run_sum(_sorted_values(y * y, grouper), off)
+    sxy = _run_sum(_sorted_values(x * y, grouper), off)
+    cov_n = cnf * sxy - sx * sy
+    varx_n = cnf * sxx - sx * sx
+    vary_n = cnf * syy - sy * sy
+    denom = jnp.sqrt(jnp.maximum(varx_n * vary_n, 0.0))
+    out = jnp.where(denom > 0, cov_n / jnp.maximum(denom, 1e-300), jnp.nan)
+    validity = cnt > 1
+    validity = None if bool(jnp.all(validity)) else validity
+    return Column(dt.FLOAT64, grouper.num_groups, data=out, validity=validity)
+
+
+def group_ewma(col: Column, grouper: Grouper, alpha: float,
+               adjust: bool = True, ignore_na: bool = False) -> Column:
+    """Per-ROW exponentially-weighted mean within each group (the EWMA
+    scan agg).  Output is aligned to the input row order."""
+    col = _apply_row_mask(col, grouper)
+    n = col.length
+    data, v = _segment_data(col)
+    x = _sorted_values(data.astype(jnp.float64), grouper)
+    valid_s = (jnp.ones((n,), jnp.bool_) if v is None
+               else _sorted_values(v, grouper))
+    starts = _run_starts_mask(grouper)
+    om = 1.0 - alpha
+    # uniform-decay num/den linear scans with reset at group starts:
+    # num_t = om * num_{t-1} + w_t * x_t ; den_t = om * den_{t-1} + w_t
+    # (adjust=True weights w=1; adjust=False folds the denominator in)
+    def combine(a, b):
+        a_reset, a_decay, a_num, a_den = a
+        b_reset, b_decay, b_num, b_den = b
+        reset = a_reset | b_reset
+        return (reset,
+                jnp.where(b_reset, b_decay, a_decay * b_decay),
+                jnp.where(b_reset, b_num, b_num + b_decay * a_num),
+                jnp.where(b_reset, b_den, b_den + b_decay * a_den))
+
+    w = valid_s.astype(jnp.float64)
+    # ignore_na=True: gaps don't decay; ignore_na=False (pandas default):
+    # decay counts absolute row distance, nulls included
+    decay = jnp.where(valid_s, om, 1.0) if ignore_na \
+        else jnp.full((n,), om, jnp.float64)
+    xw = jnp.where(valid_s, x, 0.0) * w
+    _, _, num, den = jax.lax.associative_scan(
+        combine, (starts, decay, xw, w))
+    out_sorted = jnp.where(den > 0, num / jnp.maximum(den, 1e-300), jnp.nan)
+    if not adjust:
+        # unadjusted recurrence with pandas' per-valid-row
+        # renormalization: y <- (1-beta) y + beta x, beta = alpha /
+        # ((1-alpha)^(g+1) + alpha), g = invalid rows since the last
+        # valid one (ops/scan.py ewm_mean, group-reset form)
+        pos = jnp.arange(n, dtype=jnp.int64)
+        run_start_pos = jax.lax.cummax(jnp.where(starts, pos, jnp.int64(0)))
+        inc = jnp.cumsum(valid_s.astype(jnp.int64))
+        base = (jnp.take(inc, run_start_pos)
+                - jnp.take(valid_s, run_start_pos).astype(jnp.int64))
+        seen_before = (inc - valid_s.astype(jnp.int64) - base) > 0
+
+        def reset_max(a, b):
+            ra, va = a
+            rb, vb = b
+            return ra | rb, jnp.where(rb, vb, jnp.maximum(va, vb))
+
+        _, lv = jax.lax.associative_scan(
+            reset_max, (starts, jnp.where(valid_s, pos, jnp.int64(-1))))
+        prev_valid = jnp.where(
+            starts, jnp.int64(-1),
+            jnp.concatenate([jnp.full((1,), -1, jnp.int64), lv[:-1]]))
+        if ignore_na:
+            beta = jnp.full((n,), alpha, jnp.float64)
+        else:
+            gaps = (pos - 1 - prev_valid).astype(jnp.float64)
+            w_old = om ** (gaps + 1.0)
+            beta = alpha / (w_old + alpha)
+        a2 = jnp.where(valid_s, jnp.where(seen_before, 1.0 - beta, 0.0), 1.0)
+        b2 = jnp.where(valid_s,
+                       jnp.where(seen_before, beta * jnp.where(valid_s, x, 0.0),
+                                 jnp.where(valid_s, x, 0.0)), 0.0)
+
+        def compose(left, right):
+            rl, al, bl = left
+            rr, ar, br = right
+            return (rl | rr,
+                    jnp.where(rr, ar, al * ar),
+                    jnp.where(rr, br, ar * bl + br))
+
+        # reset the linear recurrence at group starts (state seeds to 0;
+        # the first valid row's (a=0, b=x) then seeds y = x)
+        _, _, y = jax.lax.associative_scan(compose, (starts, a2, b2))
+        out_sorted = jnp.where(seen_before | valid_s, y, jnp.nan)
+    # pandas emits the RUNNING mean at NaN positions (carry-forward);
+    # only positions before a group's first valid row are NaN (den == 0)
+    from cudf_tpu.ops._utils import inverse_permutation
+
+    out = jnp.take(out_sorted, inverse_permutation(grouper.sorted_order))
+    return Column(dt.FLOAT64, n, data=out)
+
+
+def _group_bitwise(col: Column, grouper: Grouper, op: str) -> Column:
+    col = _apply_row_mask(col, grouper)
+    data, v = _segment_data(col)
+    acc = data.astype(jnp.int64)
+    ident = {"and": jnp.int64(-1), "or": jnp.int64(0), "xor": jnp.int64(0)}[op]
+    if v is not None:
+        acc = jnp.where(v, acc, ident)
+    fn = {"and": jnp.bitwise_and, "or": jnp.bitwise_or,
+          "xor": jnp.bitwise_xor}[op]
+    out = _run_monoid(_sorted_values(acc, grouper), grouper, fn)
+    return Column(dt.INT64, grouper.num_groups, data=out,
+                  validity=_any_valid(v, grouper))
+
+
+def group_bitwise_and(col, grouper):
+    return _group_bitwise(col, grouper, "and")
+
+
+def group_bitwise_or(col, grouper):
+    return _group_bitwise(col, grouper, "or")
+
+
+def group_bitwise_xor(col, grouper):
+    return _group_bitwise(col, grouper, "xor")
+
+
 _AGG_DISPATCH = {
     "sum": group_sum,
     "count": group_count,
@@ -466,6 +777,16 @@ _AGG_DISPATCH = {
     "median": group_median,
     "idxmin": lambda col, g: group_idxminmax(col, g, "min"),
     "idxmax": lambda col, g: group_idxminmax(col, g, "max"),
+    "collect": group_collect_list,
+    "list": group_collect_list,
+    "unique": group_collect_set,
+    "collect_set": group_collect_set,
+    "sum_of_squares": group_sum_of_squares,
+    "m2": group_m2,
+    "histogram": group_histogram,
+    "bitwise_and": group_bitwise_and,
+    "bitwise_or": group_bitwise_or,
+    "bitwise_xor": group_bitwise_xor,
 }
 
 

@@ -101,3 +101,103 @@ def test_value_counts(rng):
     expect.index.name = None
     got.index.name = None
     pd.testing.assert_series_equal(got, expect, check_names=False, check_dtype=False)
+
+
+# ----------------------------------------------------------------------
+# round-2 agg completion: collect/set/topk/histogram/cov/corr/ewma/bitwise
+# ----------------------------------------------------------------------
+
+def test_groupby_collect_list_and_set(rng):
+    pdf = pd.DataFrame({"k": [1, 2, 1, 2, 1], "v": [3, 1, 3, 2, 5]})
+    df = ct.DataFrame.from_pandas(pdf)
+    got = df.groupby("k").agg({"v": "collect"}).to_pandas()
+    exp = pdf.groupby("k").agg({"v": list})
+    for g, e in zip(got["v"], exp["v"]):
+        assert list(g) == e
+    # pandas agg(list) spelling
+    got2 = df.groupby("k").agg({"v": list}).to_pandas()
+    for g, e in zip(got2["v"], exp["v"]):
+        assert list(g) == e
+    # collect_set: distinct values (value-ordered)
+    got3 = df.groupby("k").agg({"v": "unique"}).to_pandas()
+    exp3 = pdf.groupby("k")["v"].apply(lambda s: sorted(set(s)))
+    for g, e in zip(got3["v"], exp3):
+        assert sorted(g) == e
+
+
+def test_groupby_collect_strings():
+    pdf = pd.DataFrame({"k": [1, 2, 1], "s": ["a", "bb", "ccc"]})
+    df = ct.DataFrame.from_pandas(pdf)
+    got = df.groupby("k").agg({"s": "collect"}).to_pandas()
+    assert list(got["s"].iloc[0]) == ["a", "ccc"]
+    assert list(got["s"].iloc[1]) == ["bb"]
+
+
+def test_groupby_cov_corr(rng):
+    n = 300
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 5, n),
+        "a": rng.normal(size=n),
+        "b": rng.normal(size=n),
+    })
+    pdf.loc[::17, "a"] = np.nan
+    df = ct.DataFrame.from_pandas(pdf)
+    got = df.groupby("k").cov().to_pandas()
+    exp = pdf.groupby("k").cov()
+    np.testing.assert_allclose(got.values, exp.values, rtol=1e-9)
+    gotc = df.groupby("k").corr().to_pandas()
+    expc = pdf.groupby("k").corr()
+    np.testing.assert_allclose(gotc.values, expc.values, rtol=1e-9)
+
+
+def test_groupby_ewm_mean(rng):
+    n = 80
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 4, n),
+        "v": rng.normal(size=n),
+    })
+    pdf.loc[::7, "v"] = np.nan
+    df = ct.DataFrame.from_pandas(pdf)
+    for adjust in (True, False):
+        got = df.groupby("k")["v"].ewm(alpha=0.3, adjust=adjust).mean().to_pandas()
+        exp = pdf.groupby("k")["v"].ewm(alpha=0.3, adjust=adjust).mean()
+        np.testing.assert_allclose(got.values, exp.values, rtol=1e-9)
+
+
+def test_groupby_topk_histogram_ops(rng):
+    import jax.numpy as jnp
+    from cudf_tpu.core.column import Column
+    from cudf_tpu.ops import groupby as gb_ops
+
+    k = np.array([0, 1, 0, 1, 0, 0])
+    v = np.array([5.0, 2.0, 1.0, 7.0, 3.0, 3.0])
+    g = gb_ops.make_grouper([Column.from_numpy(k)])
+    top = gb_ops.group_topk(Column.from_numpy(v), g, 2, largest=True)
+    from cudf_tpu.ops.lists import to_pylists
+    assert to_pylists(top) == [[5.0, 3.0], [7.0, 2.0]]
+    hist = gb_ops.group_histogram(Column.from_numpy(v), g)
+    # list<struct<value,count>>: group 0 has 1.0x1, 3.0x2, 5.0x1
+    vals = to_pylists(hist)
+    assert vals[0] == [
+        {"value": 1.0, "count": 1}, {"value": 3.0, "count": 2},
+        {"value": 5.0, "count": 1}]
+    assert vals[1] == [{"value": 2.0, "count": 1}, {"value": 7.0, "count": 1}]
+
+
+def test_groupby_bitwise_and_sumsq():
+    pdf = pd.DataFrame({"k": [0, 0, 1, 1], "v": [6, 3, 5, 12]})
+    df = ct.DataFrame.from_pandas(pdf)
+    got = df.groupby("k").agg({"v": "bitwise_and"}).to_pandas()
+    assert got["v"].tolist() == [6 & 3, 5 & 12]
+    got_or = df.groupby("k").agg({"v": "bitwise_or"}).to_pandas()
+    assert got_or["v"].tolist() == [6 | 3, 5 | 12]
+    got_sq = df.groupby("k").agg({"v": "sum_of_squares"}).to_pandas()
+    assert got_sq["v"].tolist() == [45.0, 169.0]
+
+
+def test_groupby_m2():
+    pdf = pd.DataFrame({"k": [0, 0, 0, 1, 1], "v": [1.0, 2.0, 4.0, 3.0, 3.0]})
+    df = ct.DataFrame.from_pandas(pdf)
+    got = df.groupby("k").agg({"v": "m2"}).to_pandas()
+    exp = pdf.groupby("k")["v"].apply(lambda s: ((s - s.mean()) ** 2).sum())
+    np.testing.assert_allclose(got["v"].values, exp.values, rtol=1e-12)
