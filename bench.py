@@ -52,10 +52,14 @@ K_HIGH = 1_000_000
 def _step_onehot(keys, vals, bump, num_groups: int):
     from cudf_tpu.kernels.hash_aggregate import onehot_groupby_aggregate
 
+    # G1 asks sum/mean/count only — min/max masked reduces are skipped
+    # (the same agg-pruning libcudf's request list drives)
     s, c, mn, mx = onehot_groupby_aggregate(
-        keys, vals + bump.astype(jnp.float32) * 0, num_groups
+        keys, vals + bump.astype(jnp.float32) * 0, num_groups,
+        with_minmax=False,
     )
-    fold = (jnp.sum(s) + jnp.sum(mn) + jnp.sum(mx)).astype(jnp.int32) \
+    mean = s / jnp.maximum(c.astype(jnp.float32), 1.0)
+    fold = (jnp.sum(s) + jnp.sum(mean)).astype(jnp.int32) \
         + jnp.sum(c).astype(jnp.int32)
     return (fold & 1) + bump % 2
 

@@ -39,7 +39,8 @@ _LANES = 128
 _TILE = _ROWS * _LANES
 
 
-def _kernel(keys_ref, vals_ref, sums_ref, cnts_ref, mins_ref, maxs_ref):
+def _kernel(with_minmax, keys_ref, vals_ref, sums_ref, cnts_ref,
+            mins_ref, maxs_ref):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -50,41 +51,50 @@ def _kernel(keys_ref, vals_ref, sums_ref, cnts_ref, mins_ref, maxs_ref):
         maxs_ref[...] = jnp.full_like(maxs_ref, -jnp.inf)
 
     K = sums_ref.shape[1]
-    classes = jax.lax.broadcasted_iota(jnp.int32, (_LANES, K), 1)  # [L, K]
-    ones = jnp.ones((1, _LANES), jnp.float32)
-    sums = jnp.zeros((1, K), jnp.float32)
-    cnts = jnp.zeros((1, K), jnp.float32)
+    # classes on the SUBLANE axis: [K, L] one-hots broadcast against a
+    # [1, L] key row with no lane->sublane relayout, and the _ROWS rows
+    # batch into ONE [2, R*L] @ [K, R*L]^T contraction (K-dim batching;
+    # M=1-per-row matmuls measured far below MXU peak)
+    classes = jax.lax.broadcasted_iota(jnp.int32, (K, _LANES), 0)   # [K, L]
+    oh_parts, a_parts = [], []
     mins = jnp.full((1, K), jnp.inf, jnp.float32)
     maxs = jnp.full((1, K), -jnp.inf, jnp.float32)
-    # unrolled over the 8 sublane rows: each is a [1,L]x[L,K] MXU matmul
-    # with the one-hot tile living only in VMEM
     for r in range(_ROWS):
         krow = keys_ref[r, :]
         vrow = vals_ref[r, :]
-        onehot = (classes == krow[:, None]).astype(jnp.float32)  # [L, K]
-        sums += jnp.dot(vrow[None, :], onehot, preferred_element_type=jnp.float32)
-        cnts += jnp.dot(ones, onehot, preferred_element_type=jnp.float32)
-        vmat = jnp.where(onehot > 0, vrow[:, None], jnp.inf)
-        mins = jnp.minimum(mins, jnp.min(vmat, axis=0, keepdims=True))
-        vmat2 = jnp.where(onehot > 0, vrow[:, None], -jnp.inf)
-        maxs = jnp.maximum(maxs, jnp.max(vmat2, axis=0, keepdims=True))
-    sums_ref[...] += sums
-    cnts_ref[...] += cnts
-    mins_ref[...] = jnp.minimum(mins_ref[...], mins)
-    maxs_ref[...] = jnp.maximum(maxs_ref[...], maxs)
+        onehot = (classes == krow[None, :]).astype(jnp.float32)      # [K, L]
+        oh_parts.append(onehot)
+        a_parts.append(jnp.stack([vrow, jnp.ones((_LANES,), jnp.float32)]))
+        if with_minmax:
+            vmat = jnp.where(onehot > 0, vrow[None, :], jnp.inf)
+            mins = jnp.minimum(mins, jnp.min(vmat, axis=1)[None, :])
+            vmat2 = jnp.where(onehot > 0, vrow[None, :], -jnp.inf)
+            maxs = jnp.maximum(maxs, jnp.max(vmat2, axis=1)[None, :])
+    a = jnp.concatenate(a_parts, axis=1)                # [2, R*L]
+    oh = jnp.concatenate(oh_parts, axis=1)              # [K, R*L]
+    sc = jax.lax.dot_general(a, oh, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [2, K]
+    sums_ref[...] += sc[0:1]
+    cnts_ref[...] += sc[1:2]
+    if with_minmax:
+        mins_ref[...] = jnp.minimum(mins_ref[...], mins)
+        maxs_ref[...] = jnp.maximum(maxs_ref[...], maxs)
 
 
-@partial(jax.jit, static_argnames=("num_groups", "interpret"))
+@partial(jax.jit, static_argnames=("num_groups", "interpret", "with_minmax"))
 def onehot_groupby_aggregate(
     keys: jnp.ndarray,
     vals: jnp.ndarray,
     num_groups: int,
     valid: Optional[jnp.ndarray] = None,
     interpret: bool = False,
+    with_minmax: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(sums[K], counts[K], mins[K], maxs[K]) for keys in [0, num_groups).
 
-    Rows with valid=False (or out-of-range keys) are excluded.
+    Rows with valid=False (or out-of-range keys) are excluded.  Pass
+    with_minmax=False when only sum/count/mean are consumed — the
+    min/max masked reduces are the kernel's main VPU cost.
     """
     n = keys.shape[0]
     K = int(num_groups)
@@ -108,13 +118,14 @@ def onehot_groupby_aggregate(
     # Mosaic rejects i64 index-map scalars; the package enables x64
     # globally, so trace the kernel with x64 off (all operands are 32-bit)
     with jax.enable_x64(False):
-        sums, cnts, mins, maxs = _call_kernel(keys2, vals2, nt, Kp, interpret)
+        sums, cnts, mins, maxs = _call_kernel(keys2, vals2, nt, Kp, interpret,
+                                              with_minmax)
     return sums[0, :K], cnts[0, :K].astype(jnp.int64), mins[0, :K], maxs[0, :K]
 
 
-def _call_kernel(keys2, vals2, nt, Kp, interpret):
+def _call_kernel(keys2, vals2, nt, Kp, interpret, with_minmax=True):
     return pl.pallas_call(
-        _kernel,
+        partial(_kernel, with_minmax),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -854,7 +854,8 @@ def _try_onehot_fast_path(keys: Table, values, dropna: bool):
                 k_in, col.data.astype(jnp.float32), K)
         else:
             s, c, mn, mx = onehot_groupby_aggregate(
-                codes, col.data.astype(jnp.float32), K, valid=both
+                codes, col.data.astype(jnp.float32), K, valid=both,
+                with_minmax=(agg in ("min", "max")),
             )
         occupied = c if occupied is None else jnp.maximum(occupied, c)
         if agg == "sum":

@@ -174,6 +174,9 @@ def _compile_tokens(nfa: _NFA, tokens, start: int, ignorecase: bool,
                 nfa.add_eps(b_end, join)
             cur = join
         elif op in (sre_c.MAX_REPEAT, sre_c.MIN_REPEAT):
+            if op is sre_c.MIN_REPEAT and _STRICT_SPANS:
+                # non-greedy spans differ from DFA longest-match
+                raise Unsupported("non-greedy repeat in span mode")
             lo, hi, sub = av
             # greediness is irrelevant for DFA membership
             for _ in range(min(lo, _MAX_UNROLL)):
@@ -365,3 +368,106 @@ def run_predicate(col, pattern: str, flags: int = 0,
     if final_only and not anchor_end and mode != "fullmatch":
         pass
     return hit
+
+
+# ----------------------------------------------------------------------
+# span engine: per-start-position longest-match lengths (round 2)
+#
+# Powers device extract/replace/split/count (reference tracks match spans
+# in its NFA interpreter, regex.inl reprog_device::find).  The DFA gives
+# LEFTMOST-LONGEST semantics, which equals Python's greedy semantics for
+# unambiguous patterns; non-greedy quantifiers raise Unsupported (callers
+# host-fallback), as do patterns that can match the empty string.
+# ----------------------------------------------------------------------
+
+_STRICT_SPANS = False  # set during compile_spans: reject non-greedy repeats
+
+
+@lru_cache(maxsize=256)
+def compile_spans_dfa(pattern: str, flags: int = 0):
+    """Anchored DFA for span scanning.  Raises Unsupported for patterns
+    whose DFA longest-match may differ from Python (non-greedy) or that
+    match empty."""
+    global _STRICT_SPANS
+    _STRICT_SPANS = True
+    try:
+        table, acc, class_map, n_classes, anchor_end, start_acc = compile_dfa(
+            pattern, flags, search=False)
+    finally:
+        _STRICT_SPANS = False
+    if start_acc:
+        raise Unsupported("pattern matches the empty string")
+    return table, acc, class_map, n_classes, anchor_end
+
+
+def _span_chunk(chars, lens, table, acc, class_map, n_classes, anchor_end,
+                anchor_start):
+    """matchlen[nc, L] for one row chunk: longest anchored match starting
+    at each byte position (-1 = none)."""
+    nc, L = chars.shape
+    pidx = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+    def step(carry, xs):
+        states, matchlen = carry
+        c, j = xs
+        cls = jnp.take(class_map, c)                      # [nc]
+        active = (pidx <= j) & (j < lens[:, None])
+        nxt = jnp.take(table, states * n_classes + cls[:, None])
+        states = jnp.where(active, nxt, states)
+        accepts = jnp.take(acc, states) & active
+        if anchor_end:
+            accepts = accepts & (j == lens[:, None] - 1)
+        matchlen = jnp.where(accepts, j - pidx + 1, matchlen)
+        return (states, matchlen), None
+
+    states0 = jnp.zeros((nc, L), jnp.int32)
+    ml0 = jnp.full((nc, L), -1, jnp.int32)
+    (_, matchlen), _ = jax.lax.scan(
+        step, (states0, ml0),
+        (chars.T, jnp.arange(L, dtype=jnp.int32)))
+    if anchor_start:
+        matchlen = jnp.where(pidx == 0, matchlen, -1)
+    return matchlen
+
+
+def match_spans(col, pattern: str, flags: int = 0, max_matches: int = -1,
+                chunk_elems: int = 4_000_000):
+    """Greedy non-overlapping match spans per row.
+
+    Returns (sel[n, L] bool — span starts, matchlen[n, L] int32, lens[n])
+    in BYTE units over the row-major char matrix.  max_matches limits
+    selected spans per row (re.sub count semantics); -1 = unlimited.
+    """
+    table, acc, class_map, n_classes, anchor_end = compile_spans_dfa(
+        pattern, flags)
+    # recover anchor_start by probing: compile_dfa(search=False) already
+    # folds ^ into "no implicit .* prefix"; an explicit ^ means only
+    # position 0 may start a match
+    anchor_start = pattern.startswith("^")
+    chars_T, lens = _char_matrix(col)
+    chars = chars_T.T                      # [n, L]
+    n, L = chars.shape
+    rows_per_chunk = max(1, chunk_elems // max(L, 1))
+    parts = []
+    for i in range(0, n, rows_per_chunk):
+        parts.append(_span_chunk(
+            chars[i:i + rows_per_chunk], lens[i:i + rows_per_chunk],
+            table, acc, class_map, n_classes, anchor_end, anchor_start))
+    matchlen = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+    # greedy left-to-right non-overlapping selection (finditer order)
+    def sel_step(carry, xs):
+        next_free, count = carry
+        ml, p = xs                                        # [n], scalar
+        can = (ml > 0) & (p >= next_free)
+        if max_matches >= 0:
+            can = can & (count < max_matches)
+        next_free = jnp.where(can, p + ml, next_free)
+        count = count + can.astype(jnp.int32)
+        return (next_free, count), can
+
+    (_, _), sel_T = jax.lax.scan(
+        sel_step,
+        (jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32)),
+        (matchlen.T, jnp.arange(L, dtype=jnp.int32)))
+    return sel_T.T, matchlen, lens

@@ -97,8 +97,19 @@ def byte_count(col: Column) -> Column:
 # case mapping
 # ----------------------------------------------------------------------
 
+
+def _unicode_case(col: Column, kind: str) -> Optional[Column]:
+    """Device Unicode case tier (unicode_case.py); None -> host."""
+    from cudf_tpu.ops import unicode_case as uc
+
+    return uc.case_map(col, kind)
+
+
 def lower(col: Column) -> Column:
     if _has_non_ascii(col):
+        out = _unicode_case(col, "lower")
+        if out is not None:
+            return out
         return _host_map(col, str.lower, dt.STRING).with_validity(col.validity)
     b = col.data
     out = jnp.where((b >= 65) & (b <= 90), b + 32, b)
@@ -107,6 +118,9 @@ def lower(col: Column) -> Column:
 
 def upper(col: Column) -> Column:
     if _has_non_ascii(col):
+        out = _unicode_case(col, "upper")
+        if out is not None:
+            return out
         return _host_map(col, str.upper, dt.STRING).with_validity(col.validity)
     b = col.data
     out = jnp.where((b >= 97) & (b <= 122), b - 32, b)
@@ -115,6 +129,9 @@ def upper(col: Column) -> Column:
 
 def swapcase(col: Column) -> Column:
     if _has_non_ascii(col):
+        out = _unicode_case(col, "swapcase")
+        if out is not None:
+            return out
         return _host_map(col, str.swapcase, dt.STRING).with_validity(col.validity)
     b = col.data
     out = jnp.where((b >= 65) & (b <= 90), b + 32,
@@ -124,6 +141,9 @@ def swapcase(col: Column) -> Column:
 
 def capitalize(col: Column) -> Column:
     if _has_non_ascii(col):
+        out = _unicode_case(col, "capitalize")
+        if out is not None:
+            return out
         return _host_map(col, str.capitalize, dt.STRING).with_validity(col.validity)
     n = col.length
     if col.data.shape[0] == 0:
@@ -138,6 +158,10 @@ def capitalize(col: Column) -> Column:
 
 
 def title(col: Column) -> Column:
+    if col.data.shape[0]:
+        out = _unicode_case(col, "title")
+        if out is not None:
+            return out
     return _host_map(col, str.title, dt.STRING).with_validity(col.validity)
 
 
@@ -418,6 +442,12 @@ def fullmatch_re(col: Column, pat: str, flags: int = 0) -> Column:
 
 
 def replace_re(col: Column, pat: str, repl: str, n: int = -1, flags: int = 0) -> Column:
+    from cudf_tpu.ops import string_spans as sp
+
+    if col.data.shape[0]:
+        out = sp.replace_re_device(col, pat, repl, n=n, flags=flags)
+        if out is not None:
+            return out.with_validity(col.validity)
     import re
 
     rx = re.compile(pat, flags)
@@ -426,6 +456,12 @@ def replace_re(col: Column, pat: str, repl: str, n: int = -1, flags: int = 0) ->
 
 
 def count_re(col: Column, pat: str, flags: int = 0) -> Column:
+    from cudf_tpu.ops import string_spans as sp
+
+    if col.data.shape[0]:
+        out = sp.count_re_device(col, pat, flags=flags)
+        if out is not None:
+            return out.with_validity(col.validity)
     import re
 
     rx = re.compile(pat, flags)
@@ -433,6 +469,12 @@ def count_re(col: Column, pat: str, flags: int = 0) -> Column:
 
 
 def extract_re(col: Column, pat: str, flags: int = 0) -> List[Column]:
+    from cudf_tpu.ops import string_spans as sp
+
+    if col.data.shape[0]:
+        out = sp.extract_re_device(col, pat, flags=flags)
+        if out is not None:
+            return out
     import re
 
     rx = re.compile(pat, flags)
@@ -447,12 +489,28 @@ def extract_re(col: Column, pat: str, flags: int = 0) -> List[Column]:
 
 
 def replace_literal(col: Column, pat: str, repl: str, n: int = -1) -> Column:
+    from cudf_tpu.ops import string_spans as sp
+
+    if col.data.shape[0] and pat:
+        out = sp.replace_literal_device(col, pat, repl, n=n)
+        if out is not None:
+            return out.with_validity(col.validity)
     cnt = -1 if n < 0 else n
     return _host_map(col, lambda s: s.replace(pat, repl, cnt), dt.STRING).with_validity(col.validity)
 
 
 def split_expand(col: Column, sep: Optional[str], maxsplit: int = -1, regex: bool = False) -> List[Column]:
     """split into N columns (split.cu 'expand' mode)."""
+    from cudf_tpu.ops import string_spans as sp
+
+    if col.data.shape[0] and sep is not None:
+        cols = sp.split_columns(col, sep, maxsplit=maxsplit, regex=regex)
+        if cols is not None:
+            if col.validity is not None:
+                cols = [c.with_validity(
+                    (c.validity & col.validity) if c.validity is not None
+                    else col.validity) for c in cols]
+            return cols
     import re
 
     if regex:
@@ -517,11 +575,51 @@ def pad(col: Column, width: int, side: str = "left", fillchar: str = " ") -> Col
 
 
 def zfill(col: Column, width: int) -> Column:
-    return _host_map(col, lambda s: s.zfill(width), dt.STRING).with_validity(col.validity)
+    """Left-pad with '0' keeping a leading sign in front (pad.cu zfill)."""
+    n = col.length
+    if col.data.shape[0] == 0:
+        return pad(col, width, side="left", fillchar="0")
+    nchars = length(col).data
+    lens = col.offsets[1:] - col.offsets[:-1]
+    padn = jnp.maximum(width - nchars, 0)
+    chars_buf = col.data
+    first = jnp.take(chars_buf, jnp.clip(col.offsets[:-1], 0, chars_buf.shape[0] - 1))
+    has_sign = (lens > 0) & ((first == ord("+")) | (first == ord("-")))
+    new_lens = lens + padn
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int64), jnp.cumsum(new_lens)])
+    total = int(offsets[-1])
+    row = segment_expand(offsets, total)
+    within = jnp.arange(total, dtype=jnp.int64) - jnp.take(offsets, row)
+    hs = jnp.take(has_sign, row).astype(jnp.int64)
+    pd_ = jnp.take(padn, row)
+    is_sign_pos = (within == 0) & (hs == 1)
+    in_zeros = (within >= hs) & (within < hs + pd_)
+    src = jnp.take(col.offsets[:-1], row) + jnp.where(
+        is_sign_pos, 0, within - pd_)
+    body = jnp.take(chars_buf, jnp.clip(src, 0, chars_buf.shape[0] - 1))
+    out = jnp.where(in_zeros, jnp.uint8(ord("0")), body)
+    return Column(dt.STRING, n, data=out, offsets=offsets,
+                  validity=col.validity)
 
 
 def repeat_strings(col: Column, times: int) -> Column:
-    return _host_map(col, lambda s: s * times, dt.STRING).with_validity(col.validity)
+    """s * times on device (repeat_strings.cu)."""
+    n = col.length
+    t = max(times, 0)
+    lens = col.offsets[1:] - col.offsets[:-1]
+    new_lens = lens * t
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int64), jnp.cumsum(new_lens)])
+    total = int(offsets[-1])
+    if total == 0:
+        return Column(dt.STRING, n, data=jnp.zeros((0,), jnp.uint8),
+                      offsets=offsets, validity=col.validity)
+    row = segment_expand(offsets, total)
+    within = jnp.arange(total, dtype=jnp.int64) - jnp.take(offsets, row)
+    ln = jnp.maximum(jnp.take(lens, row), 1)
+    src = jnp.take(col.offsets[:-1], row) + (within % ln)
+    out = jnp.take(col.data, jnp.clip(src, 0, col.data.shape[0] - 1))
+    return Column(dt.STRING, n, data=out, offsets=offsets,
+                  validity=col.validity)
 
 
 # ----------------------------------------------------------------------

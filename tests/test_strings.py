@@ -101,3 +101,44 @@ def test_numeric_cast_roundtrip():
 def test_float_format():
     s = ct.Series([1.5, -2.25])
     assert s.astype("str").tolist() == ["1.5", "-2.25"]
+
+
+# ----------------------------------------------------------------------
+# round-2 device Unicode case tier
+# ----------------------------------------------------------------------
+
+def test_unicode_case_device(monkeypatch):
+    from cudf_tpu.core.column import Column
+    from cudf_tpu.ops import strings as S
+
+    def boom(*a, **k):
+        raise AssertionError("_host_map called — device case did not engage")
+
+    monkeypatch.setattr(S, "_host_map", boom)
+    # no ß/ligatures: expanding mappings legitimately take the host tier
+    vals = ["Grüne", "ΑΒΓαβγ", "ёЖик", "café", "mixedCASE", "日本語ab"]
+    col = Column.from_strings(vals)
+    assert S.lower(col).to_pylist() == [v.lower() for v in vals]
+    assert S.upper(col).to_pylist() == [v.upper() for v in vals]
+    assert S.swapcase(col).to_pylist() == [v.swapcase() for v in vals]
+    assert S.capitalize(col).to_pylist() == [v.capitalize() for v in vals]
+    assert S.title(col).to_pylist() == [v.title() for v in vals]
+
+
+def test_unicode_case_expanding_falls_back():
+    """ß→SS expands: host tier must be used and stay correct."""
+    from cudf_tpu.core.column import Column
+    from cudf_tpu.ops import strings as S
+
+    vals = ["straße", "ß"]
+    col = Column.from_strings(vals)
+    assert S.upper(col).to_pylist() == [v.upper() for v in vals]
+
+
+def test_unicode_title_ascii_words():
+    from cudf_tpu.core.column import Column
+    from cudf_tpu.ops import strings as S
+
+    vals = ["hello world", "they're", "abc3de", "ALL CAPS"]
+    col = Column.from_strings(vals)
+    assert S.title(col).to_pylist() == [v.title() for v in vals]
