@@ -26,6 +26,26 @@ def read_parquet(
     row_groups: Optional[Sequence[int]] = None,
     **kw,
 ) -> DataFrame:
+    from cudf_tpu.utils.config import get_option
+
+    if get_option("io.parquet.native_reader"):
+        try:
+            from cudf_tpu.io.parquet_native import read_parquet_native
+
+            flt = filters
+            if flt and isinstance(flt[0], list):
+                flt = flt[0] if len(flt) == 1 else None  # AND-list only
+            df = read_parquet_native(
+                path, columns=list(columns) if columns else None,
+                filters=flt if flt and isinstance(flt[0], tuple) else None,
+                row_groups=list(row_groups) if row_groups is not None else None)
+            if flt and isinstance(flt[0], tuple):
+                # stats pruning is row-group granular; apply the exact
+                # residual predicate (predicate_pushdown.cpp does the same)
+                df = _apply_residual_filters(df, flt)
+            return df
+        except (NotImplementedError, ValueError):
+            pass                          # pyarrow tier below
     import pyarrow.parquet as pq
 
     f = pq.ParquetFile(path)
@@ -41,6 +61,27 @@ def read_parquet(
         tbl = f.read(columns=list(columns) if columns else None)
     t = Table.from_arrow(tbl)
     return DataFrame._from(t, default_index(t.num_rows))
+
+
+def _apply_residual_filters(df: DataFrame, filters) -> DataFrame:
+    """Row-level filter after row-group pruning (native-reader path)."""
+    import operator
+
+    ops = {
+        "=": operator.eq, "==": operator.eq, "!=": operator.ne,
+        "<": operator.lt, ">": operator.gt, "<=": operator.le,
+        ">=": operator.ge,
+    }
+    mask = None
+    for col, op, val in filters:
+        if op == "in":
+            m = df[col].isin(val)
+        elif op == "not in":
+            m = ~df[col].isin(val)
+        else:
+            m = ops[op](df[col], val)
+        mask = m if mask is None else (mask & m)
+    return df[mask].reset_index(drop=True) if mask is not None else df
 
 
 def _filters_to_expression(filters):

@@ -36,6 +36,7 @@ _PHYS = {0: "BOOLEAN", 1: "INT32", 2: "INT64", 4: "FLOAT", 5: "DOUBLE", 6: "BYTE
 _NP = {1: np.dtype("int32"), 2: np.dtype("int64"), 4: np.dtype("float32"), 5: np.dtype("float64")}
 _CODEC_UNCOMPRESSED, _CODEC_SNAPPY, _CODEC_GZIP, _CODEC_ZSTD = 0, 1, 2, 6
 _ENC_PLAIN, _ENC_RLE, _ENC_PLAIN_DICT, _ENC_RLE_DICT = 0, 3, 2, 8
+_ENC_DELTA_BINARY, _ENC_DELTA_LENGTH_BA, _ENC_DELTA_BA = 5, 6, 7
 
 
 def _decompress(data: bytes, codec: int, uncompressed_size: int) -> bytes:
@@ -94,42 +95,96 @@ def read_column_chunk(path: str, meta: thrift.ColumnChunkMeta, nullable: bool = 
 
     pos = 0
     dictionary = None
+    dict_dev = None                      # device-resident (offsets, chars)
     values_parts: List = []
     validity_parts: List[np.ndarray] = []
     remaining = meta.num_values
     while remaining > 0 and pos < len(raw):
         ph = thrift.PageHeader.parse(raw, pos)
         pos += ph.header_len
-        payload = _decompress(raw[pos:pos + ph.compressed_page_size], meta.codec,
-                              ph.uncompressed_page_size)
+        if ph.type == 3 and not ph.v2_is_compressed:
+            payload = raw[pos:pos + ph.compressed_page_size]
+        elif ph.type == 3:
+            # v2: levels are stored UNcompressed ahead of the compressed
+            # values section (format spec DataPageHeaderV2)
+            lvl_len = ph.def_levels_byte_length + ph.rep_levels_byte_length
+            lvl = raw[pos:pos + lvl_len]
+            body_c = raw[pos + lvl_len:pos + ph.compressed_page_size]
+            payload = lvl + _decompress(
+                body_c, meta.codec, ph.uncompressed_page_size - lvl_len)
+        else:
+            payload = _decompress(raw[pos:pos + ph.compressed_page_size],
+                                  meta.codec, ph.uncompressed_page_size)
         pos += ph.compressed_page_size
         if ph.type == 2:  # dictionary page
             dictionary = _decode_plain(payload, phys, ph.dict_num_values)
             continue
-        if ph.type != 0:
-            raise NotImplementedError("data page v2")
+        if ph.type not in (0, 3):
+            raise NotImplementedError(f"page type {ph.type}")
         nv = ph.num_values
-        dls, consumed = _read_levels(payload, nv, 1 if nullable else 0)
+        if ph.type == 3:
+            # v2 def levels: RLE without the 4-byte length prefix
+            if nullable and ph.def_levels_byte_length:
+                dls = native.rle_decode32(
+                    payload[:ph.def_levels_byte_length], 1, nv)
+            else:
+                dls = np.ones(nv, np.int32) if not nullable or \
+                    (ph.num_nulls == 0) else np.ones(nv, np.int32)
+            consumed = ph.def_levels_byte_length + ph.rep_levels_byte_length
+        else:
+            dls, consumed = _read_levels(payload, nv, 1 if nullable else 0)
         body = payload[consumed:]
         valid = dls.astype(bool) if nullable else np.ones(nv, bool)
         n_present = int(valid.sum())
+        from cudf_tpu.utils.config import get_option
+
+        device_tier = get_option("io.parquet.device_decode")
         if ph.encoding == _ENC_PLAIN:
             vals = _decode_plain(body, phys, n_present)
+        elif ph.encoding == _ENC_DELTA_BINARY and phys in (1, 2):
+            # DELTA_BINARY_PACKED on device (page_delta_decode.cu role)
+            from cudf_tpu.io.parquet_device import device_delta_binary_decode
+
+            v64, _ = device_delta_binary_decode(bytes(body), n_present)
+            vals = np.asarray(v64).astype(_NP[phys])
+        elif ph.encoding == _ENC_DELTA_LENGTH_BA and phys == 6:
+            from cudf_tpu.io.parquet_device import (
+                device_delta_length_byte_array)
+
+            offs_j, chars_j = device_delta_length_byte_array(
+                bytes(body), n_present)
+            vals = (np.asarray(offs_j), np.asarray(chars_j))
         elif ph.encoding in (_ENC_RLE_DICT, _ENC_PLAIN_DICT):
             bw = body[0]
-            from cudf_tpu.utils.config import get_option
-
-            if get_option("io.parquet.device_decode") and phys in _NP:
+            if device_tier and phys in _NP:
                 # device tier: RLE/bit-pack expand + dictionary gather on
-                # the VPU (io/parquet_device.py); page-buffer assembly is
-                # still host-side — full HBM-resident assembly is the
-                # round-2 step (page_decode.cuh parity)
+                # the VPU (io/parquet_device.py)
                 import jax.numpy as _jnp
 
                 from cudf_tpu.io.parquet_device import device_rle_decode
 
                 idx_j = device_rle_decode(bytes(body[1:]), bw, n_present)
                 vals = np.asarray(_jnp.take(_jnp.asarray(dictionary), idx_j))
+                values_parts.append(vals)
+                validity_parts.append(valid)
+                remaining -= nv
+                continue
+            if device_tier and phys == 6:
+                # device string decode for the dict-encoded case
+                # (page_string_decode.cu role): indices + dictionary +
+                # output assembly all device-resident
+                import jax.numpy as _jnp
+
+                from cudf_tpu.io.parquet_device import (
+                    device_dict_string_gather, device_rle_decode)
+
+                if dict_dev is None:
+                    offs, chars = dictionary
+                    dict_dev = (_jnp.asarray(offs), _jnp.asarray(chars))
+                idx_j = device_rle_decode(bytes(body[1:]), bw, n_present)
+                offs_j, chars_j = device_dict_string_gather(
+                    idx_j, dict_dev[0], dict_dev[1])
+                vals = (np.asarray(offs_j), np.asarray(chars_j))
                 values_parts.append(vals)
                 validity_parts.append(valid)
                 remaining -= nv
@@ -182,8 +237,60 @@ def read_column_chunk(path: str, meta: thrift.ColumnChunkMeta, nullable: bool = 
     return full, validity
 
 
-def read_parquet_native(path: str, columns: Optional[List[str]] = None):
-    """Full-file reader over the self-contained decode path."""
+def _rg_passes_filters(rg, filters, phys_of) -> bool:
+    """Row-group min/max stats pruning (predicate_pushdown.cpp role).
+
+    filters: AND-list of (column, op, value), op ∈ {==,=,<,<=,>,>=,!=}.
+    Returns False only when the stats PROVE no row can match.
+    """
+    if not filters:
+        return True
+    stats = {}
+    for cc in rg.columns:
+        name = cc.path[-1] if cc.path else ""
+        if cc.statistics is not None:
+            stats[name] = cc.statistics.decode(cc.type)
+    for name, op, val in filters:
+        if name not in stats:
+            continue
+        mn, mx = stats[name]
+        if mn is None or mx is None:
+            continue
+        if isinstance(val, str) and isinstance(mn, (bytes, bytearray)):
+            val = val.encode()
+        try:
+            if op in ("==", "=") and (val < mn or val > mx):
+                return False
+            if op == "<" and mn >= val:
+                return False
+            if op == "<=" and mn > val:
+                return False
+            if op == ">" and mx <= val:
+                return False
+            if op == ">=" and mx < val:
+                return False
+        except TypeError:
+            continue
+    return True
+
+
+def prune_row_groups(path: str, filters) -> Tuple[int, int]:
+    """(kept, total) row-group counts for the given filters — the
+    observable the Q6 pushdown test asserts on."""
+    md = thrift.read_file_metadata(path)
+    kept = sum(1 for rg in md.row_groups
+               if _rg_passes_filters(rg, filters, None))
+    return kept, len(md.row_groups)
+
+
+def read_parquet_native(path: str, columns: Optional[List[str]] = None,
+                        filters=None, row_groups: Optional[List[int]] = None):
+    """Full-file reader over the self-contained decode path.
+
+    filters: AND-list of (col, op, val) → row-group stats pruning
+    (reference: predicate_pushdown.cpp; the pruned groups are never read
+    from disk).  row_groups: explicit subset (chunked passes).
+    """
     from cudf_tpu.frame.dataframe import DataFrame
     from cudf_tpu.frame.index import default_index
     import jax.numpy as jnp
@@ -197,7 +304,13 @@ def read_parquet_native(path: str, columns: Optional[List[str]] = None):
     wanted = columns or names
     per_col: Dict[str, List] = {n: [] for n in wanted}
     per_val: Dict[str, List] = {n: [] for n in wanted}
-    for rg in md.row_groups:
+    groups = md.row_groups
+    if row_groups is not None:
+        groups = [groups[i] for i in row_groups]
+    if filters:
+        groups = [rg for rg in groups
+                  if _rg_passes_filters(rg, filters, None)]
+    for rg in groups:
         for cc in rg.columns:
             name = cc.path[-1] if cc.path else ""
             if name not in per_col:
@@ -233,3 +346,26 @@ def read_parquet_native(path: str, columns: Optional[List[str]] = None):
             cols[n] = Column.from_numpy(data, mask=mask)
     t = Table(cols)
     return DataFrame._from(t, default_index(t.num_rows))
+
+
+def read_parquet_native_chunked(path: str, columns: Optional[List[str]] = None,
+                                memory_budget: int = 1 << 30,
+                                filters=None):
+    """Generator of DataFrames: row groups batched into passes whose
+    TOTAL uncompressed size fits ``memory_budget`` (the pass/subpass
+    memory governance of reader_impl_chunking.cu, row-group granular)."""
+    md = thrift.read_file_metadata(path)
+    sizes = [sum(cc.total_uncompressed_size for cc in rg.columns)
+             for rg in md.row_groups]
+    batch: List[int] = []
+    used = 0
+    for i, sz in enumerate(sizes):
+        if batch and used + sz > memory_budget:
+            yield read_parquet_native(path, columns, filters=filters,
+                                      row_groups=batch)
+            batch, used = [], 0
+        batch.append(i)
+        used += sz
+    if batch:
+        yield read_parquet_native(path, columns, filters=filters,
+                                  row_groups=batch)

@@ -112,6 +112,45 @@ class SchemaElement:
 
 
 @dataclass
+class Statistics:
+    """Column-chunk statistics (parquet.thrift Statistics) — the inputs
+    to row-group predicate pushdown (predicate_pushdown.cpp)."""
+
+    min_value: Optional[bytes]
+    max_value: Optional[bytes]
+    null_count: Optional[int]
+
+    @classmethod
+    def from_raw(cls, d):
+        # parquet.thrift Statistics: 5=max_value, 6=min_value (modern);
+        # 1=max, 2=min (deprecated signed-comparison era)
+        return cls(
+            min_value=d.get(6, d.get(2)),
+            max_value=d.get(5, d.get(1)),
+            null_count=d.get(3),
+        )
+
+    def decode(self, phys: int):
+        """(min, max) as python values for physical type, or None."""
+        import struct as _s
+
+        fmt = {1: "<i", 2: "<q", 4: "<f", 5: "<d"}.get(phys)
+
+        def dec(b):
+            if b is None:
+                return None
+            if fmt is not None:
+                return _s.unpack(fmt, b)[0] if len(b) == _s.calcsize(fmt) else None
+            if phys == 6:
+                return b  # BYTE_ARRAY: raw bytes, lexicographic
+            if phys == 0:
+                return bool(b[0]) if b else None
+            return None
+
+        return dec(self.min_value), dec(self.max_value)
+
+
+@dataclass
 class ColumnChunkMeta:
     type: int
     encodings: List[int]
@@ -122,6 +161,7 @@ class ColumnChunkMeta:
     total_compressed_size: int
     data_page_offset: int
     dictionary_page_offset: Optional[int]
+    statistics: Optional["Statistics"] = None
 
     @classmethod
     def from_raw(cls, d):
@@ -131,6 +171,7 @@ class ColumnChunkMeta:
             codec=d[4], num_values=d[5],
             total_uncompressed_size=d[6], total_compressed_size=d[7],
             data_page_offset=d[9], dictionary_page_offset=d.get(11),
+            statistics=Statistics.from_raw(d[12]) if 12 in d else None,
         )
 
 
@@ -179,6 +220,11 @@ class PageHeader:
     # dictionary page
     dict_num_values: Optional[int] = None
     header_len: int = 0
+    # data page v2
+    num_nulls: Optional[int] = None
+    def_levels_byte_length: int = 0
+    rep_levels_byte_length: int = 0
+    v2_is_compressed: bool = True
 
     @classmethod
     def parse(cls, buf: bytes, pos: int) -> "PageHeader":
@@ -196,7 +242,11 @@ class PageHeader:
         if 8 in d:  # DataPageHeaderV2
             dp = d[8]
             ph.num_values = dp.get(1)
+            ph.num_nulls = dp.get(2)
             ph.encoding = dp.get(4)
+            ph.def_levels_byte_length = dp.get(5, 0)
+            ph.rep_levels_byte_length = dp.get(6, 0)
+            ph.v2_is_compressed = dp.get(7, True)
         ph.header_len = r.pos - pos
         return ph
 

@@ -85,6 +85,9 @@ _register("io.parquet.chunk_read_limit", 0, "bytes per parquet pass (0 = whole f
 _register("io.parquet.device_decode", False,
           "decode RLE/dictionary pages on device (VPU expand + gather); "
           "page assembly still host-side — experimental")
+_register("io.parquet.native_reader", False,
+          "use the self-contained thrift+decode reader (parquet_native) "
+          "with row-group stats pushdown instead of the pyarrow tier")
 _register("executor.target_partition_size", 1 << 28, "bytes per partition in distributed exec")
 _register("executor.broadcast_limit", 1 << 25, "max bytes for broadcast-join small side")
 _register("strings.host_fallback", True, "allow host fallback for regex/non-ASCII string ops")

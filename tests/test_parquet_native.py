@@ -64,3 +64,127 @@ def test_footer_metadata(tmp_path, pdf):
     assert md.num_rows == len(pdf)
     names = [s.name for s in md.schema[1:]]
     assert names == list(pdf.columns)
+
+
+# ----------------------------------------------------------------------
+# round-2: DELTA encodings, v2 pages, stats pushdown, chunked passes,
+# device dict-string decode
+# ----------------------------------------------------------------------
+
+def _write_pq(tmp_path, table, name, **kw):
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / name)
+    pq.write_table(table, p, **kw)
+    return p
+
+
+def test_delta_binary_packed(tmp_path, rng):
+    import pyarrow as pa
+
+    vals = rng.integers(-10_000, 10_000, 5000).astype(np.int64)
+    t = pa.table({"x": vals, "y": vals.astype(np.int32)})
+    p = _write_pq(tmp_path, t, "delta.pq", use_dictionary=False,
+                  column_encoding={"x": "DELTA_BINARY_PACKED",
+                                   "y": "DELTA_BINARY_PACKED"},
+                  use_byte_stream_split=False, compression="NONE",
+                  data_page_version="2.0")
+    from cudf_tpu.io.parquet_native import read_parquet_native
+
+    df = read_parquet_native(p)
+    np.testing.assert_array_equal(df["x"].to_numpy(), vals)
+    np.testing.assert_array_equal(df["y"].to_numpy(), vals.astype(np.int32))
+
+
+def test_delta_length_byte_array(tmp_path, rng):
+    import pyarrow as pa
+
+    strs = ["".join(chr(97 + int(c)) for c in rng.integers(0, 26, int(l)))
+            for l in rng.integers(0, 12, 800)]
+    t = pa.table({"s": strs})
+    p = _write_pq(tmp_path, t, "dlba.pq", use_dictionary=False,
+                  column_encoding={"s": "DELTA_LENGTH_BYTE_ARRAY"},
+                  compression="NONE", data_page_version="2.0")
+    from cudf_tpu.io.parquet_native import read_parquet_native
+
+    df = read_parquet_native(p)
+    assert df["s"].to_pandas().tolist() == strs
+
+
+def test_stats_pushdown_prunes(tmp_path):
+    import pyarrow as pa
+
+    # 4 row groups of 1000 rows, x ascending: filter x > 3500 keeps 1
+    x = np.arange(4000, dtype=np.int64)
+    t = pa.table({"x": x, "v": np.ones(4000)})
+    p = _write_pq(tmp_path, t, "stats.pq", row_group_size=1000)
+    from cudf_tpu.io.parquet_native import (prune_row_groups,
+                                            read_parquet_native)
+
+    kept, total = prune_row_groups(p, [("x", ">", 3500)])
+    assert total == 4 and kept == 1
+    df = read_parquet_native(p, filters=[("x", ">", 3500)])
+    # pruning is row-group granular: the surviving group holds 3000..3999
+    assert len(df) == 1000 and int(df["x"].to_numpy().min()) == 3000
+    kept2, _ = prune_row_groups(p, [("x", "==", 1500)])
+    assert kept2 == 1
+    kept3, _ = prune_row_groups(p, [("x", ">", 5000)])
+    assert kept3 == 0
+
+
+def test_chunked_passes(tmp_path, rng):
+    import pyarrow as pa
+
+    x = rng.normal(size=10_000)
+    t = pa.table({"x": x})
+    p = _write_pq(tmp_path, t, "chunk.pq", row_group_size=1000)
+    from cudf_tpu.io.parquet_native import read_parquet_native_chunked
+
+    parts = list(read_parquet_native_chunked(p, memory_budget=20_000))
+    assert len(parts) > 1
+    got = np.concatenate([d["x"].to_numpy() for d in parts])
+    np.testing.assert_allclose(got, x)
+
+
+def test_device_dict_string_decode(tmp_path, rng):
+    import pyarrow as pa
+    from cudf_tpu.utils.config import option_context
+
+    strs = [["alpha", "beta", "gamma", "delta"][i]
+            for i in rng.integers(0, 4, 3000)]
+    t = pa.table({"s": strs, "v": rng.normal(size=3000)})
+    p = _write_pq(tmp_path, t, "dictstr.pq", use_dictionary=True,
+                  compression="snappy")
+    from cudf_tpu.io.parquet_native import read_parquet_native
+
+    with option_context("io.parquet.device_decode", True):
+        df = read_parquet_native(p)
+    assert df["s"].to_pandas().tolist() == strs
+
+
+def test_native_reader_option_with_engine_q6_shape(tmp_path, rng):
+    """TPC-H Q6-shaped scan over the native reader: stats pushdown prunes
+    row groups AND the residual predicate keeps results exact."""
+    import pyarrow as pa
+    import pandas as pd
+    import cudf_tpu as ct
+    from cudf_tpu.utils.config import option_context
+
+    n = 4000
+    pdf = pd.DataFrame({
+        "l_quantity": np.repeat(np.arange(4), n // 4) * 10.0,
+        "l_extendedprice": rng.normal(1000, 100, n),
+        "l_discount": rng.uniform(0, 0.1, n),
+    })
+    p = str(tmp_path / "q6.pq")
+    pa.parquet.write_table(pa.Table.from_pandas(pdf), p, row_group_size=1000)
+    from cudf_tpu.io.parquet_native import prune_row_groups
+
+    kept, total = prune_row_groups(p, [("l_quantity", "<", 10.0)])
+    assert total == 4 and kept == 1       # fewer groups decoded
+    with option_context("io.parquet.native_reader", True):
+        df = ct.read_parquet(p, filters=[("l_quantity", "<", 10.0)])
+    exp = pdf[pdf["l_quantity"] < 10.0].reset_index(drop=True)
+    assert len(df) == len(exp)
+    np.testing.assert_allclose(
+        df["l_extendedprice"].to_numpy(), exp["l_extendedprice"].values)
