@@ -16,7 +16,51 @@ from cudf_tpu.engine.expr import Agg, Col, Expr
 def optimize(node: IRs.IR) -> IRs.IR:
     node = push_predicates(node)
     node = push_projections(node, needed=None)
+    node = cse(node)
     return node
+
+
+# ----------------------------------------------------------------------
+# common-subplan elimination: structurally-equal subtrees collapse to ONE
+# shared node, so IR.evaluate's id-keyed cache computes them once
+# (reference: cudf-polars Cache insertion, dsl/ir.py Cache / CSE in the
+# polars optimizer the reference piggybacks on)
+# ----------------------------------------------------------------------
+
+def cse(node: IRs.IR) -> IRs.IR:
+    seen = {}
+
+    def fingerprint(n: IRs.IR, child_fps) -> str:
+        parts = [type(n).__name__]
+        for k, v in sorted(vars(n).items()):
+            if k == "children":
+                continue
+            if isinstance(v, (str, int, float, bool, type(None))):
+                parts.append(f"{k}={v!r}")
+            elif isinstance(v, (list, tuple)):
+                parts.append(f"{k}={[repr(x) for x in v]}")
+            else:
+                # tables/columns/expressions: identity-keyed (conservative)
+                parts.append(f"{k}@{id(v)}")
+        parts.extend(child_fps)
+        return "|".join(parts)
+
+    def walk(n: IRs.IR):
+        child_results = [walk(c) for c in n.children]
+        fps = [fp for fp, _ in child_results]
+        new_children = tuple(c for _, c in child_results)
+        if any(a is not b for a, b in zip(new_children, n.children)):
+            import copy
+
+            n = copy.copy(n)
+            n.children = new_children
+        fp = fingerprint(n, fps)
+        if fp in seen:
+            return fp, seen[fp]
+        seen[fp] = n
+        return fp, n
+
+    return walk(node)[1]
 
 
 # ----------------------------------------------------------------------

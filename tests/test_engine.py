@@ -207,3 +207,48 @@ def test_time_rolling_frame(rng):
     got = g.rolling("1h").sum().to_pandas()
     expect = ps.rolling("1h").sum()
     np.testing.assert_allclose(got.values, expect.values, equal_nan=True, rtol=1e-9)
+
+
+def test_streaming_sort_range_partitioned(rng):
+    """Sort lowering: range partitioning by key rank (not concat-resort);
+    exact global order incl. tie stability and secondary keys."""
+    import pandas as pd
+    import cudf_tpu as ct
+    from cudf_tpu.engine.lazy import LazyFrame
+
+    n = 5000
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 50, n),     # heavy ties
+        "v": rng.normal(size=n),
+        "tag": np.arange(n),
+    })
+    lf = LazyFrame.from_dataframe(ct.DataFrame.from_pandas(pdf)) \
+        .sort(["k", "v"], descending=[False, True])
+    got = lf.collect(streaming=True, mesh=6).to_pandas().reset_index(drop=True)
+    exp = pdf.sort_values(["k", "v"], ascending=[True, False],
+                          kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_optimizer_cse_shares_subplans(rng):
+    """Structurally-equal subtrees collapse to one node → evaluated once."""
+    import pandas as pd
+    import cudf_tpu as ct
+    from cudf_tpu.engine.lazy import LazyFrame
+    from cudf_tpu.engine.expr import col
+    from cudf_tpu.engine import ir as IRs
+    from cudf_tpu.engine.optimizer import optimize
+
+    pdf = pd.DataFrame({"k": rng.integers(0, 10, 200), "v": rng.normal(size=200)})
+    df = ct.DataFrame.from_pandas(pdf)
+    base = LazyFrame.from_dataframe(df).group_by("k").agg(
+        col("v").sum().alias("s"))
+    # self-join of the same aggregation subplan
+    joined = base.join(base, on="k", suffix="_r")
+    plan = optimize(joined._node)
+    assert isinstance(plan, IRs.Join)
+    assert plan.children[0] is plan.children[1]  # CSE shared the subtree
+    out = joined.collect().to_pandas()
+    exp = pdf.groupby("k")["v"].sum()
+    assert len(out) == len(exp)
+    np.testing.assert_allclose(np.sort(out["s"].values), np.sort(exp.values))
