@@ -602,6 +602,21 @@ def radix_join_inner_unique(lk, lv, rk, rv, key_domain: int,
     out-of-window rows have found = 0).
     """
     domain_bits = max(int(np.ceil(np.log2(max(key_domain, 2)))), 1)
+    if domain_bits <= WINDOW_BITS:
+        # single window (db-benchmark small/medium dim tables): neither
+        # side needs a partition pass — build one dense table, stream the
+        # probe rows straight through the MXU lookup
+        rk2, rv2, _ = _prep_rows(rk, rv, agg_rows)
+        S_r = rk2.shape[0] // agg_rows
+        step_r = (jnp.arange(S_r, dtype=jnp.int32) == 0).astype(jnp.int32) << 16
+        tables = bucket_aggregate(rk2, rv2, step_r, 1, WINDOW_BITS,
+                                  agg_rows, interpret=interpret)
+        lk2, lv2, _ = _prep_rows(lk, lv, agg_rows)
+        S_l = lk2.shape[0] // agg_rows
+        step_l = jnp.zeros((S_l,), jnp.int32)
+        mval, found = window_probe(lk2, lv2, tables, step_l, WINDOW_BITS,
+                                   agg_rows, interpret=interpret)
+        return lk2, lv2, mval, found
     pkr, pvr, base_r, G = radix_partition(rk, rv, domain_bits, tile_rows,
                                           chunk_rows, agg_rows,
                                           interpret=interpret)

@@ -130,3 +130,24 @@ def test_radix_join_inner_unique(rng):
         assert int(k) in rmap and abs(rmap[int(k)] - v) < 1e-5
     # and the number of matches equals the expected inner-join size
     assert found.sum() == sum(1 for k in lk.tolist() if k in rmap)
+
+
+def test_radix_join_single_window(rng):
+    """Small-dim fast path: domain <= one window, no partition pass."""
+    from cudf_tpu.kernels.radix_partition import radix_join_inner_unique
+
+    dom, nl = 100, 5000
+    rk = rng.permutation(dom).astype(np.int32)[:80]
+    rv = rng.normal(size=80).astype(np.float32)
+    lk = rng.integers(0, dom, nl).astype(np.int32)
+    lv = rng.normal(size=nl).astype(np.float32)
+    pkl, _, mval, found = radix_join_inner_unique(
+        jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk), jnp.asarray(rv),
+        dom, agg_rows=8, interpret=True)
+    pkl = np.asarray(pkl).ravel()
+    found = np.asarray(found).ravel() == 1
+    mval = np.asarray(mval).ravel()
+    rmap = dict(zip(rk.tolist(), rv.tolist()))
+    for k, v in zip(pkl[found], mval[found]):
+        assert int(k) in rmap and abs(rmap[int(k)] - v) < 1e-5
+    assert found.sum() == sum(1 for k in lk.tolist() if k in rmap)
