@@ -32,6 +32,27 @@ def read_csv(
     import pyarrow.csv as pacsv
 
     sep = delimiter or sep
+    # device tokenizer tier (csv_gpu.cu role): engages for the plain
+    # shape — single-byte delimiter, no skiprows/na/dates surface
+    from cudf_tpu.utils.config import get_option
+
+    if (get_option("io.csv.device_tokenizer") and len(sep) == 1
+            and names is None and header == "infer" and skiprows == 0
+            and nrows is None and na_values is None and not parse_dates):
+        try:
+            from cudf_tpu.io.csv_device import read_csv_device
+
+            df = read_csv_device(
+                filepath_or_buffer if not hasattr(filepath_or_buffer, "read")
+                else filepath_or_buffer.read(),
+                delimiter=sep, header=True,
+                usecols=list(usecols) if usecols else None,
+                dtypes=dtype if isinstance(dtype, dict) else None)
+            if dtype is not None and not isinstance(dtype, dict):
+                df = df.astype(dtype)
+            return df
+        except (ValueError, NotImplementedError):
+            pass
     read_opts = pacsv.ReadOptions(skip_rows=skiprows)
     if names is not None:
         read_opts.column_names = list(names)

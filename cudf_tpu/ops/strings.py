@@ -634,6 +634,10 @@ def to_numbers(col: Column, target: dt.DType) -> Column:
     """
     if target.is_integer and not _has_non_ascii(col):
         return _parse_ints_device(col, target)
+    if target.is_float and not _has_non_ascii(col):
+        out = _parse_floats_device(col, target)
+        if out is not None:
+            return out
     storage = target.storage
 
     def parse(s: str):
@@ -645,6 +649,85 @@ def to_numbers(col: Column, target: dt.DType) -> Column:
         return storage.type(float(s) if not target.is_integer else int(float(s)))
 
     return _host_map(col, parse, target)
+
+
+def _parse_floats_device(col: Column, target: dt.DType) -> Optional[Column]:
+    """Vectorized float parse: [+-]?D[.D][eE[+-]?D] (convert_floats.cu).
+
+    Correctly rounded for <= 15 significant digits (int64 mantissa fold +
+    ONE exact power-of-ten scale = single rounding); returns None when a
+    longer mantissa or a non-float token (inf/nan spellings) appears so
+    the host strtod path keeps bit-exactness.
+    """
+    n = col.length
+    if n == 0 or col.data.shape[0] == 0:
+        return None
+    from cudf_tpu.ops.binaryop import _padded_bytes
+
+    lens = col.offsets[1:] - col.offsets[:-1]
+    width = max(int(jnp.max(lens)), 1)
+    if width > 26:
+        return None
+    mat = _padded_bytes(col, width).astype(jnp.int32)       # [n, w]
+    posm = jnp.arange(width, dtype=jnp.int64)[None, :]
+    in_str = posm < lens[:, None]
+    mat = jnp.where(in_str, mat, 0)
+    is_digit = (mat >= 48) & (mat <= 57)
+    neg = mat[:, 0] == ord("-")
+    has_sign = neg | (mat[:, 0] == ord("+"))
+    big = jnp.int64(width + 1)
+    dotpos = jnp.min(jnp.where((mat == ord(".")) & in_str, posm, big), axis=1)
+    e_mask = ((mat == ord("e")) | (mat == ord("E"))) & in_str
+    epos = jnp.min(jnp.where(e_mask, posm, big), axis=1)
+    mant_end = jnp.minimum(epos, lens)
+    # mantissa region: [sign, mant_end) minus the dot
+    in_mant = (posm >= has_sign[:, None].astype(jnp.int64)) & \
+        (posm < mant_end[:, None]) & (posm != dotpos[:, None])
+    ok = jnp.all(~in_mant | is_digit, axis=1)
+    n_mant = jnp.sum(in_mant, axis=1)
+    ok = ok & (n_mant > 0) & (n_mant <= 15)
+    # exponent region
+    has_e = epos < lens
+    esign_pos = epos + 1
+    eneg = jnp.take_along_axis(
+        mat, jnp.clip(esign_pos, 0, width - 1)[:, None], axis=1)[:, 0] == ord("-")
+    e_has_sign = eneg | (jnp.take_along_axis(
+        mat, jnp.clip(esign_pos, 0, width - 1)[:, None], axis=1)[:, 0] == ord("+"))
+    in_exp = (posm > (epos + e_has_sign.astype(jnp.int64))[:, None]) & \
+        (posm < lens[:, None])
+    ok = ok & (~has_e | (jnp.sum(in_exp, axis=1) > 0))
+    ok = ok & jnp.all(~in_exp | is_digit, axis=1)
+    # folds
+    digits = jnp.where(is_digit, mat - 48, 0).astype(jnp.int64)
+    mant = jnp.zeros((n,), jnp.int64)
+    exp10 = jnp.zeros((n,), jnp.int64)
+    for j in range(width):
+        m_j = in_mant[:, j]
+        mant = jnp.where(m_j, mant * 10 + digits[:, j], mant)
+        exp10 = exp10 + jnp.where(m_j & (posm[0, j] > dotpos), -1, 0)
+    eexp = jnp.zeros((n,), jnp.int64)
+    for j in range(width):
+        x_j = in_exp[:, j]
+        eexp = jnp.where(x_j, eexp * 10 + digits[:, j], eexp)
+    ok = ok & (jnp.abs(eexp) <= 300)
+    exp10 = exp10 + jnp.where(eneg, -eexp, eexp)
+    # one exact scale: mantissa(int64, <=15 digits) {*,/} 10^|e| — both
+    # operands exact for |e| <= 22, so the single fp op rounds correctly
+    ok = ok & (jnp.abs(exp10) <= 22)
+    if not bool(jnp.all(ok | (lens == 0))):
+        return None                    # host path keeps strtod exactness
+    m = mant.astype(jnp.float64)
+    p = jnp.power(10.0, jnp.abs(exp10).astype(jnp.float64))
+    val = jnp.where(exp10 >= 0, m * p, m / p)
+    val = jnp.where(neg, -val, val)
+    empty = lens == 0
+    validity = bm.and_masks(col.validity, ~empty)
+    if validity is not None and bool(jnp.all(validity)):
+        validity = None
+    if target.storage == np.float32:
+        val = val.astype(jnp.float32)
+    return Column(target, n, data=val.astype(target.storage),
+                  validity=validity)
 
 
 def _parse_ints_device(col: Column, target: dt.DType) -> Column:

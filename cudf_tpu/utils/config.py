@@ -85,6 +85,9 @@ _register("io.parquet.chunk_read_limit", 0, "bytes per parquet pass (0 = whole f
 _register("io.parquet.device_decode", False,
           "decode RLE/dictionary pages on device (VPU expand + gather); "
           "page assembly still host-side — experimental")
+_register("io.csv.device_tokenizer", True,
+          "parse CSV with the device quote-state tokenizer "
+          "(io/csv_device.py); pyarrow tier on unsupported shapes")
 _register("io.parquet.native_reader", False,
           "use the self-contained thrift+decode reader (parquet_native) "
           "with row-group stats pushdown instead of the pyarrow tier")

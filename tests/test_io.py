@@ -103,3 +103,53 @@ def test_interop(frames):
     gdf, pdf = frames
     assert_eq(ct.from_pandas(pdf), pdf, check_dtype=False)
     assert_eq(ct.from_arrow(gdf.to_arrow()), pdf, check_dtype=False)
+
+
+# ----------------------------------------------------------------------
+# round-2 device CSV tokenizer
+# ----------------------------------------------------------------------
+
+def test_csv_device_tokenizer_basic(tmp_path, rng):
+    import pandas as pd
+    import cudf_tpu as ct
+    from cudf_tpu.io.csv_device import read_csv_device
+
+    n = 3000
+    pdf = pd.DataFrame({
+        "a": rng.integers(-1000, 1000, n),
+        "b": rng.normal(size=n).round(6),
+        "s": [["x", "hello", "with,comma", 'quo"te', ""][i]
+              for i in rng.integers(0, 5, n)],
+    })
+    p = str(tmp_path / "t.csv")
+    pdf.to_csv(p, index=False)
+    df = read_csv_device(p)
+    got = df.to_pandas()
+    exp = pd.read_csv(p)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_csv_device_quotes_crlf():
+    from cudf_tpu.io.csv_device import read_csv_device
+
+    data = b'a,b\r\n"1,5",2\r\n"say ""hi""",4\r\n'
+    df = read_csv_device(data)
+    got = df.to_pandas()
+    assert got["a"].tolist() == ["1,5", 'say "hi"']
+    assert got["b"].tolist() == [2, 4]
+
+
+def test_csv_entrypoint_uses_device(tmp_path, monkeypatch, rng):
+    import pandas as pd
+    import cudf_tpu as ct
+
+    def boom(*a, **k):
+        raise AssertionError("pyarrow csv used — device tokenizer did not engage")
+
+    import pyarrow.csv as pacsv
+    monkeypatch.setattr(pacsv, "read_csv", boom)
+    pdf = pd.DataFrame({"x": [1, 2, 3], "y": [1.5, 2.5, -3.25]})
+    p = str(tmp_path / "u.csv")
+    pdf.to_csv(p, index=False)
+    df = ct.read_csv(p)
+    pd.testing.assert_frame_equal(df.to_pandas(), pdf, check_dtype=False)

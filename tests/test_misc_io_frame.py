@@ -90,31 +90,26 @@ def test_combine_first_update():
     assert s3.tolist() == [1.0, 99.0, 3.0]
 
 
-def test_bench_pipelines_cpu(rng):
-    """Keep bench.py's jitted pipelines covered by the CPU suite."""
+def test_graft_entry_pipeline_cpu(rng):
+    """Keep the driver entry's flagship pipeline covered by the CPU suite
+    (bench.py's pipelines are the TPU Pallas kernels, covered by
+    tests/test_radix.py and test_kernels.py in interpret mode)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
     import jax
-    import jax.numpy as jnp
+    import __graft_entry__ as g
 
-    from bench import groupby_pipeline, join_pipeline
-
-    keys = jnp.asarray(rng.integers(0, 30, 3000).astype(np.int32))
-    vals = jnp.asarray(rng.normal(size=3000).astype(np.float32))
-    gk, s, m, c, ng = jax.jit(groupby_pipeline)(keys, vals)
+    fn, args = g.entry()
+    gk, s, m, c, ng = jax.jit(fn)(*args)
+    keys, vals = args
     mask = np.asarray(c) > 0
     got = dict(zip(np.asarray(gk)[mask].tolist(), np.asarray(s)[mask].tolist()))
-    expect = pd.DataFrame({"k": np.asarray(keys), "v": np.asarray(vals)}).groupby("k")["v"].sum()
+    expect = pd.DataFrame({"k": np.asarray(keys),
+                           "v": np.asarray(vals)}).groupby("k")["v"].sum()
     assert len(got) == len(expect) == int(ng)
     for k, v in expect.items():
         assert abs(got[k] - v) < 1e-2
-
-    lk = jnp.asarray(rng.integers(0, 500, 2000).astype(np.int32))
-    rk = jnp.asarray(rng.integers(0, 500, 1500).astype(np.int32))
-    lv = jnp.asarray(np.arange(2000).astype(np.float32))
-    rv = jnp.asarray(np.arange(1500).astype(np.float32))
-    ol, orr, ov = jax.jit(lambda a, b, c, d: join_pipeline(a, b, c, d, 3 * 2000))(lk, lv, rk, rv)
-    expect_n = len(pd.merge(pd.DataFrame({"k": np.asarray(lk)}),
-                            pd.DataFrame({"k": np.asarray(rk)}), on="k"))
-    assert int(np.asarray(ov).sum()) == expect_n
 
 
 def test_grouped_rolling_vs_pandas(rng):
