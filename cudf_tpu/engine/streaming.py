@@ -30,6 +30,48 @@ from cudf_tpu.utils.config import get_option
 _POINTWISE = (IRs.Select, IRs.HStack, IRs.Filter, IRs.Projection)
 
 
+# ----------------------------------------------------------------------
+# executor-hooked automatic spilling (spill_manager.py:202-351 role):
+# produced-but-not-yet-consumed partitions spill coldest-first to the
+# device budget; consumers unspill one partition at a time
+# ----------------------------------------------------------------------
+
+def _spill_budget() -> int:
+    explicit = int(get_option("spill.device_limit_bytes") or 0)
+    if explicit:
+        return explicit
+    frac = float(get_option("spill.device_limit_fraction"))
+    try:
+        import jax
+
+        hbm = jax.devices()[0].memory_stats().get("bytes_limit", 0)
+    except Exception:
+        hbm = 0
+    return int(hbm * frac) if hbm else (1 << 62)
+
+
+def _auto_spill(t: Table) -> None:
+    if not get_option("spill"):
+        return
+    from cudf_tpu.utils.spill import get_spill_manager
+
+    mgr = get_spill_manager()
+    for c in t.columns:
+        mgr.register(c)
+    mgr.spill_to_budget(_spill_budget())
+
+
+def _unspill(t: Table) -> Table:
+    if not get_option("spill"):
+        return t
+    from cudf_tpu.utils.spill import get_spill_manager
+
+    mgr = get_spill_manager()
+    for c in t.columns:
+        mgr.ensure_on_device(c)
+    return t
+
+
 def estimate_source_bytes(node: IRs.IR) -> int:
     """Rough working-set estimate for pass governance: bytes of the plan's
     sources (in-memory tables by nbytes, file scans by on-disk size)."""
@@ -67,7 +109,7 @@ def evaluate_streaming(node: IRs.IR, mesh_or_nparts=None) -> Table:
             if isinstance(mesh_or_nparts, int)
             else int(np.prod(list(mesh_or_nparts.shape.values())))
         )
-    parts = _eval(node, n_parts)
+    parts = [_unspill(p) for p in _eval(node, n_parts)]
     from cudf_tpu.ops.copying import concatenate_tables
 
     parts = [p for p in parts if p.num_rows > 0] or parts[:1]
@@ -102,7 +144,12 @@ def _eval(node: IRs.IR, n: int) -> List[Table]:
     # pointwise: map over partitions ---------------------------------
     if isinstance(node, _POINTWISE):
         parts = _eval(node.children[0], n)
-        return [node.do_evaluate(p) for p in parts]
+        out = []
+        for p in parts:
+            r = node.do_evaluate(_unspill(p))
+            _auto_spill(r)
+            out.append(r)
+        return out
     if isinstance(node, IRs.Union):
         out: List[Table] = []
         for c in node.children:
@@ -119,7 +166,8 @@ def _eval(node: IRs.IR, n: int) -> List[Table]:
     # the key columns, never gathers the full-width table; round-1's
     # concat-and-resort was flagged as non-scalable)
     if isinstance(node, IRs.Sort):
-        parts = [p for p in _eval(node.children[0], n) if p.num_rows > 0]
+        parts = [_unspill(p) for p in _eval(node.children[0], n)
+                 if p.num_rows > 0]
         if not parts:
             return _eval(node.children[0], 1)
         from cudf_tpu.ops import copying, row_ops
@@ -170,7 +218,7 @@ def _eval(node: IRs.IR, n: int) -> List[Table]:
             result.append(node.do_evaluate(t))
         return result or [node.do_evaluate(parts[0])]
     if isinstance(node, IRs.Distinct):
-        parts = _eval(node.children[0], n)
+        parts = [_unspill(p) for p in _eval(node.children[0], n)]
         # local distinct → repartition by key hash → global distinct
         local = [node.do_evaluate(p) for p in parts]
         keys = node.subset or local[0].names
@@ -181,7 +229,7 @@ def _eval(node: IRs.IR, n: int) -> List[Table]:
 
     child_tables = []
     for c in node.children:
-        parts = [p for p in _eval(c, n) if p.num_rows > 0]
+        parts = [_unspill(p) for p in _eval(c, n) if p.num_rows > 0]
         child_tables.append(concatenate_tables(parts) if parts else _eval(c, 1)[0])
     return [node.do_evaluate(*child_tables)]
 
@@ -224,7 +272,7 @@ def _eval_groupby(node: IRs.GroupBy, n: int) -> List[Table]:
     from cudf_tpu.engine.expr import Agg as AggE, Col
     from cudf_tpu.ops import groupby as gb
 
-    parts = _eval(node.children[0], n)
+    parts = [_unspill(p) for p in _eval(node.children[0], n)]
     specs = [IRs.unwrap_agg(a) for a in node.aggs]
 
     # decompose: which partial columns does each agg need?
@@ -287,8 +335,8 @@ def _groupby_global(node: IRs.GroupBy, parts: List[Table]) -> List[Table]:
 def _eval_join(node: IRs.Join, n: int) -> List[Table]:
     from cudf_tpu.ops.copying import concatenate_tables
 
-    left_parts = _eval(node.children[0], n)
-    right_parts = _eval(node.children[1], n)
+    left_parts = [_unspill(p) for p in _eval(node.children[0], n)]
+    right_parts = [_unspill(p) for p in _eval(node.children[1], n)]
     right_bytes = sum(p.nbytes for p in right_parts)
     limit = get_option("executor.broadcast_limit")
     if right_bytes <= limit and node.how in ("inner", "left", "semi", "anti"):

@@ -81,6 +81,8 @@ _register("default_integer_bitwidth", 64, "default int width", lambda v: v in (3
 _register("default_float_bitwidth", 64, "default float width", lambda v: v in (32, 64))
 _register("spill", False, "enable HBM->host spilling of cold buffers")
 _register("spill.device_limit_fraction", 0.85, "fraction of HBM before spilling")
+_register("spill.device_limit_bytes", 0,
+          "absolute device budget for executor auto-spill (0 = use fraction)")
 _register("io.parquet.chunk_read_limit", 0, "bytes per parquet pass (0 = whole file)")
 _register("io.parquet.device_decode", False,
           "decode RLE/dictionary pages on device (VPU expand + gather); "

@@ -69,7 +69,7 @@ class SpillManager:
 
         for attr in ("data", "validity", "offsets"):
             buf = getattr(col, attr, None)
-            if buf is not None and not isinstance(buf, np.ndarray):
+            if buf is not None and not isinstance(buf, (np.ndarray, _HostSpilled)):
                 host = np.asarray(buf)
                 setattr(col, attr, _HostSpilled(host))
                 freed += host.nbytes

@@ -252,3 +252,36 @@ def test_optimizer_cse_shares_subplans(rng):
     exp = pdf.groupby("k")["v"].sum()
     assert len(out) == len(exp)
     np.testing.assert_allclose(np.sort(out["s"].values), np.sort(exp.values))
+
+
+def test_streaming_auto_spill_answers_q1(rng):
+    """Executor spills under an artificial budget and still answers a
+    Q1-shaped aggregation (spill_manager.py:202-351 role)."""
+    import pandas as pd
+    import cudf_tpu as ct
+    from cudf_tpu.engine.lazy import LazyFrame
+    from cudf_tpu.engine.expr import col
+    from cudf_tpu.utils.config import option_context
+    from cudf_tpu.utils.spill import get_spill_manager
+
+    n = 20_000
+    pdf = pd.DataFrame({
+        "flag": rng.integers(0, 3, n),
+        "qty": rng.integers(1, 50, n).astype(np.float64),
+        "price": rng.normal(1000, 100, n),
+    })
+    lf = (LazyFrame.from_dataframe(ct.DataFrame.from_pandas(pdf))
+          .with_columns((col("qty") * col("price")).alias("rev"))
+          .group_by("flag")
+          .agg(col("rev").sum().alias("rev"), col("qty").sum().alias("qty")))
+    mgr = get_spill_manager()
+    before = mgr.statistics.spills
+    with option_context("spill", True), \
+         option_context("spill.device_limit_bytes", 64 * 1024):
+        out = lf.collect(streaming=True, mesh=8).to_pandas()
+    assert mgr.statistics.spills > before          # budget actually bit
+    exp = (pdf.assign(rev=pdf.qty * pdf.price).groupby("flag")
+           .agg(rev=("rev", "sum"), qty=("qty", "sum")).reset_index())
+    got = out.sort_values("flag").reset_index(drop=True)
+    np.testing.assert_allclose(got["rev"], exp["rev"], rtol=1e-9)
+    np.testing.assert_allclose(got["qty"], exp["qty"], rtol=1e-12)
