@@ -73,3 +73,13 @@ class Profiler:
         print(f"slow (CPU pandas) fallbacks: {profiler_stats.get('slow', 0)}")
         for name, (f, s) in sorted(profiler_stats.get("calls", {}).items()):
             print(f"  {name}: fast={f} slow={s}")
+
+
+def load_ipython_extension(ipython):
+    """`%load_ext cudf_tpu.pandas` (the reference's `%load_ext
+    cudf.pandas` magic, pandas/magics.py)."""
+    install()
+
+
+def unload_ipython_extension(ipython):
+    uninstall()

@@ -260,6 +260,23 @@ class _FastSlowProxy:
         base = self._fast if self._fast is not None else self._slow
         return np.asarray(base.to_numpy() if hasattr(base, "to_numpy") else base, dtype=dtype)
 
+    # numpy interception (the _wrappers/numpy.py table role): ufuncs and
+    # array functions applied to proxies route through the slow pandas
+    # object (which preserves index/name semantics) and wrap back
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        inputs = tuple(_unwrap(i, False) for i in inputs)
+        kwargs = {k: _unwrap(v, False) for k, v in kwargs.items()}
+        out = getattr(ufunc, method)(*inputs, **kwargs)
+        _record(f"np.{ufunc.__name__}", False)
+        return _wrap(out)
+
+    def __array_function__(self, func, types, args, kwargs):
+        args = _unwrap(args, False)
+        kwargs = {k: _unwrap(v, False) for k, v in kwargs.items()}
+        out = func(*args, **kwargs)
+        _record(f"np.{func.__name__}", False)
+        return _wrap(out)
+
     def __getitem__(self, key):
         return _dispatch_call(self, "__getitem__", (key,), {})
 

@@ -91,3 +91,41 @@ def test_parity_sweep_no_fallbacks(proxy_pd, rng):
         df.v.corr(df.w); df.k.nunique(); df.v.idxmax(); df.v.quantile(0.9)
     assert prof.stats.get("slow", 0) == 0, prof.stats
     assert prof.stats.get("fast", 0) >= 40
+
+
+def test_numpy_dispatch_on_proxies():
+    """np ufuncs/array-functions on proxies return proxied pandas results
+    (the _wrappers/numpy.py interception role)."""
+    import numpy as np
+
+    from cudf_tpu.pandas import install, uninstall
+
+    install()
+    try:
+        import pandas as pdp
+
+        s = pdp.Series([1.0, 4.0, 9.0], name="x")
+        r = np.sqrt(s)
+        assert list(r) == [1.0, 2.0, 3.0]
+        assert getattr(r, "name", None) == "x"        # pandas semantics kept
+        df = pdp.DataFrame({"a": [1, 2], "b": [3, 4]})
+        m = np.mean(df["a"])
+        assert float(m) == 1.5
+        w = np.where(df["a"] > 1, df["b"], 0)
+        assert list(np.asarray(w)) == [0, 4]
+    finally:
+        uninstall()
+
+
+def test_load_ipython_extension_entrypoint():
+    import sys
+
+    from cudf_tpu import pandas as ctp
+
+    ctp.load_ipython_extension(None)
+    try:
+        import pandas as pdp
+
+        assert getattr(pdp, "__proxy_for__", None) is not None
+    finally:
+        ctp.unload_ipython_extension(None)
