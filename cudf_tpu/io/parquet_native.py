@@ -65,12 +65,30 @@ def _read_levels(page: bytes, num_values: int, max_level: int) -> Tuple[np.ndarr
     return levels, 4 + ln
 
 
-def _decode_plain(data: bytes, phys: int, n: int):
+def _decode_plain(data: bytes, phys: int, n: int, type_length: int = 0):
     if phys in _NP:
         return np.frombuffer(data, dtype=_NP[phys], count=n)
     if phys == 0:  # BOOLEAN bit-packed LSB
         bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")[:n]
         return bits.astype(bool)
+    if phys == 3:  # INT96 legacy timestamp: 8B nanos-of-day + 4B julian day
+        raw = np.frombuffer(data, np.uint8, count=n * 12).reshape(n, 12)
+        nanos = raw[:, :8].copy().view("<u8").reshape(n).astype(np.int64)
+        jday = raw[:, 8:].copy().view("<u4").reshape(n).astype(np.int64)
+        ns = (jday - 2440588) * 86_400_000_000_000 + nanos
+        return ns.view("M8[ns]")
+    if phys == 7:  # FIXED_LEN_BYTE_ARRAY
+        tl = type_length
+        if tl <= 0 or tl > 8:
+            raise NotImplementedError(f"FLBA length {tl}")
+        raw = np.frombuffer(data, np.uint8, count=n * tl).reshape(n, tl)
+        # big-endian two's complement → int64 (decimal unscaled values)
+        val = np.zeros(n, np.int64)
+        for j in range(tl):
+            val = (val << 8) | raw[:, j].astype(np.int64)
+        shift = 64 - 8 * tl
+        val = (val << shift) >> shift          # sign extend
+        return val
     if phys == 6:  # BYTE_ARRAY: 4-byte length + bytes, repeated
         offs = np.zeros(n + 1, np.int64)
         chunks = []
@@ -85,7 +103,8 @@ def _decode_plain(data: bytes, phys: int, n: int):
     raise NotImplementedError(f"physical type {phys}")
 
 
-def read_column_chunk(path: str, meta: thrift.ColumnChunkMeta, nullable: bool = True):
+def read_column_chunk(path: str, meta: thrift.ColumnChunkMeta, nullable: bool = True,
+                      type_length: int = 0):
     """Decode one column chunk → (values ndarray | (offsets, chars), validity | None)."""
     phys = meta.type
     with open(path, "rb") as f:
@@ -117,7 +136,7 @@ def read_column_chunk(path: str, meta: thrift.ColumnChunkMeta, nullable: bool = 
                                   meta.codec, ph.uncompressed_page_size)
         pos += ph.compressed_page_size
         if ph.type == 2:  # dictionary page
-            dictionary = _decode_plain(payload, phys, ph.dict_num_values)
+            dictionary = _decode_plain(payload, phys, ph.dict_num_values, type_length)
             continue
         if ph.type not in (0, 3):
             raise NotImplementedError(f"page type {ph.type}")
@@ -140,7 +159,7 @@ def read_column_chunk(path: str, meta: thrift.ColumnChunkMeta, nullable: bool = 
 
         device_tier = get_option("io.parquet.device_decode")
         if ph.encoding == _ENC_PLAIN:
-            vals = _decode_plain(body, phys, n_present)
+            vals = _decode_plain(body, phys, n_present, type_length)
         elif ph.encoding == _ENC_DELTA_BINARY and phys in (1, 2):
             # DELTA_BINARY_PACKED on device (page_delta_decode.cu role)
             from cudf_tpu.io.parquet_device import device_delta_binary_decode
@@ -301,6 +320,9 @@ def read_parquet_native(path: str, columns: Optional[List[str]] = None,
     names = [s.name for s in leaves]
     nullable = {s.name: s.repetition_type == 1 for s in leaves}
     conv = {s.name: s.converted_type for s in leaves}
+    type_len = {s.name: s.type_length for s in leaves}
+    dec_scale = {s.name: s.scale for s in leaves}
+    phys_of = {s.name: s.type for s in leaves}
     wanted = columns or names
     per_col: Dict[str, List] = {n: [] for n in wanted}
     per_val: Dict[str, List] = {n: [] for n in wanted}
@@ -315,7 +337,8 @@ def read_parquet_native(path: str, columns: Optional[List[str]] = None,
             name = cc.path[-1] if cc.path else ""
             if name not in per_col:
                 continue
-            vals, valid = read_column_chunk(path, cc, nullable=nullable.get(name, True))
+            vals, valid = read_column_chunk(path, cc, nullable=nullable.get(name, True),
+                                            type_length=type_len.get(name) or 0)
             per_col[name].append(vals)
             per_val[name].append(valid if valid is not None else
                                  np.ones(rg.num_rows, bool))
@@ -343,6 +366,16 @@ def read_parquet_native(path: str, columns: Optional[List[str]] = None,
             data = np.concatenate(parts) if parts else np.zeros(0)
             if conv.get(n) in (9, 10):  # DATE / TIME_MILLIS etc. — keep raw for now
                 pass
+            if phys_of.get(n) == 7 and conv.get(n) == 5:
+                # FLBA DECIMAL: unscaled int64 rep, our scale = -parquet
+                # scale (fixed_point.hpp:37 convention)
+                import jax.numpy as _jnp
+
+                col = Column(dt.decimal_dtype(-dec_scale.get(n, 0)),
+                             data.shape[0], data=_jnp.asarray(data),
+                             validity=_jnp.asarray(mask) if mask is not None else None)
+                cols[n] = col
+                continue
             cols[n] = Column.from_numpy(data, mask=mask)
     t = Table(cols)
     return DataFrame._from(t, default_index(t.num_rows))

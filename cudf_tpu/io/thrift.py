@@ -101,6 +101,8 @@ class SchemaElement:
     name: str
     num_children: int
     converted_type: Optional[int]
+    scale: int = 0
+    precision: int = 0
 
     @classmethod
     def from_raw(cls, d):
@@ -108,6 +110,7 @@ class SchemaElement:
             type=d.get(1), type_length=d.get(2), repetition_type=d.get(3),
             name=d.get(4, b"").decode(), num_children=d.get(5, 0) or 0,
             converted_type=d.get(6),
+            scale=d.get(7, 0) or 0, precision=d.get(8, 0) or 0,
         )
 
 

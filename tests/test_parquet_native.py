@@ -249,3 +249,33 @@ def test_native_writer_rowgroups_and_stats(tmp_path, rng):
     assert total == 4 and kept == 1       # our writer emits usable stats
     back = read_parquet_native(p)
     np.testing.assert_array_equal(back["x"].to_numpy(), pdf["x"].values)
+
+
+def test_int96_timestamps(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    from cudf_tpu.io.parquet_native import read_parquet_native
+
+    pdf = pd.DataFrame({"ts": pd.to_datetime(
+        ["2021-01-01 12:34:56.789", "1999-12-31 23:59:59.000"])})
+    p = str(tmp_path / "i96.pq")
+    pa.parquet.write_table(pa.Table.from_pandas(pdf), p,
+                           use_deprecated_int96_timestamps=True,
+                           compression="NONE")
+    got = read_parquet_native(p)["ts"].to_pandas()
+    assert (got.values.astype("M8[ns]") == pdf["ts"].values.astype("M8[ns]")).all()
+
+
+def test_flba_decimal(tmp_path):
+    import decimal
+    import pyarrow as pa
+    from cudf_tpu.io.parquet_native import read_parquet_native
+
+    arr = pa.array([decimal.Decimal("123.45"), decimal.Decimal("-0.07"),
+                    None], pa.decimal128(10, 2))
+    p = str(tmp_path / "dec.pq")
+    pa.parquet.write_table(pa.table({"d": arr}), p, compression="NONE")
+    col = read_parquet_native(p)["d"]
+    assert str(col._column.dtype) == "decimal64(scale=-2)"
+    assert col.to_pandas().tolist() == [decimal.Decimal("123.45"),
+                                        decimal.Decimal("-0.07"), None]
