@@ -499,3 +499,49 @@ def distributed_groupby_agg(df, key_name: str, value_names: Sequence[str], mesh:
     t = Table(out)
     res = DataFrame._from(t, default_index(t.num_rows))
     return res.sort_values(key_name, ignore_index=True)
+
+
+# ----------------------------------------------------------------------
+# multi-slice (DCN × ICI) distributed groupby
+# ----------------------------------------------------------------------
+
+def _dist_groupby_2d_shard(keys, vals, valid, *, n_dcn, n_ici, cap, axis_d,
+                           axis_i):
+    from cudf_tpu.parallel.shuffle import shuffle_by_keys_2d
+
+    gkeys, sums, cnt, gvalid = local_groupby_sum_multi(keys, vals, valid)
+    k_recv, pay_recv, mask, dropped = shuffle_by_keys_2d(
+        gkeys, [*sums, cnt], gvalid, n_dcn, n_ici, cap, cap * n_ici,
+        axis_d, axis_i)
+    m_keys, m_all, _, m_valid = local_groupby_sum_multi(k_recv, pay_recv,
+                                                        mask)
+    return m_keys, m_all[:-1], m_all[-1], m_valid, dropped.reshape(1)
+
+
+def dist_groupby_sum_multislice(
+    mesh: Mesh,
+    keys: Sequence[jnp.ndarray],
+    vals: Sequence[jnp.ndarray],
+    valid: jnp.ndarray,
+    capacity_per_bucket: int = 0,
+    dcn_axis: str = "dcn",
+    ici_axis: str = "x",
+):
+    """Distributed groupby over a 2-D multi-slice mesh: the partial-agg
+    shuffle routes intra-slice traffic over ICI and crosses DCN exactly
+    once per row (SURVEY §2.11 DCN row).  Returns like
+    dist_groupby_sum_multi."""
+    n_dcn = mesh.shape[dcn_axis]
+    n_ici = mesh.shape[ici_axis]
+    n_total = keys[0].shape[0]
+    per_shard = n_total // (n_dcn * n_ici)
+    cap = capacity_per_bucket or per_shard
+    spec = P((dcn_axis, ici_axis))
+    fn = partial(_dist_groupby_2d_shard, n_dcn=n_dcn, n_ici=n_ici, cap=cap,
+                 axis_d=dcn_axis, axis_i=ici_axis)
+    return shard_map(
+        lambda ks, vs, m: fn(ks, vs, m),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=(spec, spec, spec, spec, spec),
+    )(list(keys), list(vals), valid)

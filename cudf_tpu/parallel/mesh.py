@@ -22,6 +22,20 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def make_multislice_mesh(n_slices: int, per_slice: Optional[int] = None,
+                         dcn_axis: str = "dcn", ici_axis: str = "x") -> Mesh:
+    """2-D mesh for multi-slice pods: axis ``dcn`` crosses slices (data-
+    center network), axis ``ici`` stays intra-slice (SURVEY §2.11 comm-
+    backend row: ICI for intra-slice collectives, DCN for inter-slice).
+
+    On real hardware jax orders devices slice-major, so reshaping the
+    device list to [n_slices, per_slice] puts each row on one slice."""
+    devs = jax.devices()
+    per = per_slice if per_slice is not None else len(devs) // n_slices
+    grid = np.array(devs[:n_slices * per]).reshape(n_slices, per)
+    return Mesh(grid, (dcn_axis, ici_axis))
+
+
 def partition_frame(df, mesh: Mesh, axis: str = "x"):
     """Split a DataFrame's columns row-wise across the mesh (pad to a
     multiple of n_shards).  Returns (dict name→sharded array,

@@ -147,3 +147,47 @@ def shuffle_by_keys(
     mask = received_mask(out_counts, capacity)
     flat = [b.reshape((num_parts * capacity,) + b.shape[2:]) for b in out_bufs]
     return flat[:len(keys)], flat[len(keys):], mask, dropped
+
+
+def shuffle_by_keys_2d(
+    keys: Sequence[jnp.ndarray],
+    payloads: Sequence[jnp.ndarray],
+    valid: jnp.ndarray,
+    n_dcn: int,
+    n_ici: int,
+    cap_ici: int,
+    cap_dcn: int,
+    dcn_axis: str = "dcn",
+    ici_axis: str = "x",
+):
+    """Hierarchical shuffle over a 2-D (dcn × ici) mesh.
+
+    Stage A rides ICI: rows move to the intra-slice shard whose local
+    index equals the destination's local index.  Stage B rides DCN:
+    same-local-index peers exchange across slices.  DCN (the slow hop)
+    carries each row exactly once — the standard hierarchical all-to-all
+    (SURVEY §5 comm-backend mapping; rapidsmpf routes through UCXX
+    without this locality).
+
+    Returns (keys_recv, payloads_recv, valid_recv, dropped).
+    """
+    keys = list(keys)
+    P = n_dcn * n_ici
+    pid = (row_hash(keys) % jnp.uint64(P)).astype(jnp.int32)
+    dest_slice = pid // n_ici
+    dest_local = pid % n_ici
+    # stage A: to dest_local within my slice, dest_slice rides as payload
+    bufsA, cntA, dropA = bucketize(
+        [*keys, *payloads, dest_slice], valid, dest_local, n_ici, cap_ici)
+    outA, cntA2 = exchange(bufsA, cntA, ici_axis)
+    maskA = received_mask(cntA2, cap_ici)
+    flatA = [b.reshape((n_ici * cap_ici,) + b.shape[2:]) for b in outA]
+    slice_of = flatA[-1]
+    # stage B: across slices to dest_slice (local index already correct)
+    bufsB, cntB, dropB = bucketize(
+        flatA[:-1], maskA, slice_of, n_dcn, cap_dcn)
+    outB, cntB2 = exchange(bufsB, cntB, dcn_axis)
+    maskB = received_mask(cntB2, cap_dcn)
+    flatB = [b.reshape((n_dcn * cap_dcn,) + b.shape[2:]) for b in outB]
+    return (flatB[:len(keys)], flatB[len(keys):], maskB,
+            dropA + dropB)

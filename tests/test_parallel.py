@@ -365,3 +365,28 @@ def test_shuffle_overflow_detected(rng):
     total_kept = int(np.asarray(mk).sum())
     assert total_dropped > 0
     assert total_kept + total_dropped == n
+
+
+def test_dist_groupby_multislice_dcn(rng):
+    """2-D (dcn x ici) mesh: hierarchical shuffle, exact groupby."""
+    from cudf_tpu.parallel.mesh import make_multislice_mesh
+    from cudf_tpu.parallel.dist import dist_groupby_sum_multislice
+
+    mesh = make_multislice_mesh(2, 4)     # 2 slices x 4 chips
+    n = 800
+    k = rng.integers(0, 23, n)
+    v = rng.normal(size=n)
+    (kj, vj), valid = _pad_to(mesh, [k, v])
+    keys, sums, cnt, gvalid, dropped = jax.jit(
+        lambda a, b, m: dist_groupby_sum_multislice(mesh, [a], [b], m)
+    )(kj, vj, valid)
+    assert int(np.asarray(dropped).sum()) == 0
+    mask = np.asarray(gvalid)
+    got = pd.DataFrame({"k": np.asarray(keys[0])[mask],
+                        "s": np.asarray(sums[0])[mask],
+                        "c": np.asarray(cnt)[mask]}).sort_values("k")
+    exp = (pd.DataFrame({"k": k, "v": v}).groupby("k")
+           .agg(s=("v", "sum"), c=("v", "count")).reset_index())
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got["s"].values, exp["s"].values, rtol=1e-9)
+    np.testing.assert_array_equal(got["c"].values, exp["c"].values)
