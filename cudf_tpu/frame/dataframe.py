@@ -503,13 +503,13 @@ class DataFrame:
             cols[n] = fn(self[n])._column
         return DataFrame._from(Table(cols), self._index)
 
-    def astype(self, dtype_) -> "DataFrame":
-        if isinstance(dtype_, dict):
+    def astype(self, dtype, copy=None, errors="raise") -> "DataFrame":
+        if isinstance(dtype, dict):
             out = self.copy()
-            for k, v in dtype_.items():
+            for k, v in dtype.items():
                 out[k] = out[k].astype(v)
             return out
-        return self._per_column(lambda s: s.astype(dtype_))
+        return self._per_column(lambda s: s.astype(dtype, errors=errors))
 
     def abs(self):
         return self._per_column(lambda s: s.abs())

@@ -881,7 +881,8 @@ class Series:
     # ------------------------------------------------------------------
     # transforms
     # ------------------------------------------------------------------
-    def astype(self, dtype_, errors="raise") -> "Series":
+    def astype(self, dtype, copy=None, errors="raise") -> "Series":
+        dtype_ = dtype
         target = dt.dtype(dtype_)
         col = self._column
         if errors == "raise" and target.is_integer and not target.nullable:

@@ -571,6 +571,65 @@ def group_histogram(col: Column, grouper: Grouper) -> Column:
     return make_list_column(offsets, child)
 
 
+def group_tdigest(col: Column, grouper: Grouper, delta: int = 100) -> Column:
+    """Per-group t-digest sketch: STRUCT<centroids: LIST<STRUCT<mean,
+    weight>>, min, max> (TDIGEST agg — quantiles/tdigest/
+    tdigest_aggregation.cu; k1 scale, ops/tdigest.py)."""
+    from cudf_tpu.ops.lists import make_list_column
+    from cudf_tpu.ops.tdigest import _k_scale
+
+    col = _apply_row_mask(col, grouper)
+    data, v = _segment_data(col)
+    n = col.length
+    G = grouper.num_groups
+    x = data.astype(jnp.float64)
+    nullflag = jnp.zeros((n,), jnp.int8) if v is None else (~v).astype(jnp.int8)
+    res = jax.lax.sort([grouper.group_ids, nullflag.astype(jnp.int64), x],
+                       num_keys=3, is_stable=False)
+    gid_s, nf_s, xs = res
+    valid_s = nf_s == 0
+    w = valid_s.astype(jnp.float64)
+    cw = jnp.cumsum(w)
+    starts = grouper.group_offsets[:-1]
+    base = jnp.take(cw, jnp.clip(starts, 0, max(n - 1, 0))) - \
+        jnp.take(w, jnp.clip(starts, 0, max(n - 1, 0)))
+    cum_mid = cw - jnp.take(base, gid_s) - w * 0.5
+    totals = jax.ops.segment_sum(w, gid_s, num_segments=G)
+    q = cum_mid / jnp.maximum(jnp.take(totals, gid_s), 1e-300)
+    local_cid = jnp.clip(jnp.floor(_k_scale(q) * delta).astype(jnp.int64),
+                         0, delta - 1)
+    cid = jnp.where(valid_s, gid_s * delta + local_cid, G * delta)
+    wsum = jax.ops.segment_sum(w, cid, num_segments=G * delta + 1)[:-1]
+    xsum = jax.ops.segment_sum(jnp.where(valid_s, xs, 0.0) * w, cid,
+                               num_segments=G * delta + 1)[:-1]
+    keep = wsum > 0
+    rows = filter_indices(keep)
+    means = jnp.take(xsum, rows) / jnp.maximum(jnp.take(wsum, rows), 1e-300)
+    weights = jnp.take(wsum, rows)
+    cent_gid = rows // delta
+    per_group = jax.ops.segment_sum(jnp.ones_like(cent_gid), cent_gid,
+                                    num_segments=G)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int64), jnp.cumsum(per_group)])
+    cent = Column(
+        dt.struct_dtype([("mean", dt.FLOAT64), ("weight", dt.FLOAT64)]),
+        means.shape[0],
+        children=(Column(dt.FLOAT64, means.shape[0], data=means),
+                  Column(dt.FLOAT64, weights.shape[0], data=weights)))
+    cent_list = make_list_column(offsets, cent)
+    mn = group_min(col, grouper)
+    mx = group_max(col, grouper)
+    return Column(
+        dt.struct_dtype([("centroids", cent_list.dtype),
+                         ("min", dt.FLOAT64), ("max", dt.FLOAT64)]),
+        G,
+        children=(cent_list,
+                  Column(dt.FLOAT64, G, data=mn.data.astype(jnp.float64),
+                         validity=mn.validity),
+                  Column(dt.FLOAT64, G, data=mx.data.astype(jnp.float64),
+                         validity=mx.validity)))
+
+
 def group_cov(cx: Column, cy: Column, grouper: Grouper,
               ddof: int = 1) -> Column:
     """Per-group sample covariance of two columns (group_correlation.cu).

@@ -103,32 +103,64 @@ def _wrap(result):
                                  "_SeriesLoc", "_SeriesILoc",
                                  "_LocIndexer", "_ILocIndexer"):
         return _IndexerProxy(result)
-    if type(result).__module__ == "cudf_tpu.frame.accessors":
+    if type(result).__module__ in ("cudf_tpu.frame.accessors",
+                                   "cudf_tpu.frame.groupby",
+                                   "cudf_tpu.frame.window",
+                                   "cudf_tpu.frame.resample"):
         return _AccessorProxy(result)
     return result
 
 
 class _AccessorProxy:
-    """Wraps fast-domain .str/.dt/.cat/.list/.struct accessors so their
-    results re-enter the proxy domain."""
+    """Wraps fast-domain accessors / GroupBy / Rolling objects so their
+    results re-enter the proxy domain.  ``slow_factory`` lazily builds
+    the pandas counterpart for per-CALL fallback (UDF aggs, exotic
+    signatures) — the fast_slow_proxy retry-on-slow pattern."""
 
-    def __init__(self, raw):
+    def __init__(self, raw, slow_factory=None):
         object.__setattr__(self, "_raw", raw)
+        object.__setattr__(self, "_slow_factory", slow_factory)
 
     def __getattr__(self, name):
-        attr = getattr(self._raw, name)
-        if callable(attr):
+        attr = getattr(self._raw, name, None)
+        if attr is None and self._slow_factory is None:
+            raise AttributeError(name)
+        if attr is None or callable(attr):
             import functools
 
-            @functools.wraps(attr)
             def call(*a, **k):
-                return _wrap(attr(*_unwrap(a, True), **_unwrap(k, True)))
+                if attr is not None:
+                    try:
+                        return _wrap(attr(*_unwrap(a, True), **_unwrap(k, True)))
+                    except Exception:
+                        if self._slow_factory is None:
+                            raise
+                slow = self._slow_factory()
+                out = getattr(slow, name)(*_unwrap(a, False), **_unwrap(k, False))
+                _record(name, False)
+                return _wrap(out)
 
+            if attr is not None:
+                functools.update_wrapper(
+                    call, attr, assigned=("__name__", "__doc__"), updated=())
             return call
         return _wrap(attr)
 
     def __getitem__(self, key):
-        return _wrap(self._raw[_unwrap(key, True)])
+        res = _wrap(self._raw[_unwrap(key, True)])
+        if isinstance(res, _AccessorProxy) and res._slow_factory is None \
+                and self._slow_factory is not None:
+            def make_slow(sf=self._slow_factory, k=key):
+                return sf()[_unwrap(k, False)]
+            object.__setattr__(res, "_slow_factory", make_slow)
+        return res
+
+    def __iter__(self):
+        for item in self._raw:
+            if isinstance(item, tuple):
+                yield tuple(_wrap(x) for x in item)
+            else:
+                yield _wrap(item)
 
 
 class _IndexerProxy:
@@ -301,7 +333,13 @@ def _dispatch_call(proxy: _FastSlowProxy, name: str, args, kwargs):
             fn = getattr(fast, name)
             out = fn(*_unwrap(args, True), **_unwrap(kwargs, True))
         _record(name, True)
-        return _wrap(out)
+        res = _wrap(out)
+        if isinstance(res, _AccessorProxy) and res._slow_factory is None:
+            def make_slow(p=proxy, nm=name, a=args, k=kwargs):
+                return getattr(p._slow_obj(), nm)(*_unwrap(a, False),
+                                                  **_unwrap(k, False))
+            object.__setattr__(res, "_slow_factory", make_slow)
+        return res
     except Exception:
         with _entering_fast():
             slow = proxy._slow_obj()
@@ -318,8 +356,15 @@ class _FastSlowAttr:
         self._proxy = proxy
         self._name = name
 
+    # attrs pandas internals consume structurally: must be REAL pandas/
+    # numpy objects (np.dtype etc.), so resolve from the slow object
+    _FORCE_SLOW = {"dtype", "dtypes", "attrs", "flags"}
+
     def resolve(self):
         p, name = self._proxy, self._name
+        if name in self._FORCE_SLOW:
+            _record(name, False)
+            return _wrap(getattr(p._slow_obj(), name))
         base = p._fast if p._fast is not None else None
         try:
             with _entering_fast():
@@ -381,6 +426,28 @@ class ProxyDataFrame(_FastSlowProxy, metaclass=_ProxyMeta):
             _record("DataFrame", False)
 
 
+def _fast_safe_data(args) -> bool:
+    """False when the payload holds python objects the fast library would
+    silently coerce (np.dtype instances, tuples, sets, …) — those must
+    construct on the slow side to keep type fidelity."""
+    if not args:
+        return True
+    data = args[0]
+    import numpy as np
+
+    if isinstance(data, np.ndarray) and data.dtype == object:
+        data = data.tolist()
+    if isinstance(data, (list, tuple)):
+        import datetime
+
+        ok = (type(None), bool, int, float, complex, str, bytes,
+              datetime.date, datetime.datetime, datetime.timedelta,
+              np.generic)
+        return all(isinstance(x, ok) or (x != x if isinstance(x, float)
+                                         else False) for x in data)
+    return True
+
+
 class ProxySeries(_FastSlowProxy, metaclass=_ProxyMeta):
     def __new__(cls, *args, fast=None, slow=None, **kwargs):
         if _in_fast() and fast is None and slow is None:
@@ -394,6 +461,8 @@ class ProxySeries(_FastSlowProxy, metaclass=_ProxyMeta):
         import cudf_tpu
 
         try:
+            if not _fast_safe_data(args):
+                raise TypeError("object payload — slow construction")
             with _entering_fast():
                 f = cudf_tpu.Series(*_unwrap(args, True), **_unwrap(kwargs, True))
             super().__init__(fast=f)
