@@ -846,6 +846,7 @@ _AGG_DISPATCH = {
     "bitwise_and": group_bitwise_and,
     "bitwise_or": group_bitwise_or,
     "bitwise_xor": group_bitwise_xor,
+    "tdigest": group_tdigest,
 }
 
 

@@ -119,3 +119,48 @@ def test_series_level():
     assert s.dtype.is_decimal
     out = (s + s).to_pandas().tolist()
     assert out == [Decimal("2.20"), Decimal("4.40")]
+
+
+# ----------------------------------------------------------------------
+# round-2: two-limb DECIMAL128 (full 38-digit precision)
+# ----------------------------------------------------------------------
+
+def test_decimal128_two_limb_roundtrip_and_arith():
+    import decimal as D
+
+    from cudf_tpu.ops import decimal128 as d128
+
+    ctx = D.Context(prec=60)
+    vals = ["12345678901234567890123456.78", "-9999999999999999999999.99",
+            "0.01", "-0.01", None, "170141183460469231731687303715.88"]
+    a = d128.from_decimals128(vals, scale=-2)
+    exp = [None if v is None else D.Decimal(v) for v in vals]
+    assert d128.to_decimals128(a) == exp
+    bv = ["1.5", "2.25", "-3.125", "100", None, "0.12"]
+    b = d128.from_decimals128(bv, scale=-3)
+    bd = [D.Decimal(v) for v in ["1.5", "2.25", "-3.125", "100", "0", "0.12"]]
+    got_add = d128.to_decimals128(d128.binary128(a, b, "add"))
+    got_sub = d128.to_decimals128(d128.binary128(a, b, "sub"))
+    for g, s, x, y in zip(got_add, got_sub, exp, bd):
+        if x is None:
+            assert g is None and s is None
+        else:
+            assert g == ctx.add(x, y)
+            assert s == ctx.subtract(x, y)
+    # comparisons at full precision (index 4 is null — value undefined)
+    ltc = d128.binary128(a, b, "lt")
+    lt = np.asarray(ltc.data).tolist()
+    assert [lt[i] for i in (0, 1, 2, 3, 5)] == [False, True, False, True,
+                                                False]
+    assert not bool(np.asarray(ltc.validity)[4])
+    # 128-bit multiply exactness beyond int64
+    m1 = d128.from_decimals128(["123456789012345.6789", "-2.5"], scale=-4)
+    m2 = d128.from_decimals128(["1000000.01", "4.2"], scale=-2)
+    mm = d128.to_decimals128(d128.binary128(m1, m2, "mul"))
+    assert mm[0] == ctx.multiply(D.Decimal("123456789012345.6789"),
+                                 D.Decimal("1000000.01"))
+    assert mm[1] == D.Decimal("-10.50")
+    # truncating rescale toward zero across > 2^63 reps
+    r = d128.to_decimals128(d128.rescale128(a, 0))
+    assert r[0] == D.Decimal("12345678901234567890123456")
+    assert r[1] == D.Decimal("-9999999999999999999999")

@@ -201,3 +201,33 @@ def test_groupby_m2():
     got = df.groupby("k").agg({"v": "m2"}).to_pandas()
     exp = pdf.groupby("k")["v"].apply(lambda s: ((s - s.mean()) ** 2).sum())
     np.testing.assert_allclose(got["v"].values, exp.values, rtol=1e-12)
+
+
+def test_groupby_tdigest(rng):
+    from cudf_tpu.core.column import Column
+    from cudf_tpu.ops import groupby as gb_ops
+
+    n = 4000
+    k = rng.integers(0, 3, n)
+    v = rng.normal(size=n)
+    g = gb_ops.make_grouper([Column.from_numpy(k)])
+    td = gb_ops.group_tdigest(Column.from_numpy(v), g, delta=100)
+    # struct<centroids: list<struct<mean,weight>>, min, max>
+    cent_list, mins, maxs = td.children
+    offs = np.asarray(cent_list.offsets)
+    means = np.asarray(cent_list.children[0].children[0].data)
+    weights = np.asarray(cent_list.children[0].children[1].data)
+    for gi in range(3):
+        sel = k == gi
+        w_g = weights[offs[gi]:offs[gi + 1]]
+        m_g = means[offs[gi]:offs[gi + 1]]
+        assert abs(w_g.sum() - sel.sum()) < 1e-9          # mass preserved
+        np.testing.assert_allclose((m_g * w_g).sum() / w_g.sum(),
+                                   v[sel].mean(), rtol=1e-9)
+        # median estimate from centroids within ~5% quantile error
+        order = np.argsort(m_g)
+        cw = np.cumsum(w_g[order]) - w_g[order] / 2
+        est = np.interp(sel.sum() / 2, cw, m_g[order])
+        assert abs(est - np.median(v[sel])) < 0.15
+        assert abs(float(np.asarray(mins.data)[gi]) - v[sel].min()) < 1e-9
+        assert abs(float(np.asarray(maxs.data)[gi]) - v[sel].max()) < 1e-9
