@@ -15,6 +15,22 @@ from cudf_tpu.frame.index import default_index
 
 def read_json(path_or_buf, lines: bool = False, orient=None, **kw) -> DataFrame:
     if lines:
+        from cudf_tpu.utils.config import get_option
+
+        if get_option("io.json.device_tokenizer"):
+            try:
+                from cudf_tpu.io.json_device import read_json_lines_device
+
+                src = path_or_buf
+                if isinstance(src, str) and ("\n" in src
+                                             or src.lstrip().startswith("{")):
+                    src = src.encode()
+                elif hasattr(src, "read"):
+                    d = src.read()
+                    src = d.encode() if isinstance(d, str) else d
+                return read_json_lines_device(src)
+            except (ValueError, NotImplementedError):
+                pass
         import pyarrow.json as pajson
 
         if isinstance(path_or_buf, str) and ("\n" in path_or_buf or path_or_buf.lstrip().startswith(("{", "["))):
