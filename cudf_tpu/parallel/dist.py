@@ -478,6 +478,7 @@ def distributed_groupby_agg(df, key_name: str, value_names: Sequence[str], mesh:
     from cudf_tpu.frame.index import default_index
 
     arrays, valid, per = partition_frame(df[[key_name, *value_names]], mesh)
+    dictionaries = arrays.pop("__dictionaries__", {})
     key = arrays[key_name]
     vals = [arrays[v] for v in value_names]
 
@@ -487,7 +488,15 @@ def distributed_groupby_agg(df, key_name: str, value_names: Sequence[str], mesh:
 
     gkeys, sums, cnts, gvalid = step(key, vals, valid)
     mask = np.asarray(gvalid)
-    out = {key_name: Column.from_numpy(np.asarray(gkeys)[mask])}
+    if key_name in dictionaries:
+        # decode dictionary codes back to values (string keys ride the
+        # jitted tier as int codes)
+        keys_np = np.asarray(gkeys)[mask]
+        dict_vals = dictionaries[key_name].to_pylist()
+        out = {key_name: Column.from_numpy(
+            np.asarray([dict_vals[int(c)] for c in keys_np], dtype=object))}
+    else:
+        out = {key_name: Column.from_numpy(np.asarray(gkeys)[mask])}
     for name, s in zip(value_names, sums):
         arr = np.asarray(s)[mask]
         if "sum" in aggs:

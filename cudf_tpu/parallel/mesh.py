@@ -46,18 +46,26 @@ def partition_frame(df, mesh: Mesh, axis: str = "x"):
     total = per * n_shards
     sharding = NamedSharding(mesh, P(axis))
     arrays = {}
+    dictionaries = {}
     for name in df._table.names:
         col = df._table[name]
         if col.dtype.is_string:
-            raise TypeError(
-                f"column {name!r}: dictionary-encode strings before partitioning"
-            )
+            # dictionary-encode: codes ride the jitted tier as ints, the
+            # keys stay host-side for decode (match_dictionaries
+            # discipline, join.cu:37)
+            from cudf_tpu.ops.dictionary import encode as dict_encode
+
+            col = dict_encode(col)
+        if col.dtype.is_dictionary:
+            dictionaries[name] = col.children[0]
         data = col.data
         pad = total - n
         if pad:
             data = jnp.concatenate([data, jnp.zeros((pad,), data.dtype)])
         arrays[name] = jax.device_put(data, sharding)
     valid = jnp.arange(total, dtype=jnp.int64) < n
+    if dictionaries:
+        arrays["__dictionaries__"] = dictionaries
     return arrays, jax.device_put(valid, sharding), per
 
 

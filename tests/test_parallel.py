@@ -390,3 +390,19 @@ def test_dist_groupby_multislice_dcn(rng):
     assert len(got) == len(exp)
     np.testing.assert_allclose(got["s"].values, exp["s"].values, rtol=1e-9)
     np.testing.assert_array_equal(got["c"].values, exp["c"].values)
+
+
+def test_distributed_groupby_string_key(rng):
+    """String keys ride the jitted tier as dictionary codes end-to-end."""
+    n = 400
+    pdf = pd.DataFrame({
+        "k": [["alpha", "beta", "gamma"][i] for i in rng.integers(0, 3, n)],
+        "v": rng.normal(size=n),
+    })
+    gdf = ct.DataFrame.from_pandas(pdf)
+    mesh = make_mesh(8)
+    got = distributed_groupby_agg(gdf, "k", ["v"], mesh, aggs=("sum",))
+    exp = pdf.groupby("k").agg(v_sum=("v", "sum")).reset_index()
+    got_p = got.to_pandas().sort_values("k").reset_index(drop=True)
+    assert got_p["k"].tolist() == exp["k"].tolist()
+    np.testing.assert_allclose(got_p["v_sum"], exp["v_sum"], rtol=1e-9)
