@@ -407,3 +407,89 @@ def mixed_anti_join(left_keys, right_keys, predicate):
     if li.shape[0]:
         matched = matched.at[jnp.where(m, li, nl)].set(True, mode="drop")
     return filter_indices(~matched)
+
+
+# ----------------------------------------------------------------------
+# reusable join object: build once, probe many
+# ----------------------------------------------------------------------
+
+class HashJoin:
+    """Build-side state cached across probes (cudf::hash_join,
+    cpp/include/cudf/join/hash_join.hpp:70; the cuco multiset build is a
+    sorted key representation here — same O(n log n) build, probes are
+    searchsorted instead of hash probes).
+
+    >>> hj = HashJoin(right_key_columns)
+    >>> li, ri = hj.inner_join(probe_keys)      # repeatable, build reused
+    """
+
+    def __init__(self, build_keys: Sequence[Column]):
+        self._build_keys = list(build_keys)
+        self.num_build_rows = self._build_keys[0].length if build_keys else 0
+        self._null = _null_row_mask(self._build_keys)
+        self._cache = {}          # aligned-ops signature → sorted state
+
+    def _state_for(self, probe_keys):
+        l_ops, r_ops = _aligned_keys(list(probe_keys), self._build_keys)
+        sig = tuple((o.dtype, o.shape) for o in r_ops)
+        if sig not in self._cache:
+            if self._null is not None:
+                keep_r = filter_indices(~self._null)
+                r_ops_m = [jnp.take(k, keep_r) for k in r_ops]
+            else:
+                keep_r = None
+                r_ops_m = r_ops
+            nr = r_ops_m[0].shape[0]
+            ridx = jnp.arange(nr, dtype=jnp.int64)
+            sorted_all = jax.lax.sort([*r_ops_m, ridx],
+                                      num_keys=len(r_ops_m), is_stable=True)
+            self._cache[sig] = (sorted_all[:-1], sorted_all[-1], keep_r)
+        return l_ops, self._cache[sig]
+
+    def _ranges(self, probe_keys):
+        l_ops, (r_sorted, r_order, keep_r) = self._state_for(probe_keys)
+        lo = _lex_searchsorted(r_sorted, l_ops, "left")
+        hi = _lex_searchsorted(r_sorted, l_ops, "right")
+        counts = hi - lo
+        l_null = _null_row_mask(list(probe_keys))
+        if l_null is not None:
+            counts = jnp.where(l_null, 0, counts)
+        return counts, lo, r_order, keep_r
+
+    def _expand(self, probe_keys, keep_unmatched):
+        counts, lo, r_order, keep_r = self._ranges(probe_keys)
+        li, ri = _expand_matches(counts, lo, r_order, keep_unmatched)
+        if keep_r is not None:
+            ri = jnp.where(ri >= 0, jnp.take(keep_r, jnp.clip(ri, 0, None)), -1)
+        return li, ri
+
+    def inner_join(self, probe_keys):
+        return self._expand(probe_keys, keep_unmatched=False)
+
+    def left_join(self, probe_keys):
+        return self._expand(probe_keys, keep_unmatched=True)
+
+    def semi_join(self, probe_keys):
+        counts, _, _, _ = self._ranges(probe_keys)
+        return filter_indices(counts > 0)
+
+    def anti_join(self, probe_keys):
+        counts, _, _, _ = self._ranges(probe_keys)
+        return filter_indices(counts == 0)
+
+
+class DistinctHashJoin(HashJoin):
+    """Unique-build-key join (cudf::distinct_hash_join): probes emit at
+    most one match, so outputs are probe-aligned with no expand phase."""
+
+    def inner_join(self, probe_keys):
+        counts, lo, r_order, keep_r = self._ranges(probe_keys)
+        found = counts > 0
+        keep = filter_indices(found)
+        li = keep
+        pos = jnp.take(lo, keep)
+        nr = r_order.shape[0]
+        ri = jnp.take(r_order, jnp.clip(pos, 0, max(nr - 1, 0)))
+        if keep_r is not None:
+            ri = jnp.take(keep_r, ri)
+        return li, ri

@@ -135,3 +135,30 @@ def test_dense_fast_path_with_nulls():
     expect = pl.merge(pr, on="k")
     assert len(got) == len(expect) == 40  # nulls and 700 never match
     assert set(got["k"].astype(int)) == {1, 3}
+
+
+def test_hash_join_object_reuse(rng):
+    """Build-once-probe-many (hash_join.hpp:70)."""
+    from cudf_tpu.core.column import Column
+    from cudf_tpu.ops.join import DistinctHashJoin, HashJoin
+
+    rk = rng.integers(0, 50, 80)
+    hj = HashJoin([Column.from_numpy(rk)])
+    for trial in range(3):
+        lk = rng.integers(0, 60, 120)
+        li, ri = hj.inner_join([Column.from_numpy(lk)])
+        exp = pd.merge(pd.DataFrame({"k": lk, "i": np.arange(120)}),
+                       pd.DataFrame({"k": rk, "j": np.arange(80)}), on="k")
+        assert len(li) == len(exp)
+        got = set(zip(np.asarray(li).tolist(), np.asarray(ri).tolist()))
+        assert got == set(zip(exp["i"], exp["j"]))
+        sel = np.asarray(hj.semi_join([Column.from_numpy(lk)]))
+        assert set(sel.tolist()) == set(exp["i"].unique().tolist())
+    # distinct (unique build keys): probe-aligned single matches
+    ru = rng.permutation(100)[:40]
+    dhj = DistinctHashJoin([Column.from_numpy(ru)])
+    lk = rng.integers(0, 100, 200)
+    li, ri = dhj.inner_join([Column.from_numpy(lk)])
+    rmap = {k: j for j, k in enumerate(ru.tolist())}
+    exp_pairs = [(i, rmap[k]) for i, k in enumerate(lk.tolist()) if k in rmap]
+    assert list(zip(np.asarray(li).tolist(), np.asarray(ri).tolist())) == exp_pairs
