@@ -1,6 +1,8 @@
 """ORC reader/writer (reference: cpp/src/io/orc/ stripe kernels).
 
-Round-1 host tier via pyarrow.orc; device stripe decode is later."""
+Round-2: self-contained reader (io/orc_native.py — protobuf metadata,
+chunked-framing decompress, RLEv1/v2 stripe decode) for flat schemas;
+pyarrow tier for nested types and the writer."""
 
 from __future__ import annotations
 
@@ -10,6 +12,16 @@ from cudf_tpu.frame.index import default_index
 
 
 def read_orc(path, columns=None, stripes=None, **kw) -> DataFrame:
+    from cudf_tpu.utils.config import get_option
+
+    if stripes is None and get_option("io.orc.native_reader"):
+        try:
+            from cudf_tpu.io.orc_native import read_orc_native
+
+            return read_orc_native(path, columns=list(columns)
+                                   if columns else None)
+        except (NotImplementedError, ValueError):
+            pass
     import pyarrow.orc as po
 
     f = po.ORCFile(path)

@@ -87,6 +87,9 @@ _register("io.parquet.chunk_read_limit", 0, "bytes per parquet pass (0 = whole f
 _register("io.parquet.device_decode", False,
           "decode RLE/dictionary pages on device (VPU expand + gather); "
           "page assembly still host-side — experimental")
+_register("io.orc.native_reader", True,
+          "read flat-schema ORC with the self-contained reader "
+          "(orc_native.py); pyarrow tier for nested types")
 _register("io.json.device_tokenizer", True,
           "parse JSON-lines (flat objects) with the device escape-aware "
           "tokenizer (io/json_device.py); host tier for nested shapes")

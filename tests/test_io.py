@@ -223,3 +223,69 @@ def test_json_entrypoint_uses_device(monkeypatch):
     monkeypatch.setattr(pajson, "read_json", boom)
     df = ct.read_json('{"a": 1}\n{"a": 2}\n', lines=True)
     assert df["a"].to_pandas().tolist() == [1, 2]
+
+
+# ----------------------------------------------------------------------
+# round-2 self-contained ORC reader
+# ----------------------------------------------------------------------
+
+def _orc_frame(rng, n=20000):
+    return pd.DataFrame({
+        "i": rng.integers(-100000, 100000, n),
+        "small": rng.integers(0, 5, n),
+        "f": rng.normal(size=n),
+        "s": [["red", "green", "blue", "x"][i]
+              for i in rng.integers(0, 4, n)],
+        "b": rng.integers(0, 2, n).astype(bool),
+    })
+
+
+@pytest.mark.parametrize("compression", ["uncompressed", "zlib", "snappy"])
+def test_orc_native_reader(tmp_path, rng, compression):
+    import pyarrow as pa
+    from pyarrow import orc as paorc
+    from cudf_tpu.io.orc_native import read_orc_native
+
+    pdf = _orc_frame(rng)
+    p = str(tmp_path / f"t_{compression}.orc")
+    paorc.write_table(pa.Table.from_pandas(pdf), p, compression=compression)
+    got = read_orc_native(p).to_pandas()
+    pd.testing.assert_frame_equal(got, pdf, check_dtype=False)
+
+
+def test_orc_native_nulls_timestamps(tmp_path, rng):
+    import pyarrow as pa
+    from pyarrow import orc as paorc
+    from cudf_tpu.io.orc_native import read_orc_native
+
+    n = 5000
+    pdf = pd.DataFrame({
+        "x": pd.array(rng.integers(0, 100, n), dtype="Int64"),
+        "ts": pd.to_datetime("2021-01-01") +
+        pd.to_timedelta(rng.integers(0, 10**9, n), unit="s"),
+    })
+    pdf.loc[::11, "x"] = pd.NA
+    p = str(tmp_path / "nt.orc")
+    paorc.write_table(pa.Table.from_pandas(pdf), p, compression="zlib")
+    got = read_orc_native(p).to_pandas()
+    pd.testing.assert_series_equal(got["x"], pdf["x"], check_dtype=False)
+    np.testing.assert_array_equal(got["ts"].values.astype("M8[ns]"),
+                                  pdf["ts"].values.astype("M8[ns]"))
+
+
+def test_orc_entrypoint_uses_native(tmp_path, monkeypatch, rng):
+    import pyarrow as pa
+    from pyarrow import orc as paorc
+    import cudf_tpu as ct
+
+    pdf = _orc_frame(rng, 500)
+    p = str(tmp_path / "e.orc")
+    paorc.write_table(pa.Table.from_pandas(pdf), p, compression="zlib")
+
+    class Boom:
+        def __init__(self, *a, **k):
+            raise AssertionError("pyarrow ORCFile used")
+
+    monkeypatch.setattr(paorc, "ORCFile", Boom)
+    got = ct.read_orc(p).to_pandas()
+    pd.testing.assert_frame_equal(got, pdf, check_dtype=False)
