@@ -2,12 +2,57 @@
 a query zoo (SURVEY.md: the reference has no NN models; its headline
 workloads are db-benchmark groupby/join and TPC-H/NDS-H queries).
 
-Each entry is a jittable compute graph over columnar buffers, used by
-bench.py and __graft_entry__ as the framework's "forward steps".
+Each entry is a jittable compute graph over columnar buffers — the
+framework's "forward steps", dispatching to the same kernel tiers
+bench.py measures:
+
+- ``g1_groupby``: db-benchmark G1 sum/mean/count.  Low-cardinality keys
+  ride the row-batched one-hot MXU kernel; high-cardinality keys the
+  radix-partition pipeline (kernels/hash_aggregate.py,
+  kernels/radix_partition.py).
+- ``j1_join``: db-benchmark J1 inner join against a unique-key dim
+  table (single-window MXU probe for small domains, two-pass radix
+  partition beyond).
+- ``tpch_queries``: the TPC-H plans (benchmarks/tpch.py) over the frame
+  API / LazyFrame engine.
 """
 
-from bench import groupby_pipeline as g1_groupby_pipeline  # noqa: F401
-from bench import join_pipeline as j1_join_pipeline  # noqa: F401
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def g1_groupby(keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int,
+               low_card_threshold: int = 4096):
+    """(sums[K], counts[K]) — the G1 groupby forward step.
+
+    Dispatches between the one-hot MXU kernel and the radix-partition
+    pipeline by cardinality (the hash-vs-sort decision, groupby.cu:54).
+    """
+    if num_groups <= low_card_threshold:
+        from cudf_tpu.kernels.hash_aggregate import onehot_groupby_aggregate
+
+        s, c, _, _ = onehot_groupby_aggregate(keys, vals, num_groups,
+                                              with_minmax=False)
+        return s, c.astype(jnp.int64)
+    from cudf_tpu.kernels.radix_partition import radix_groupby_sum_count
+
+    s, c = radix_groupby_sum_count(keys, vals, num_groups)
+    return s, c.astype(jnp.int64)
+
+
+def j1_join(probe_keys: jnp.ndarray, probe_vals: jnp.ndarray,
+            build_keys: jnp.ndarray, build_vals: jnp.ndarray,
+            key_domain: int) -> Tuple[jnp.ndarray, ...]:
+    """db-benchmark J1 inner join (unique build keys) forward step.
+
+    Returns (probe_keys, probe_vals, matched_build_vals, found) in
+    partitioned row planes (kernels/radix_partition.py docstring).
+    """
+    from cudf_tpu.kernels.radix_partition import radix_join_inner_unique
+
+    return radix_join_inner_unique(probe_keys, probe_vals, build_keys,
+                                   build_vals, key_domain)
 
 
 def tpch_queries():
@@ -19,4 +64,4 @@ def tpch_queries():
             "q14": tpch.q14, "generate": tpch.generate}
 
 
-__all__ = ["g1_groupby_pipeline", "j1_join_pipeline", "tpch_queries"]
+__all__ = ["g1_groupby", "j1_join", "tpch_queries"]
