@@ -337,6 +337,7 @@ class Series:
         return self.loc[key]
 
     def __setitem__(self, key, value):
+        _check_setitem_compat(self._column.dtype, value)
         if isinstance(key, (np.ndarray, list)) and len(key) == len(self) and all(
             isinstance(v, (bool, np.bool_)) for v in (key if isinstance(key, list) else key[:1])
         ) and (not isinstance(key, np.ndarray) or key.dtype == bool):
@@ -1161,6 +1162,7 @@ class _SeriesILoc:
 
     def __setitem__(self, key, value):
         s = self._s
+        _check_setitem_compat(s._column.dtype, value)
         if isinstance(key, int):
             key = [key]
         if isinstance(key, slice):
@@ -1242,3 +1244,43 @@ def _union_index(a: Index, b: Index) -> Index:
     col = copying.gather(col, sort_ops.sorted_order([col]), bounds_check=False)
     name = a.name if a.name == b.name else None
     return Index(column=col, name=name)
+
+
+def _check_setitem_compat(dtype, value):
+    """pandas-3 setitem strictness (PDEP-6): values that cannot be held
+    losslessly by the column dtype RAISE instead of silently coercing."""
+    import numbers
+
+    def one(v):
+        if v is None or _is_null(v):
+            if dtype.is_integer or dtype.is_bool:
+                raise TypeError(
+                    f"Invalid value {v!r} for dtype {dtype}")
+            return
+        if dtype.is_bool:
+            if not isinstance(v, (bool, np.bool_)):
+                raise TypeError(f"Invalid value {v!r} for dtype bool")
+            return
+        if dtype.is_integer:
+            if isinstance(v, (bool, np.bool_)):
+                raise TypeError(f"Invalid value {v!r} for dtype {dtype}")
+            if isinstance(v, numbers.Real) and not isinstance(v, numbers.Integral):
+                if float(v) != int(v):
+                    raise TypeError(
+                        f"Invalid value {v!r} for dtype {dtype}")
+                return
+            if not isinstance(v, numbers.Integral):
+                raise TypeError(f"Invalid value {v!r} for dtype {dtype}")
+            return
+        if dtype.is_float:
+            if isinstance(v, (bool, np.bool_)) or not isinstance(v, numbers.Real):
+                raise TypeError(f"Invalid value {v!r} for dtype {dtype}")
+            return
+        if dtype.is_string and not isinstance(v, str):
+            raise TypeError(f"Invalid value {v!r} for dtype str")
+
+    if np.isscalar(value) or value is None:
+        one(value)
+    elif isinstance(value, (list, tuple)) and len(value) <= 64:
+        for v in value:
+            one(v)

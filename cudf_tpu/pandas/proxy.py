@@ -313,6 +313,14 @@ class _FastSlowProxy:
         return _dispatch_call(self, "__getitem__", (key,), {})
 
     def __setitem__(self, key, value):
+        if self._fast is None:
+            # slow-resident: mutate in place with exact pandas semantics
+            # (incompatible-value TypeErrors/upcasts must surface; a fast
+            # conversion round-trip would mask them)
+            self._slow_obj()[_unwrap(key, False)] = _unwrap(value, False)
+            self._invalidate_fast()
+            _record("__setitem__", False)
+            return
         try:
             self._fast_obj()[_unwrap(key, True)] = _unwrap(value, True)
             self._invalidate_slow()
