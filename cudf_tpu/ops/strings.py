@@ -183,28 +183,55 @@ def _char_class_all(col: Column, pred) -> Column:
 
 def isdigit(col: Column) -> Column:
     if _has_non_ascii(col):
+        from cudf_tpu.ops.unicode_case import char_class_all
+
+        out = char_class_all(col, "isdigit")
+        if out is not None:
+            return out
         return _host_map(col, str.isdigit, dt.BOOL8).with_validity(col.validity)
     return _char_class_all(col, lambda b: (b >= 48) & (b <= 57))
 
 
 def isdecimal(col: Column) -> Column:
-    return isdigit(col)
+    if _has_non_ascii(col):
+        from cudf_tpu.ops.unicode_case import char_class_all
+
+        out = char_class_all(col, "isdecimal")
+        if out is not None:
+            return out
+        return _host_map(col, str.isdecimal, dt.BOOL8).with_validity(col.validity)
+    return _char_class_all(col, lambda b: (b >= 48) & (b <= 57))
 
 
 def isnumeric(col: Column) -> Column:
     if _has_non_ascii(col):
+        from cudf_tpu.ops.unicode_case import char_class_all
+
+        out = char_class_all(col, "isnumeric")
+        if out is not None:
+            return out
         return _host_map(col, str.isnumeric, dt.BOOL8).with_validity(col.validity)
     return isdigit(col)
 
 
 def isalpha(col: Column) -> Column:
     if _has_non_ascii(col):
+        from cudf_tpu.ops.unicode_case import char_class_all
+
+        out = char_class_all(col, "isalpha")
+        if out is not None:
+            return out
         return _host_map(col, str.isalpha, dt.BOOL8).with_validity(col.validity)
     return _char_class_all(col, lambda b: ((b >= 65) & (b <= 90)) | ((b >= 97) & (b <= 122)))
 
 
 def isalnum(col: Column) -> Column:
     if _has_non_ascii(col):
+        from cudf_tpu.ops.unicode_case import char_class_all
+
+        out = char_class_all(col, "isalnum")
+        if out is not None:
+            return out
         return _host_map(col, str.isalnum, dt.BOOL8).with_validity(col.validity)
     return _char_class_all(
         col, lambda b: ((b >= 48) & (b <= 57)) | ((b >= 65) & (b <= 90)) | ((b >= 97) & (b <= 122))
@@ -217,6 +244,11 @@ def isspace(col: Column) -> Column:
 
 def isupper(col: Column) -> Column:
     if _has_non_ascii(col):
+        from cudf_tpu.ops.unicode_case import char_class_all
+
+        out = char_class_all(col, "isupper")
+        if out is not None:
+            return out
         return _host_map(col, str.isupper, dt.BOOL8).with_validity(col.validity)
     n = col.length
     if col.data.shape[0] == 0:
@@ -230,6 +262,11 @@ def isupper(col: Column) -> Column:
 
 def islower(col: Column) -> Column:
     if _has_non_ascii(col):
+        from cudf_tpu.ops.unicode_case import char_class_all
+
+        out = char_class_all(col, "islower")
+        if out is not None:
+            return out
         return _host_map(col, str.islower, dt.BOOL8).with_validity(col.validity)
     n = col.length
     if col.data.shape[0] == 0:

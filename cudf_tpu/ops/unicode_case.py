@@ -159,3 +159,58 @@ def case_map(col: Column, kind: str) -> Optional[Column]:
     if bool(jnp.any(mapped < 0)):
         return None                       # expanding mapping → host tier
     return encode_utf8(mapped, char_row, col.length, col.validity)
+
+
+_CLASS_TESTS = {
+    "isdigit": str.isdigit, "isdecimal": str.isdecimal,
+    "isnumeric": str.isnumeric, "isalpha": str.isalpha,
+    "isalnum": str.isalnum, "isspace": str.isspace,
+    "isupper": str.isupper, "islower": str.islower,
+    "istitle": None,   # positional — not a per-char table
+}
+
+
+def _class_table(kind: str) -> jnp.ndarray:
+    key = f"class:{kind}"
+    if key not in _tables:
+        fn = _CLASS_TESTS[kind]
+        arr = np.zeros((_BMP,), np.bool_)
+        for cp in range(_BMP):
+            try:
+                arr[cp] = fn(chr(cp))
+            except Exception:     # pragma: no cover
+                arr[cp] = False
+        _tables[key] = jnp.asarray(arr)
+    return _tables[key]
+
+
+def char_class_all(col: Column, kind: str):
+    """Python str.isX semantics per row on device (char_types.cu role):
+    all chars satisfy the class AND the row is non-empty.  isupper/
+    islower use the cased-char rule (any cased char, none of the
+    opposite case).  None → host (astral chars present)."""
+    import jax
+
+    cp, char_row, _ = decode_utf8(col)
+    if bool(jnp.any(cp >= _BMP)):
+        return None
+    n = col.length
+    nonempty = (col.offsets[1:] - col.offsets[:-1]) > 0
+    cpc = jnp.clip(cp, 0, _BMP - 1)
+    if kind in ("isupper", "islower"):
+        cased = jnp.take(_cased_mask(), cpc)
+        this = jnp.take(_class_table(kind), cpc)
+        other = jnp.take(_class_table(
+            "islower" if kind == "isupper" else "isupper"), cpc)
+        has_this = jax.ops.segment_max(this.astype(jnp.int8), char_row,
+                                       num_segments=n) > 0
+        has_other = jax.ops.segment_max(other.astype(jnp.int8), char_row,
+                                        num_segments=n) > 0
+        out = has_this & ~has_other
+        return Column(dt.BOOL8, n, data=out & nonempty,
+                      validity=col.validity)
+    ok = jnp.take(_class_table(kind), cpc)
+    allok = jax.ops.segment_min(
+        jnp.concatenate([ok.astype(jnp.int8)]), char_row,
+        num_segments=n) > 0
+    return Column(dt.BOOL8, n, data=allok & nonempty, validity=col.validity)

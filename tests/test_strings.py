@@ -142,3 +142,20 @@ def test_unicode_title_ascii_words():
     vals = ["hello world", "they're", "abc3de", "ALL CAPS"]
     col = Column.from_strings(vals)
     assert S.title(col).to_pylist() == [v.title() for v in vals]
+
+
+def test_unicode_char_classes_device(monkeypatch):
+    from cudf_tpu.core.column import Column
+    from cudf_tpu.ops import strings as S
+
+    def boom(*a, **k):
+        raise AssertionError("_host_map called — device class did not engage")
+
+    monkeypatch.setattr(S, "_host_map", boom)
+    vals = ["١٢٣", "Ⅻ", "²³", "abcé", "ΑΒΓ", "αβγ", "abc123é", "  ", "日本語"]
+    col = Column.from_strings(vals)
+    for kind in ("isdigit", "isdecimal", "isnumeric", "isalpha", "isalnum",
+                 "isupper", "islower"):
+        got = getattr(S, kind)(col).to_pylist()
+        exp = [getattr(v, kind)() for v in vals]
+        assert got == exp, (kind, got, exp)
