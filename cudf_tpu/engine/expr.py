@@ -360,6 +360,49 @@ class Agg(Expr):
     def __repr__(self):
         return f"{self.children[0]!r}.{self.agg}()"
 
+    def over(self, *keys) -> "Over":
+        """Window variant: per-group aggregate broadcast back to rows
+        (polars .over(); cudf-polars streaming/over.py role)."""
+        flat = []
+        for k in keys:
+            if isinstance(k, (list, tuple)):
+                flat.extend(k)
+            else:
+                flat.append(k)
+        return Over(self, [k if isinstance(k, str) else k.output_name
+                           for k in flat])
+
+
+class Over(Expr):
+    """Per-row windowed aggregate: agg within partition-by keys,
+    broadcast to every member row (SQL `agg() OVER (PARTITION BY k)`)."""
+
+    def __init__(self, agg: "Agg", keys):
+        self.children = (agg,)
+        self.keys = list(keys)
+        self._name = agg.output_name
+
+    def evaluate(self, table: Table) -> Column:
+        import jax.numpy as jnp
+
+        from cudf_tpu.ops import copying
+        from cudf_tpu.ops import groupby as gb
+
+        agg = self.children[0]
+        value = agg.children[0].evaluate(table)
+        grouper = gb.make_grouper([table[k] for k in self.keys],
+                                  dropna=False)
+        fn = gb._AGG_DISPATCH[agg.agg]
+        per_group = fn(value, grouper)
+        return copying.gather(per_group, grouper.group_ids,
+                              bounds_check=False)
+
+    def references(self):
+        return self.children[0].references() | set(self.keys)
+
+    def __repr__(self):
+        return f"{self.children[0]!r}.over({self.keys})"
+
 
 class Ternary(Expr):
     """when(cond).then(a).otherwise(b)."""

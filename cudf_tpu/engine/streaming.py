@@ -144,6 +144,12 @@ def _eval(node: IRs.IR, n: int) -> List[Table]:
     # pointwise: map over partitions ---------------------------------
     if isinstance(node, _POINTWISE):
         parts = _eval(node.children[0], n)
+        okeys = _over_keys(node)
+        if okeys:
+            # window exprs need each key group co-located: repartition by
+            # the over-keys first (cudf-polars streaming/over.py role)
+            parts = _repartition_by_hash(
+                [_unspill(p) for p in parts], okeys, n)
         out = []
         for p in parts:
             r = node.do_evaluate(_unspill(p))
@@ -265,6 +271,29 @@ def _repartition_by_hash(parts: List[Table], keys: List[str], n: int) -> List[Ta
     return out
 
 
+def _over_keys(node) -> List[str]:
+    """Union of .over() partition keys appearing in a pointwise node's
+    expressions (empty = no window exprs)."""
+    from cudf_tpu.engine.expr import Over
+
+    keys: List[str] = []
+
+    def walk(e):
+        if isinstance(e, Over):
+            for k in e.keys:
+                if k not in keys:
+                    keys.append(k)
+        for c in getattr(e, "children", ()):
+            walk(c)
+
+    for e in getattr(node, "exprs", ()):
+        walk(e)
+    pred = getattr(node, "predicate", None)
+    if pred is not None:
+        walk(pred)
+    return keys
+
+
 _MERGEABLE = {"sum": "sum", "count": "sum", "min": "min", "max": "max", "size": "sum"}
 
 
@@ -286,8 +315,20 @@ def _eval_groupby(node: IRs.GroupBy, n: int) -> List[Table]:
             partial_specs.append((f"__{name}_sum", inner, "sum"))
             partial_specs.append((f"__{name}_cnt", inner, "count"))
             finals.append((name, "mean", [f"__{name}_sum", f"__{name}_cnt"], None))
+        elif kind in ("var", "std"):
+            # (sum, sum-of-squares, count) partials merge by sum — the
+            # M2/MERGE_M2 decomposition (streaming_groupby.cpp role)
+            from cudf_tpu.engine.expr import BinOp
+
+            sq = BinOp(inner, inner, "mul")
+            partial_specs.append((f"__{name}_sum", inner, "sum"))
+            partial_specs.append((f"__{name}_ssq", sq, "sum"))
+            partial_specs.append((f"__{name}_cnt", inner, "count"))
+            finals.append((name, kind,
+                           [f"__{name}_sum", f"__{name}_ssq",
+                            f"__{name}_cnt"], None))
         else:
-            # non-decomposable (median, nunique, var…): fall back to global
+            # non-decomposable (median, nunique, …): fall back to global
             return _groupby_global(node, parts)
 
     # local partial aggregation per partition
@@ -318,8 +359,23 @@ def _eval_groupby(node: IRs.GroupBy, n: int) -> List[Table]:
         for name, how, pnames, _ in finals:
             if how == "direct":
                 cols[name] = merged[pnames[0]]
-            else:  # mean
+            elif how == "mean":
                 cols[name] = binary_operation(merged[pnames[0]], merged[pnames[1]], "truediv")
+            else:  # var/std: (ssq - sum^2/n) / (n - 1)
+                s_, ssq, cnt = (merged[p] for p in pnames)
+                mean_sq = binary_operation(
+                    binary_operation(s_, s_, "mul"), cnt, "truediv")
+                num = binary_operation(ssq, mean_sq, "sub")
+                from cudf_tpu.core.column import as_column
+
+                denom = binary_operation(
+                    cnt, as_column([1] * cnt.length), "sub")
+                var = binary_operation(num, denom, "truediv")
+                if how == "std":
+                    from cudf_tpu.ops.unary import unary_operation
+
+                    var = unary_operation(var, "sqrt")
+                cols[name] = var
         out_parts.append(Table(cols))
     return out_parts
 
