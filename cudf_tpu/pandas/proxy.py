@@ -164,17 +164,42 @@ class _AccessorProxy:
 
 
 class _IndexerProxy:
-    """Wraps fast-domain .loc/.iloc indexers so their results re-enter the
-    proxy domain (otherwise raw cudf_tpu frames leak into pandas code)."""
+    """Wraps .loc/.iloc indexers so their results re-enter the proxy
+    domain; mutations fall back to the slow object (pandas semantics for
+    upcasts/raises) and invalidate the stale representation."""
 
-    def __init__(self, raw):
+    def __init__(self, raw, parent=None, name=None):
         self._raw = raw
+        self._parent = parent
+        self._name = name
+
+    def _slow_indexer(self):
+        if self._parent is None or self._name is None:
+            return None
+        return getattr(self._parent._slow_obj(), self._name)
 
     def __getitem__(self, key):
-        return _wrap(self._raw[_unwrap(key, True)])
+        try:
+            return _wrap(self._raw[_unwrap(key, True)])
+        except Exception:
+            slow = self._slow_indexer()
+            if slow is None:
+                raise
+            _record(self._name or "indexer", False)
+            return _wrap(slow[_unwrap(key, False)])
 
     def __setitem__(self, key, value):
-        self._raw[_unwrap(key, True)] = _unwrap(value, True)
+        try:
+            self._raw[_unwrap(key, True)] = _unwrap(value, True)
+            if self._parent is not None:
+                self._parent._invalidate_slow()
+        except Exception:
+            slow = self._slow_indexer()
+            if slow is None:
+                raise
+            slow[_unwrap(key, False)] = _unwrap(value, False)
+            self._parent._invalidate_fast()
+            _record(self._name or "indexer", False)
 
 
 class _ProxyMeta(type):
@@ -381,6 +406,13 @@ class _FastSlowAttr:
         except Exception:
             attr = getattr(p._slow_obj(), name)
             is_fast = False
+        # indexers are CALLABLE in pandas (loc(axis=...)) — never wrap
+        # them as methods; carry the parent for slow-fallback mutation
+        if type(attr).__name__.lstrip("_").lower() in (
+                "seriesloc", "seriesiloc", "dataframeloc", "dataframeiloc",
+                "locindexer", "ilocindexer", "atindexer", "iatindexer"):
+            _record(name, is_fast)
+            return _IndexerProxy(attr, parent=p, name=name)
         if callable(attr) and not isinstance(attr, type):
             def method(*args, **kwargs):
                 return _dispatch_call(p, name, args, kwargs)
