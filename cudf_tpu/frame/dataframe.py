@@ -813,7 +813,8 @@ class DataFrame:
         return _merge(self, other, how=how, left_index=True, right_index=True,
                       suffixes=(lsuffix or "_x", rsuffix or "_y"))
 
-    def groupby(self, by=None, level=None, sort=False, dropna=True, as_index=True):
+    def groupby(self, by=None, level=None, sort=False, dropna=True,
+                as_index=True, group_keys=True, observed=False):
         from cudf_tpu.frame.groupby import DataFrameGroupBy
 
         return DataFrameGroupBy(self, by, level=level, sort=sort, dropna=dropna, as_index=as_index)

@@ -28,8 +28,11 @@ _SIMPLE_AGGS = (
 
 
 class _GroupByBase:
-    def __init__(self, obj, by, level=None, sort=False, dropna=True, as_index=True):
+    def __init__(self, obj, by, level=None, sort=False, dropna=True,
+                 as_index=True, group_keys=True, observed=False):
         self._obj = obj
+        self._group_keys = group_keys
+        self._observed = observed
         self._sort = sort
         self._dropna = dropna
         self._as_index = as_index
@@ -53,9 +56,13 @@ class _GroupByBase:
             by_list = [by] if isinstance(by, str) or isinstance(by, Series) else list(by)
             self._key_names = []
             self._key_cols = []
+            self._external_keys = set()
             for b in by_list:
                 if isinstance(b, Series):
+                    # external key Series: its name does NOT shadow a
+                    # frame column (pandas keeps all columns as values)
                     self._key_names.append(b.name if b.name is not None else "key")
+                    self._external_keys.add(self._key_names[-1])
                     self._key_cols.append(b._column)
                 else:
                     self._key_names.append(b)
@@ -200,6 +207,7 @@ class DataFrameGroupBy(_GroupByBase):
         if subset is not None:
             return subset
         skip = set(self._key_names) if not self._keys_from_index else set()
+        skip -= getattr(self, "_external_keys", set())
         return [n for n in self._obj._table.names if n not in skip]
 
     def agg(self, func=None, **named):

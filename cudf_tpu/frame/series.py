@@ -1088,7 +1088,8 @@ class Series:
     # ------------------------------------------------------------------
     # groupby / accessors
     # ------------------------------------------------------------------
-    def groupby(self, by=None, level=None, sort=False, dropna=True):
+    def groupby(self, by=None, level=None, sort=False, dropna=True,
+                group_keys=True, observed=False):
         from cudf_tpu.frame.groupby import SeriesGroupBy
 
         return SeriesGroupBy(self, by, level=level, sort=sort, dropna=dropna)

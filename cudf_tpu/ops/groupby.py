@@ -54,13 +54,20 @@ def make_grouper(keys: Sequence[Column], dropna: bool = True, sort: bool = True)
     keys = list(keys)
     n = keys[0].length
     row_mask = None
-    if dropna and any(k.validity is not None for k in keys):
+    if dropna and any(k.validity is not None or k.dtype.is_float
+                      for k in keys):
+        # pandas dropna drops null keys AND float-NaN keys
         row_mask = jnp.ones((n,), jnp.bool_)
         for k in keys:
             row_mask = row_mask & materialize_validity(k)
-        keep = filter_indices(row_mask)
-        keys = [copying.gather(k, keep, bounds_check=False) for k in keys]
-        n = keys[0].length
+            if k.dtype.is_float:
+                row_mask = row_mask & ~jnp.isnan(k.data)
+        if bool(jnp.all(row_mask)):
+            row_mask = None
+        else:
+            keep = filter_indices(row_mask)
+            keys = [copying.gather(k, keep, bounds_check=False) for k in keys]
+            n = keys[0].length
     if n == 0:
         return Grouper(
             group_ids=jnp.zeros((0,), jnp.int64),

@@ -231,3 +231,23 @@ def test_groupby_tdigest(rng):
         assert abs(est - np.median(v[sel])) < 0.15
         assert abs(float(np.asarray(mins.data)[gi]) - v[sel].min()) < 1e-9
         assert abs(float(np.asarray(maxs.data)[gi]) - v[sel].max()) < 1e-9
+
+
+def test_groupby_external_series_key_and_nan_keys(rng):
+    """pandas parity: external Series keys keep ALL frame columns as
+    values; float-NaN keys drop under dropna=True; group_keys/observed
+    kwargs accepted."""
+    pdf = pd.DataFrame({"A": [1.0, 2.0, 3.0, 1.0], "B": [4.0, 5.0, 6.0, 7.0]})
+    df = ct.DataFrame.from_pandas(pdf)
+    got = df.groupby(df["A"] * 0.0 + 1.0, group_keys=False).sum().to_pandas()
+    exp = pdf.groupby(pdf["A"] * 0.0 + 1.0, group_keys=False).sum()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_names=False)
+    # all-NaN keys -> empty result with all columns
+    got0 = df.groupby(df["A"] * np.nan).sum().to_pandas()
+    assert got0.shape == (0, 2)
+    # partial NaN keys
+    pdf2 = pd.DataFrame({"k": [1.0, np.nan, 1.0, 2.0], "v": [1, 2, 3, 4]})
+    got2 = ct.DataFrame.from_pandas(pdf2).groupby("k").sum().to_pandas()
+    pd.testing.assert_frame_equal(got2, pdf2.groupby("k").sum(),
+                                  check_dtype=False)
