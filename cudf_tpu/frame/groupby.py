@@ -226,13 +226,15 @@ class DataFrameGroupBy(_GroupByBase):
         elif func in (list, set):          # pandas agg(list) / agg(set)
             return self._apply_simple(_norm_agg(func))
         elif isinstance(func, dict):
+            # pandas: if ANY dict value is a list, the result columns are
+            # a (column, agg) MultiIndex — including the scalar entries
+            multi = any(isinstance(v, (list, tuple)) for v in func.values())
             for col_name, aggs in func.items():
                 aggs_l = [aggs] if isinstance(aggs, (str, type)) or callable(aggs) \
                     else list(aggs)
                 for a in aggs_l:
                     a = _norm_agg(a)
-                    out = col_name if not isinstance(aggs, (list, tuple)) \
-                        else f"{col_name}_{a}"
+                    out = (col_name, a) if multi else col_name
                     specs.append((out, col_name, a, None))
         elif isinstance(func, (list, tuple)):
             for col_name in self._value_names():
@@ -241,14 +243,43 @@ class DataFrameGroupBy(_GroupByBase):
                     a = _norm_agg(a)
                     if not _agg_supported(col, a):
                         continue
-                    specs.append((f"{col_name}_{a}", col_name, a, None))
+                    specs.append(((col_name, a), col_name, a, None))
         else:
             raise TypeError(f"unsupported agg spec {func!r}")
         return self._run_aggs(specs)
 
     aggregate = agg
 
+    def _try_kernel_aggs(self, specs) -> Optional[DataFrame]:
+        """Route through ops.groupby's kernel-tier dispatcher (one-hot
+        MXU / radix partition, default-ON at scale) when the shape
+        qualifies: single key column, sorted-key output order (int codes
+        are emitted ascending, which IS the sorted group order)."""
+        if len(self._key_cols) != 1:
+            return None
+        key_col = self._key_cols[0]
+        if key_col.dtype.is_dictionary:
+            return None               # code order != sorted key order
+        vals = []
+        for out_name, col_name, agg, extra in specs:
+            if extra is not None:
+                return None
+            vals.append((out_name, self._obj._table[col_name], agg))
+        res = gb_ops._try_onehot_fast_path(
+            Table({"__key__": key_col}), vals, self._dropna)
+        if res is None:
+            return None
+        gk, ga = res
+        index = Index(column=gk.column(0), name=self._key_names[0])
+        df = DataFrame._from(ga, index)
+        if not self._as_index:
+            df = df.reset_index()
+        return df
+
     def _run_aggs(self, specs) -> DataFrame:
+        fast = self._try_kernel_aggs(specs)
+        if fast is not None:
+            return fast
         g = self.grouper
         out_cols: Dict[str, Column] = {}
         for out_name, col_name, agg, _ in specs:

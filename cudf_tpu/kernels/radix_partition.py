@@ -145,27 +145,31 @@ def partition_layout(hist: np.ndarray, tile_rows: int, chunk_rows: int,
 # Phase B: sort tiles + scatter covering rows
 # ----------------------------------------------------------------------
 
-def _partition_kernel(B, tile_rows, chunk_rows, mask_bits,
-                      tabs_ref,                           # [B, 128] VMEM block
-                      keys_ref, vals_ref,                 # VMEM blocks
-                      kinit_ref, vinit_ref,               # aliased (unused)
-                      kout_ref, vout_ref,                 # HBM outputs
-                      ksc_ref, vsc_ref, sems):            # scratch
+def _partition_kernel(B, tile_rows, chunk_rows, mask_bits, V, *refs):
+    # refs layout: tabs, keys, vals*V, init*(V+1) (aliased, unused),
+    #              kout, vout*V, scratch*(V+1), sems
+    tabs_ref = refs[0]
+    keys_ref = refs[1]
+    vals_refs = refs[2:2 + V]
+    out_refs = refs[3 + 2 * V:4 + 3 * V]          # kout + vouts
+    sc_refs = refs[4 + 3 * V:5 + 4 * V]           # key scratch + val scratch
+    sems = refs[5 + 4 * V]
     keys = keys_ref[...]
     if mask_bits is None:
-        ks, vs = bitonic_sort(keys, [vals_ref[...]])
+        ks, *vs = bitonic_sort(keys, [v[...] for v in vals_refs])
     else:
         # later passes sort by the LOW bits only (the tile sits inside one
         # first-pass region, whose keys share their top bits; run-edge
         # garbage sorts by its own low bits and stays out-of-window)
         sk = jnp.where(keys >= 0, keys & ((1 << mask_bits) - 1),
                        jnp.int32(SENTINEL))
-        _, ks, vs = bitonic_sort(sk, [keys, vals_ref[...]])
-    ksc_ref[...] = ks
-    vsc_ref[...] = vs
+        _, ks, *vs = bitonic_sort(sk, [keys] + [v[...] for v in vals_refs])
+    sc_refs[0][...] = ks
+    for j in range(V):
+        sc_refs[1 + j][...] = vs[j]
 
     def chunk_copy(b, c, plane):
-        src_ref, out_ref = ((ksc_ref, kout_ref), (vsc_ref, vout_ref))[plane]
+        src_ref, out_ref = sc_refs[plane], out_refs[plane]
         w = tabs_ref[b, 2]
         src0 = tabs_ref[b, 1] // LANES
         src = jnp.minimum(src0 + c * chunk_rows, src0 + w - chunk_rows)
@@ -183,7 +187,7 @@ def _partition_kernel(B, tile_rows, chunk_rows, mask_bits,
             nchunks = (tabs_ref[b, 2] + chunk_rows - 1) // chunk_rows
 
             def chunk(c, _):
-                for plane in (0, 1):
+                for plane in range(V + 1):
                     cp = chunk_copy(b, c, plane)
                     (cp.start() if start else cp.wait())
                 return 0
@@ -205,19 +209,24 @@ def radix_scatter(keys2, vals2, tabs, nbits: int,
                   mask_bits=None, interpret: bool = False):
     """Sort tiles and DMA bucket runs to their regions.
 
-    keys2/vals2: row-major [R, 128] int32 (payload bitcast to int32).
+    keys2: row-major [R, 128] int32; vals2: one such plane or a
+    tuple/list of payload planes (payloads bitcast to int32) that travel
+    with the keys through the tile sort and the run DMAs.
     tabs: [NT*B, 128] int32 — row t*B+b lanes 0..2 = (dst_rows,
     local_start, run_rows) for (tile t, bucket b); dynamic per-bucket
     scalar reads must index the SUBLANE dim (Mosaic cannot prove dynamic
     lane offsets aligned).
-    Returns (keys_out, vals_out) [total_rows, 128]; region-alignment pad
+    Returns (keys_out, *vals_out) [total_rows, 128]; region-alignment pad
     rows keep the SENTINEL prefill.
     """
+    single = not isinstance(vals2, (tuple, list))
+    vplanes = (vals2,) if single else tuple(vals2)
+    V = len(vplanes)
     R = keys2.shape[0]
     nt = R // tile_rows
     B = 1 << nbits
     kinit = jnp.full((total_rows, LANES), SENTINEL, jnp.int32)
-    vinit = jnp.zeros((total_rows, LANES), jnp.int32)
+    vinits = [jnp.zeros((total_rows, LANES), jnp.int32) for _ in range(V)]
     blk = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     tabspec = pl.BlockSpec((B, 128), lambda i: (i, 0),
@@ -225,35 +234,60 @@ def radix_scatter(keys2, vals2, tabs, nbits: int,
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     nsem = min(B, 128)
 
-    kern = partial(_partition_kernel, B, tile_rows, chunk_rows, mask_bits)
+    kern = partial(_partition_kernel, B, tile_rows, chunk_rows, mask_bits, V)
 
     with jax.enable_x64(False):
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kern,
             grid=(nt,),
-            in_specs=[tabspec, blk, blk, anyspec, anyspec],
-            out_specs=[anyspec, anyspec],
+            in_specs=[tabspec, blk] + [blk] * V + [anyspec] * (V + 1),
+            out_specs=[anyspec] * (V + 1),
             scratch_shapes=[
-                pltpu.VMEM((tile_rows, LANES), jnp.int32),
-                pltpu.VMEM((tile_rows, LANES), jnp.int32),
-                pltpu.SemaphoreType.DMA((nsem,)),
-            ],
-            out_shape=[jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32),
-                       jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32)],
-            input_output_aliases={3: 0, 4: 1},
+                pltpu.VMEM((tile_rows, LANES), jnp.int32)
+                for _ in range(V + 1)
+            ] + [pltpu.SemaphoreType.DMA((nsem,))],
+            out_shape=[jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32)
+                       for _ in range(V + 1)],
+            input_output_aliases={2 + V + j: j for j in range(V + 1)},
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(tabs, keys2, vals2, kinit, vinit)
+        )(tabs, keys2, *vplanes, kinit, *vinits)
+    if single:
+        return out[0], out[1]
+    return out[0], tuple(out[1:])
 
 
 # ----------------------------------------------------------------------
 # Phase C: bucket-windowed outer-product aggregation
 # ----------------------------------------------------------------------
 
-def _agg_kernel(shift, agg_rows,
+def _dd_block_update(out_ref, x, PH):
+    """out_ref[0, :PH] (hi) / out_ref[0, PH:] (lo) += x as double-float
+    pairs: branch-free TwoSum then Fast2Sum renormalisation so |lo| stays
+    <= ulp(hi)/2.  With integer inputs within range every operation is
+    exact (see kernels/hash_aggregate.py for the argument)."""
+    hi = out_ref[0, :PH, :]
+    lo = out_ref[0, PH:, :]
+    s = hi + x
+    t = s - hi
+    e = (hi - (s - t)) + (x - t)
+    u = lo + e
+    hi2 = s + u
+    out_ref[0, :PH, :] = hi2
+    out_ref[0, PH:, :] = u - (hi2 - s)
+
+
+_MODE_PLANES = {"float": 4, "int": 5, "id": 5, "idpay": 8}
+
+
+def _agg_kernel(shift, agg_rows, mode,
                 step_tab_ref,                             # scalar prefetch
-                keys_ref, vals_ref, out_ref):
+                keys_ref, *rest):
+    vals_ref = rest[0]
+    pay_ref = rest[1] if mode == "idpay" else None
+    out_ref = rest[-1]
     s = pl.program_id(0)
+    P = _MODE_PLANES[mode]
 
     @pl.when((step_tab_ref[s] >> 16) == 1)
     def _init():
@@ -265,13 +299,24 @@ def _agg_kernel(shift, agg_rows,
     hi_classes = jax.lax.broadcasted_iota(jnp.int32, (HI, LANES), 0)
     lo_classes = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
 
-    # Exact-f32 sums on the bf16 MXU: split v into three bf16 terms
-    # (8-bit mantissas cover f32's 24); multiplying a ONE-HOT by a bf16
-    # term is exact, and accumulation is f32.  RB rows batch into ONE
-    # [4*HI, RB*128] @ [RB*128, lo] contraction (sum of per-row outer
-    # products = concat along the contraction dim) — the K-dim batching
-    # that keeps the MXU fed (single-row matmuls measured 2.5x slower).
+    # Exact sums on the bf16 MXU (the TPU's default f32 matmul truncates
+    # operands to bf16 — measured on hardware — so EVERY matmul plane is
+    # constructed to be exact in bf16).  float mode: split v into three
+    # bf16 terms (8-bit mantissas cover f32's 24); one-hot products are
+    # exact and accumulation is f32.  int mode: four signed 8-bit
+    # magnitude chunks; per-step f32 accumulation stays below 2^24
+    # (16K rows x 255), so the step result is an exact integer.  id mode
+    # (join builds): vals hold build_row_id+1 <= 2^27 as four unsigned
+    # 8-bit chunk planes — cells receive at most one contribution when
+    # the build is unique, so plain f32 accumulation is exact and no
+    # double-float pair is kept; idpay adds a 3-term bf16 split of a
+    # build payload.  RB rows batch into ONE [P*HI, RB*128] @ [RB*128,
+    # lo] contraction (sum of per-row outer products = concat along the
+    # contraction dim) — the K-dim batching that keeps the MXU fed
+    # (single-row matmuls measured 2.5x slower).
     RB = 8
+    el = jnp.bfloat16
+
     def body(i, acc):
         a_parts, b_parts = [], []
         for k in range(RB):
@@ -281,62 +326,139 @@ def _agg_kernel(shift, agg_rows,
             lo = local & 127
             in_win = (local >= 0) & (local < SPAN)
             hi = jnp.where(in_win, hi, -1)
-            vrow = jax.lax.bitcast_convert_type(vals_ref[r, :], jnp.float32)
-            v1 = vrow.astype(jnp.bfloat16)
-            r1 = vrow - v1.astype(jnp.float32)
-            v2 = r1.astype(jnp.bfloat16)
-            v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
-            oh_hi = (hi_classes == hi[None, :]).astype(jnp.bfloat16)
-            oh_lo = (lo_classes == lo[None, :]).astype(jnp.bfloat16)
-            a_parts.append(jnp.concatenate(
-                [oh_hi * v1[None, :], oh_hi * v2[None, :],
-                 oh_hi * v3[None, :], oh_hi], axis=0))     # [4*HI, 128]
+            oh_hi = (hi_classes == hi[None, :]).astype(el)
+            oh_lo = (lo_classes == lo[None, :]).astype(el)
+            if mode == "int":
+                vraw = vals_ref[r, :]                     # int32 values
+                av = jnp.abs(vraw)
+                planes = []
+                for j in range(4):
+                    c = (av >> (8 * j)) & 255
+                    sc = jnp.where(vraw < 0, -c, c).astype(jnp.float32)
+                    planes.append(oh_hi * sc.astype(jnp.bfloat16)[None, :])
+                planes.append(oh_hi)
+                a_parts.append(jnp.concatenate(planes, axis=0))  # [5*HI, 128]
+            elif mode in ("id", "idpay"):
+                vraw = vals_ref[r, :]                     # int32 id+1
+                planes = []
+                for j in range(4):
+                    c = ((vraw >> (8 * j)) & 255).astype(jnp.float32)
+                    planes.append(oh_hi * c.astype(jnp.bfloat16)[None, :])
+                if mode == "idpay":                       # payload planes:
+                    pay = jax.lax.bitcast_convert_type(   # 3 exact bf16
+                        pay_ref[r, :], jnp.float32)       # terms
+                    p1 = pay.astype(jnp.bfloat16)
+                    q1 = pay - p1.astype(jnp.float32)
+                    p2 = q1.astype(jnp.bfloat16)
+                    p3 = (q1 - p2.astype(jnp.float32)).astype(jnp.bfloat16)
+                    planes += [oh_hi * p1[None, :], oh_hi * p2[None, :],
+                               oh_hi * p3[None, :]]
+                planes.append(oh_hi)
+                a_parts.append(jnp.concatenate(planes, axis=0))
+            else:
+                vrow = jax.lax.bitcast_convert_type(vals_ref[r, :],
+                                                    jnp.float32)
+                v1 = vrow.astype(jnp.bfloat16)
+                r1 = vrow - v1.astype(jnp.float32)
+                v2 = r1.astype(jnp.bfloat16)
+                v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
+                a_parts.append(jnp.concatenate(
+                    [oh_hi * v1[None, :], oh_hi * v2[None, :],
+                     oh_hi * v3[None, :], oh_hi], axis=0))     # [4*HI, 128]
             b_parts.append(oh_lo)                          # [lo, 128]
-        a = jnp.concatenate(a_parts, axis=1)               # [4*HI, RB*128]
+        a = jnp.concatenate(a_parts, axis=1)               # [P*HI, RB*128]
         b = jnp.concatenate(b_parts, axis=1)               # [lo, RB*128]
         return acc + jax.lax.dot_general(
             a, b, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     acc = jax.lax.fori_loop(0, agg_rows // RB, body,
-                            jnp.zeros((4 * HI, LANES), jnp.float32))
-    sums = acc[:HI] + acc[HI:2 * HI] + acc[2 * HI:3 * HI]
-    out_ref[0] += jnp.concatenate([sums, acc[3 * HI:]], axis=0)
+                            jnp.zeros((P * HI, LANES), jnp.float32))
+    if mode in ("id", "idpay"):
+        out_ref[0] += acc
+    else:
+        _dd_block_update(out_ref, acc, P * HI)
 
 
 @partial(jax.jit, static_argnames=("num_windows", "shift", "agg_rows",
-                                   "interpret"))
+                                   "interpret", "mode"))
 def bucket_aggregate(pkeys, pvals, step_tab, num_windows: int, shift: int,
-                     agg_rows: int, interpret: bool = False):
-    """sum/count per key over partitioned rows.
+                     agg_rows: int, interpret: bool = False,
+                     mode: str = "float"):
+    """sum/count per key over partitioned rows, with double-float
+    cross-step accumulators (bit-exact for int values, see _agg_kernel).
 
-    pkeys/pvals: [total_rows, 128] from radix_scatter (vals = f32 bits).
+    pkeys/pvals: [total_rows, 128] from radix_scatter (float mode: vals =
+    f32 bits; int mode: raw int32 values, |v| < 2^31; id mode: int32
+    build_row_id+1 values < 2^27; idpay mode: pvals is a (id+1, payload
+    f32 bits) pair of planes — the payload becomes a table plane so the
+    probe's lookup doubles as the build-side gather).
     step_tab: [S] int32 per-grid-step (first_flag << 16) | window_id.
-    Returns acc[G, 2*HI, 128]: acc[g, :HI] = sums, acc[g, HI:] = counts,
-    laid out so key = (g << shift) + hi * 128 + lo.
+    Returns acc[G, D, 128] laid out so key = (g << shift) + hi*128 + lo:
+    - float: P=4 planes (3 value terms + count), D = 2*P*HI (hi planes
+      then matching lo compensation planes);
+    - int:   P=5 planes (4 magnitude chunks + count), D = 2*P*HI;
+    - id:    P=5 planes (4 unsigned 8-bit chunks of id+1, count),
+      D = P*HI, no compensation (exact when cells are unique);
+    - idpay: P=8 planes (4 id chunks, 3 payload bf16-term planes, count),
+      D = P*HI, no compensation.
+    Use combine_acc() to recover (sums, counts) for float/int.
     """
+    vplanes = (pvals,) if not isinstance(pvals, (tuple, list)) \
+        else tuple(pvals)
     total_rows = pkeys.shape[0]
     S = total_rows // agg_rows
     B = num_windows
+    P = _MODE_PLANES[mode]
+    D = (P if mode in ("id", "idpay") else 2 * P) * HI
     blk = pl.BlockSpec((agg_rows, LANES), lambda i, *_: (i, 0),
                        memory_space=pltpu.VMEM)
 
     def out_map(i, step_tab_ref):
         return (step_tab_ref[i] & 0xFFFF, 0, 0)
 
-    ospec = pl.BlockSpec((1, 2 * HI, LANES), out_map, memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, D, LANES), out_map, memory_space=pltpu.VMEM)
     with jax.enable_x64(False):
         return pl.pallas_call(
-            partial(_agg_kernel, shift, agg_rows),
+            partial(_agg_kernel, shift, agg_rows, mode),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(S,),
-                in_specs=[blk, blk],
+                in_specs=[blk] * (1 + len(vplanes)),
                 out_specs=ospec,
             ),
-            out_shape=jax.ShapeDtypeStruct((B, 2 * HI, LANES), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, D, LANES), jnp.float32),
             interpret=interpret,
-        )(step_tab, pkeys, pvals)
+        )(step_tab, pkeys, *vplanes)
+
+
+def combine_acc(acc, int_mode: bool):
+    """(sums, counts) flat over G*SPAN keys from a bucket_aggregate acc.
+
+    int mode: sums int64 (exact chunk recombination), counts int64.
+    float mode: sums f64 = hi + lo of the three recombined value terms,
+    counts int64.
+    """
+    G = acc.shape[0]
+    P = 5 if int_mode else 4
+
+    def plane(j, half):
+        off = half * P * HI
+        return acc[:, off + j * HI:off + (j + 1) * HI, :].reshape(
+            G << WINDOW_BITS)
+
+    cnt = plane(P - 1, 0).astype(jnp.int64) + plane(P - 1, 1).astype(jnp.int64)
+    if int_mode:
+        sums = jnp.zeros((G << WINDOW_BITS,), jnp.int64)
+        for j in range(4):
+            tot = plane(j, 0).astype(jnp.int64) + plane(j, 1).astype(jnp.int64)
+            sums = sums + (tot << (8 * j))
+    else:
+        sums = jnp.zeros((G << WINDOW_BITS,), jnp.float64)
+        for j in range(3):
+            sums = sums + plane(j, 0).astype(jnp.float64) \
+                + plane(j, 1).astype(jnp.float64)
+    return sums, cnt
 
 
 # ----------------------------------------------------------------------
@@ -405,19 +527,32 @@ def step_table_device(bucket_base, total_rows: int, agg_rows: int):
 WINDOW_BITS = 13  # SPAN = 1 << WINDOW_BITS
 
 
+def _prep_plane(vals, pad):
+    vbits = jax.lax.bitcast_convert_type(vals.astype(jnp.float32), jnp.int32) \
+        if vals.dtype != jnp.int32 else vals
+    if pad:
+        vbits = jnp.concatenate([vbits, jnp.zeros((pad,), jnp.int32)])
+    return vbits
+
+
 def _prep_rows(keys, vals, tile_rows):
+    """Pad + reshape to [R, 128] planes; vals may be one array or a list
+    (multi-payload rows travel as parallel int32 planes)."""
+    single = not isinstance(vals, (tuple, list))
+    vlist = [vals] if single else list(vals)
     n = keys.shape[0]
     tile_elems = tile_rows * LANES
     nt = -(-n // tile_elems)
     pad = nt * tile_elems - n
     keys = keys.astype(jnp.int32)
-    vbits = jax.lax.bitcast_convert_type(vals.astype(jnp.float32), jnp.int32) \
-        if vals.dtype != jnp.int32 else vals
     if pad:
         keys = jnp.concatenate([keys, jnp.full((pad,), SENTINEL, jnp.int32)])
-        vbits = jnp.concatenate([vbits, jnp.zeros((pad,), jnp.int32)])
-    return (keys.reshape(nt * tile_rows, LANES),
-            vbits.reshape(nt * tile_rows, LANES), nt)
+    planes = [_prep_plane(v, pad).reshape(nt * tile_rows, LANES)
+              for v in vlist]
+    keys2 = keys.reshape(nt * tile_rows, LANES)
+    if single:
+        return keys2, planes[0], nt
+    return keys2, planes, nt
 
 
 def radix_partition(keys, vals, domain_bits: int, tile_rows: int = 512,
@@ -425,9 +560,11 @@ def radix_partition(keys, vals, domain_bits: int, tile_rows: int = 512,
                     interpret: bool = False):
     """Partition rows into SPAN-sized key windows: one pass for domains up
     to 20 bits, two for up to 27 (cub runs one pass per digit the same
-    way, sort_radix.cu).  Returns (pkeys[R,128], pvals[R,128],
-    window_base_rows[G+1], G) with G = ceil(domain / SPAN) windows; rows
-    between runs hold out-of-window keys (run-edge garbage or SENTINEL).
+    way, sort_radix.cu).  vals: one payload array or a list of payloads
+    that travel with the keys.  Returns (pkeys[R,128], pvals[R,128] (or
+    list), window_base_rows[G+1], G) with G = ceil(domain / SPAN)
+    windows; rows between runs hold out-of-window keys (run-edge garbage
+    or SENTINEL).
     """
     assert domain_bits <= 2 * 7 + WINDOW_BITS, domain_bits
     keys2, vbits2, nt = _prep_rows(keys, vals, tile_rows)
@@ -473,8 +610,12 @@ def radix_partition(keys, vals, domain_bits: int, tile_rows: int = 512,
 def radix_groupby_sum_count(keys, vals, num_keys: int,
                             tile_rows: int = 512,
                             chunk_rows: int = 4, agg_rows: int = 128,
-                            interpret: bool = False):
-    """sums[num_keys] f32, counts[num_keys] int32 for dense int32 keys.
+                            interpret: bool = False,
+                            int_mode: bool = False):
+    """sums[num_keys], counts[num_keys] int64 for dense int32 keys.
+
+    int_mode: vals int32 -> exact int64 sums (pandas-bit-exact);
+    float mode: vals f32 -> f64 sums from the double-float accumulators.
 
     keys in [0, num_keys), num_keys <= 2**27.  Domains within one window
     (8192) aggregate directly with no partition pass; one partition pass
@@ -483,13 +624,16 @@ def radix_groupby_sum_count(keys, vals, num_keys: int,
     """
     n = keys.shape[0]
     domain_bits = max(int(np.ceil(np.log2(max(num_keys, 2)))), 1)
+    if int_mode:
+        vals = vals.astype(jnp.int32)
     if domain_bits <= WINDOW_BITS:
         # single window: aggregate the raw stream (pad rows to the grid)
         keys2, vbits2, nt = _prep_rows(keys, vals, agg_rows)
         S = keys2.shape[0] // agg_rows
         step_tab = (jnp.arange(S, dtype=jnp.int32) == 0).astype(jnp.int32) << 16
         acc = bucket_aggregate(keys2, vbits2, step_tab, 1, WINDOW_BITS,
-                               agg_rows, interpret=interpret)
+                               agg_rows, interpret=interpret,
+                               mode="int" if int_mode else "float")
         G = 1
     else:
         pk, pv, base, G = radix_partition(keys, vals, domain_bits,
@@ -498,138 +642,205 @@ def radix_groupby_sum_count(keys, vals, num_keys: int,
         total_rows = int(base[-1])
         step_tab = step_table_device(base, total_rows, agg_rows)
         acc = bucket_aggregate(pk, pv, step_tab, G, WINDOW_BITS,
-                               agg_rows, interpret=interpret)
-    sums = acc[:, :HI, :].reshape(G << WINDOW_BITS)[:num_keys]
-    cnts = (acc[:, HI:, :].reshape(G << WINDOW_BITS)[:num_keys]
-            .astype(jnp.int32))
-    return sums, cnts
+                               agg_rows, interpret=interpret,
+                               mode="int" if int_mode else "float")
+    sums, cnts = combine_acc(acc, int_mode)
+    return sums[:num_keys], cnts[:num_keys]
 
 
 # ----------------------------------------------------------------------
 # Join probe: window tables + matmul lookup
 # ----------------------------------------------------------------------
 
-def _probe_kernel(shift, agg_rows,
+def _probe_kernel(shift, agg_rows, with_pay,
                   step_tab_ref,                            # scalar prefetch
-                  keys_ref, vals_ref, tab_ref,             # VMEM blocks
-                  oval_ref, ofnd_ref):
+                  keys_ref, tab_ref,                       # VMEM blocks
+                  *out_refs):
+    obid_ref = out_refs[0]
     bucket = step_tab_ref[pl.program_id(0)] & 0xFFFF
     base = bucket << shift
     hi_classes = jax.lax.broadcasted_iota(jnp.int32, (HI, LANES), 0)
-    lo_classes = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-    # the window table, split into exact bf16 terms once per step
-    t_val = tab_ref[0, :HI, :]
-    t_cnt = tab_ref[0, HI:, :]
-    tv1 = t_val.astype(jnp.bfloat16)
-    r1 = t_val - tv1.astype(jnp.float32)
-    tv2 = r1.astype(jnp.bfloat16)
-    tv3 = (r1 - tv2.astype(jnp.float32)).astype(jnp.bfloat16)
-    tc1 = t_cnt.astype(jnp.bfloat16)  # counts < 2^8 exact; larger only
-    # feed the >0 test so bf16 rounding is harmless
+    # Window tables hold (id+1) of the unique build row as four unsigned
+    # 8-bit chunk planes (values <= 255 are EXACT in bf16, so the one-hot
+    # matmul lookup is exact on the bf16 MXU); empty cells are 0, so
+    # occupancy is (sum of chunk lookups > 0) — no separate count plane.
+    # Optional payload planes carry a build payload as three exact bf16
+    # terms, making the lookup double as the build-side gather
+    # (gather-free retrieve of inner_join_retrieve.cu).
+    t_id = [tab_ref[0, j * HI:(j + 1) * HI, :].astype(jnp.bfloat16)
+            for j in range(4)]
+    t_pay = [tab_ref[0, (4 + j) * HI:(5 + j) * HI, :].astype(jnp.bfloat16)
+             for j in range(3)] if with_pay else None
 
-    def body(r, _):
-        local = keys_ref[r, :] - base
-        hi = local >> 7
-        lo = local & 127
-        in_win = (local >= 0) & (local < SPAN)
-        hi = jnp.where(in_win, hi, -1)
-        oh_hi = (hi_classes == hi[None, :]).astype(jnp.bfloat16)  # [HI, p]
-        oh_lo = (lo_classes == lo[None, :]).astype(jnp.bfloat16)  # [lo, p]
-        # u[lo, p] = sum_hi T[hi, lo] * oh_hi[hi, p]  (matmul lookup)
-        def tmm(t):
-            return jax.lax.dot_general(
-                t, oh_hi, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        u_val = tmm(tv1) + tmm(tv2) + tmm(tv3)
-        u_cnt = tmm(tc1)
-        val = jnp.sum(oh_lo.astype(jnp.float32) * u_val, axis=0)
-        cnt = jnp.sum(oh_lo.astype(jnp.float32) * u_cnt, axis=0)
-        found = (cnt > 0) & in_win
-        oval_ref[r, :] = jnp.where(found, val, 0.0)
-        ofnd_ref[r, :] = found.astype(jnp.int32)
+    # RB rows batch into ONE [HI, RB*128] one-hot operand per plane (the
+    # same K-dim batching as the aggregation kernel: per-row matmuls
+    # measured 2.5x slower), then a lane take_along_axis extracts the
+    # lo-indexed cell per element.
+    RB = 8
+
+    def body(i, _):
+        oh_parts, lo_parts, win_parts = [], [], []
+        for k in range(RB):
+            r = i * RB + k
+            local = keys_ref[r, :] - base                 # window-relative
+            hi = local >> 7
+            lo = local & 127
+            in_win = (local >= 0) & (local < SPAN)
+            hi = jnp.where(in_win, hi, -1)
+            oh_parts.append((hi_classes == hi[None, :]).astype(jnp.bfloat16))
+            lo_parts.append(lo)
+            win_parts.append(in_win)
+        oh = jnp.concatenate(oh_parts, axis=1)            # [HI, RB*128]
+        lo = jnp.concatenate(lo_parts).reshape(RB * LANES, 1)
+        in_win = jnp.concatenate(win_parts)
+
+        def lookup(t):                                    # [RB*128, 128]
+            u = jax.lax.dot_general(oh, t, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            return jnp.take_along_axis(u, lo, axis=-1)[:, 0]
+
+        c = [lookup(t) for t in t_id]
+        found = (c[0] + c[1] + c[2] + c[3] > 0) & in_win
+        bid = (c[0].astype(jnp.int32)
+               + (c[1].astype(jnp.int32) << 8)
+               + (c[2].astype(jnp.int32) << 16)
+               + (c[3].astype(jnp.int32) << 24)) - 1
+        out = jnp.where(found, bid, -1).reshape(RB, LANES)
+        obid_ref[pl.ds(i * RB, RB), :] = out
+        if with_pay:
+            pay = lookup(t_pay[0]) + lookup(t_pay[1]) + lookup(t_pay[2])
+            pay = jnp.where(found, pay, 0.0).reshape(RB, LANES)
+            out_refs[1][pl.ds(i * RB, RB), :] = pay
         return 0
 
-    jax.lax.fori_loop(0, agg_rows, body, 0)
+    jax.lax.fori_loop(0, agg_rows // RB, body, 0)
 
 
 @partial(jax.jit, static_argnames=("shift", "agg_rows", "interpret"))
-def window_probe(pkeys, pvals, tables, step_tab, shift: int, agg_rows: int,
+def window_probe(pkeys, tables, step_tab, shift: int, agg_rows: int,
                  interpret: bool = False):
-    """Probe partitioned rows against per-window build tables.
+    """Probe partitioned rows against per-window build-row-id tables.
 
-    pkeys/pvals: probe side from radix_partition; tables: [G, 2*HI, 128]
-    from bucket_aggregate over the build side (unique build keys: sums
-    ARE the payload, counts the membership).  Returns (matched_val f32,
-    found int32) aligned with the probe rows — the cuco probe of
-    hash_join.cu:123-125 as MXU lookups.
+    pkeys: probe keys from radix_partition; tables: [G, 4*HI, 128] f32 —
+    four 8-bit chunk planes of (build_row_id+1) — or [G, 7*HI, 128] with
+    three payload-term planes (see probe_tables).  Returns
+    bid int32 [total_rows, 128]: the matched build row id, or -1 (no
+    match / out-of-window garbage) — plus the matched payload f32 plane
+    when present — the cuco probe + gather-map retrieve of
+    hash_join.cu:123-125, inner_join_retrieve.cu as MXU lookups.
     """
     total_rows = pkeys.shape[0]
     S = total_rows // agg_rows
+    with_pay = tables.shape[1] == 7 * HI
     blk = pl.BlockSpec((agg_rows, LANES), lambda i, *_: (i, 0),
                        memory_space=pltpu.VMEM)
 
     def tab_map(i, step_tab_ref):
         return (step_tab_ref[i] & 0xFFFF, 0, 0)
 
-    tabspec = pl.BlockSpec((1, 2 * HI, LANES), tab_map,
+    tabspec = pl.BlockSpec((1, tables.shape[1], LANES), tab_map,
                            memory_space=pltpu.VMEM)
+    out_specs = [blk, blk] if with_pay else [blk]
+    out_shape = [jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32)]
+    if with_pay:
+        out_shape.append(jax.ShapeDtypeStruct((total_rows, LANES),
+                                              jnp.float32))
     with jax.enable_x64(False):
-        return pl.pallas_call(
-            partial(_probe_kernel, shift, agg_rows),
+        out = pl.pallas_call(
+            partial(_probe_kernel, shift, agg_rows, with_pay),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(S,),
-                in_specs=[blk, blk, tabspec],
-                out_specs=[blk, blk],
+                in_specs=[blk, tabspec],
+                out_specs=out_specs,
             ),
-            out_shape=[
-                jax.ShapeDtypeStruct((total_rows, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32),
-            ],
+            out_shape=out_shape,
             interpret=interpret,
-        )(step_tab, pkeys, pvals, tables)
+        )(step_tab, pkeys, tables)
+    return out[0] if not with_pay else tuple(out)
 
 
-def radix_join_inner_unique(lk, lv, rk, rv, key_domain: int,
+def probe_tables(acc):
+    """window_probe tables from an id/idpay-mode bucket_aggregate acc
+    over (build key, build_row_id + 1[, payload]), plus is_unique (python
+    bool — one host sync, the same build-side inspection hash_join.cu
+    makes).  The id (and payload) planes are the acc's leading planes
+    verbatim; they are only meaningful when the build side is unique
+    (counts all <= 1)."""
+    npl = acc.shape[1] // HI - 1          # 2 (id) or 3 (idpay)
+    unique = bool(int(jnp.max(acc[:, npl * HI:(npl + 1) * HI, :])) <= 1)
+    return acc[:, :npl * HI, :], unique
+
+
+def build_join_tables(rk, key_domain: int, rv=None, tile_rows: int = 512,
+                      chunk_rows: int = 4, agg_rows: int = 128,
+                      interpret: bool = False):
+    """Build per-window probe tables from the build side: partition (for
+    multi-window domains), aggregate (build_row_id+1[, payload]) into
+    dense window tables, and report uniqueness.  The build-once half of
+    the reusable hash_join object (cpp/include/cudf/join/hash_join.hpp:70).
+    Returns (tables, unique, G)."""
+    rid1 = jnp.arange(1, rk.shape[0] + 1, dtype=jnp.int32)
+    vals = rid1 if rv is None else [rid1, rv]
+    mode = "id" if rv is None else "idpay"
+    domain_bits = max(int(np.ceil(np.log2(max(key_domain, 2)))), 1)
+    if domain_bits <= WINDOW_BITS:
+        rk2, rv2, _ = _prep_rows(rk, vals, agg_rows)
+        S_r = rk2.shape[0] // agg_rows
+        step_r = (jnp.arange(S_r, dtype=jnp.int32) == 0).astype(jnp.int32) << 16
+        acc = bucket_aggregate(rk2, rv2, step_r, 1, WINDOW_BITS,
+                               agg_rows, interpret=interpret, mode=mode)
+        tables, unique = probe_tables(acc)
+        return tables, unique, 1
+    pkr, pvr, base_r, G = radix_partition(rk, vals, domain_bits, tile_rows,
+                                          chunk_rows, agg_rows,
+                                          interpret=interpret)
+    rows_r = int(base_r[-1])
+    step_r = step_table_device(base_r, rows_r, agg_rows)
+    acc = bucket_aggregate(pkr, pvr, step_r, G, WINDOW_BITS, agg_rows,
+                           interpret=interpret, mode=mode)
+    tables, unique = probe_tables(acc)
+    return tables, unique, G
+
+
+def radix_join_inner_unique(lk, lv, rk, key_domain: int, rv=None,
                             tile_rows: int = 512, chunk_rows: int = 4,
                             agg_rows: int = 128, interpret: bool = False):
     """Inner join with a unique-key build side (db-benchmark J1 shape).
 
     Partitions both sides into SPAN windows, builds per-window dense
-    tables from the build side (one outer-product aggregation), then
-    probes with MXU matmul lookups.  Returns (probe_keys, probe_vals,
-    matched_build_vals, found) in partitioned row order ([R, 128] planes;
-    out-of-window rows have found = 0).
+    row-id tables from the build side (one outer-product aggregation),
+    then probes with MXU matmul lookups.  lv is the probe payload plane
+    (typically the probe row ids, for gather-map joins); rv, if given, is
+    a build payload retrieved THROUGH the tables (gather-free).  Returns
+    (probe_keys, probe_vals, build_row_ids[, matched_payload], unique) in
+    partitioned row order ([R, 128] planes; build_row_ids == -1 marks
+    no-match rows and out-of-window garbage).  If the build side turns
+    out non-unique (unique=False) the ids are meaningless and the caller
+    must fall back (the reference handles multiplicity in its multiset
+    probe, inner_join_retrieve.cu; here general multiplicity takes the
+    sort-merge tier).
     """
+    tables, unique, G = build_join_tables(
+        rk, key_domain, rv=rv, tile_rows=tile_rows, chunk_rows=chunk_rows,
+        agg_rows=agg_rows, interpret=interpret)
     domain_bits = max(int(np.ceil(np.log2(max(key_domain, 2)))), 1)
     if domain_bits <= WINDOW_BITS:
-        # single window (db-benchmark small/medium dim tables): neither
-        # side needs a partition pass — build one dense table, stream the
-        # probe rows straight through the MXU lookup
-        rk2, rv2, _ = _prep_rows(rk, rv, agg_rows)
-        S_r = rk2.shape[0] // agg_rows
-        step_r = (jnp.arange(S_r, dtype=jnp.int32) == 0).astype(jnp.int32) << 16
-        tables = bucket_aggregate(rk2, rv2, step_r, 1, WINDOW_BITS,
-                                  agg_rows, interpret=interpret)
         lk2, lv2, _ = _prep_rows(lk, lv, agg_rows)
         S_l = lk2.shape[0] // agg_rows
         step_l = jnp.zeros((S_l,), jnp.int32)
-        mval, found = window_probe(lk2, lv2, tables, step_l, WINDOW_BITS,
-                                   agg_rows, interpret=interpret)
-        return lk2, lv2, mval, found
-    pkr, pvr, base_r, G = radix_partition(rk, rv, domain_bits, tile_rows,
-                                          chunk_rows, agg_rows,
-                                          interpret=interpret)
-    rows_r = int(base_r[-1])
-    step_r = step_table_device(base_r, rows_r, agg_rows)
-    tables = bucket_aggregate(pkr, pvr, step_r, G, WINDOW_BITS, agg_rows,
-                              interpret=interpret)
-    pkl, pvl, base_l, G2 = radix_partition(lk, lv, domain_bits, tile_rows,
-                                           chunk_rows, agg_rows,
-                                           interpret=interpret)
-    assert G2 == G
-    rows_l = int(base_l[-1])
-    step_l = step_table_device(base_l, rows_l, agg_rows)
-    mval, found = window_probe(pkl, pvl, tables, step_l, WINDOW_BITS,
-                               agg_rows, interpret=interpret)
-    return pkl, pvl, mval, found
+        probed = window_probe(lk2, tables, step_l, WINDOW_BITS,
+                              agg_rows, interpret=interpret)
+    else:
+        lk2, lv2, base_l, G2 = radix_partition(lk, lv, domain_bits,
+                                               tile_rows, chunk_rows,
+                                               agg_rows, interpret=interpret)
+        assert G2 == G
+        rows_l = int(base_l[-1])
+        step_l = step_table_device(base_l, rows_l, agg_rows)
+        probed = window_probe(lk2, tables, step_l, WINDOW_BITS,
+                              agg_rows, interpret=interpret)
+    if rv is None:
+        return lk2, lv2, probed, unique
+    bid, pay = probed
+    return lk2, lv2, bid, pay, unique

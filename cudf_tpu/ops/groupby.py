@@ -859,12 +859,21 @@ _AGG_DISPATCH = {
 
 def _try_onehot_fast_path(keys: Table, values, dropna: bool):
     """Single-pass MXU path for low-cardinality int/dictionary keys
-    (the hash-groupby arm of the dispatcher, groupby.cu:54-69).
+    (the hash-groupby arm of the dispatcher, groupby.cu:54-69), and the
+    radix-partition tier for large key domains.
 
-    Gated by option groupby.onehot_fast_path (default off at the frame
-    layer: the kernel accumulates in float32, which is not bit-identical
-    to pandas float64 sums).  Supports sum/count/mean/min/max/size on
-    numeric values, single key column, TPU backend only.
+    Default-ON (option groupby.onehot_fast_path) above
+    groupby.fast_path_min_rows rows.  Exactness contract:
+    - integer/bool values: BIT-EXACT int64 sums / counts / means vs
+      pandas (signed 8-bit chunk decomposition + double-float f32
+      accumulators, kernels/hash_aggregate.py docstring); min/max
+      guarded to |v| < 2^24 where f32 is exact.
+    - float values: double-float accumulators remove cross-tile
+      rounding; residual in-step f32 error ~1e-9 relative (measured),
+      documented deviation from pandas' f64 pairwise sums.
+    Supports sum/count/mean/min/max/size on numeric values, single key
+    column; TPU backend (or interpret mode via groupby.kernel_interpret
+    for CPU testing).
     """
     import jax
 
@@ -872,11 +881,12 @@ def _try_onehot_fast_path(keys: Table, values, dropna: bool):
 
     if not get_option("groupby.onehot_fast_path"):
         return None
-    if jax.default_backend() == "cpu":
+    interpret = bool(get_option("groupby.kernel_interpret"))
+    if jax.default_backend() == "cpu" and not interpret:
         return None
-    if keys.num_columns != 1:
+    key = keys.column(0) if keys.num_columns == 1 else None
+    if key is None or key.length < int(get_option("groupby.fast_path_min_rows")):
         return None
-    key = keys.column(0)
     if key.dtype.is_dictionary:
         codes = key.data.astype(jnp.int32)
         K = key.children[0].length
@@ -903,39 +913,90 @@ def _try_onehot_fast_path(keys: Table, values, dropna: bool):
     if any(a not in supported or not (c.dtype.is_numeric or c.dtype.is_bool)
            for _, c, a in values):
         return None
+
+    # per-column mode + exactness guards (one min/max reduce per column
+    # that needs a range check — the same inspection the reference's
+    # dispatcher makes of its aggregation request list)
+    def column_plan(col, agg):
+        if col.dtype.is_bool:
+            return "int", col.data.astype(jnp.int32)
+        if col.dtype.is_integer:
+            # int32 and narrower signed ints always fit the chunk scheme;
+            # min/max additionally need |v| < 2^24 (f32-exact extrema)
+            need = (1 << 24) if agg in ("min", "max") else (1 << 31)
+            wide = col.dtype.itemsize > 4 or (
+                col.dtype.itemsize == 4 and not col.dtype.is_signed_integer)
+            if (wide or agg in ("min", "max")) and col.length:
+                m = int(jnp.max(jnp.abs(col.data.astype(jnp.int64))))
+                if m >= need:
+                    return None, None
+            return "int", col.data.astype(jnp.int32)
+        if col.dtype == dt.FLOAT64 and agg in ("min", "max"):
+            return None, None        # f32 kernel would round f64 extrema
+        return "float", col.data.astype(jnp.float32)
+
+    plans = []
+    for name, col, agg in values:
+        mode, data = column_plan(col, agg)
+        if mode is None:
+            return None
+        plans.append((name, col, agg, mode, data))
+
     from cudf_tpu.kernels.hash_aggregate import onehot_groupby_aggregate
     from cudf_tpu.kernels.radix_partition import (SENTINEL,
                                                   radix_groupby_sum_count)
 
     valid = key.validity if dropna else None
-    results: Dict[str, Column] = {}
-    occupied = None
-    for name, col, agg in values:
-        v = col.validity
-        both = valid if v is None else (v if valid is None else (v & valid))
+
+    def run(mode, data, both, with_minmax):
         if radix_tier:
             k_in = codes if both is None else jnp.where(
                 both, codes, jnp.int32(SENTINEL))
-            s = c = mn = mx = None
-            s, c = radix_groupby_sum_count(
-                k_in, col.data.astype(jnp.float32), K)
+            s, c = radix_groupby_sum_count(k_in, data, K,
+                                           int_mode=(mode == "int"),
+                                           interpret=interpret)
+            return s, c, None, None
+        return onehot_groupby_aggregate(codes, data, K, valid=both,
+                                        with_minmax=with_minmax,
+                                        int_mode=(mode == "int"),
+                                        interpret=interpret)
+
+    results: Dict[str, Column] = {}
+    occupied = None
+    need_presence = False
+    for name, col, agg, mode, data in plans:
+        v = col.validity
+        if agg == "size":
+            both = valid            # size counts rows, not valid values
         else:
-            s, c, mn, mx = onehot_groupby_aggregate(
-                codes, col.data.astype(jnp.float32), K, valid=both,
-                with_minmax=(agg in ("min", "max")),
-            )
+            both = valid if v is None else (v if valid is None else (v & valid))
+        if v is not None and agg != "size":
+            need_presence = True
+        s, c, mn, mx = run(mode, data, both, agg in ("min", "max"))
         occupied = c if occupied is None else jnp.maximum(occupied, c)
         if agg == "sum":
-            results[name] = Column(dt.FLOAT64, K, data=s.astype(jnp.float64))
+            if mode == "int":
+                results[name] = Column(dt.INT64, K, data=s.astype(jnp.int64))
+            else:
+                results[name] = Column(dt.FLOAT64, K,
+                                       data=s.astype(jnp.float64))
         elif agg in ("count", "size"):
             results[name] = Column(dt.INT64, K, data=c.astype(jnp.int64))
         elif agg == "mean":
             results[name] = Column(dt.FLOAT64, K,
-                                   data=s.astype(jnp.float64) / jnp.maximum(c, 1))
-        elif agg == "min":
-            results[name] = Column(dt.FLOAT64, K, data=mn.astype(jnp.float64))
+                                   data=s.astype(jnp.float64)
+                                   / jnp.maximum(c, 1).astype(jnp.float64))
         else:
-            results[name] = Column(dt.FLOAT64, K, data=mx.astype(jnp.float64))
+            out_dt = col.dtype if (mode == "int"
+                                   or col.dtype == dt.FLOAT32) else dt.FLOAT64
+            val = (mn if agg == "min" else mx).astype(out_dt.storage)
+            results[name] = Column(out_dt, K, data=val)
+    if need_presence:
+        # group presence must ignore value nulls (a key whose values are
+        # all null still forms a group in pandas)
+        ones = jnp.ones((key.length,), jnp.int32)
+        _, c, _, _ = run("int", ones, valid, False)
+        occupied = c
     # compact to observed groups
     present = filter_indices(occupied > 0)
     out_aggs = Table({n: copying.gather(c, present, bounds_check=False)

@@ -96,15 +96,40 @@ _register("io.json.device_tokenizer", True,
 _register("io.csv.device_tokenizer", True,
           "parse CSV with the device quote-state tokenizer "
           "(io/csv_device.py); pyarrow tier on unsupported shapes")
+_register("io.parquet.native_writer", True,
+          "write flat-schema parquet with the self-contained writer "
+          "(dictionary pages, snappy/gzip/zstd, v1/v2 data pages); "
+          "pyarrow tier for nested/indexed frames")
 _register("io.parquet.native_reader", False,
           "use the self-contained thrift+decode reader (parquet_native) "
           "with row-group stats pushdown instead of the pyarrow tier")
+_register("executor.spmd_lowering", True,
+          "compile LazyFrame plans over a Mesh into one jitted shard_map "
+          "program (engine/spmd.py); falls back to the partition-list "
+          "executor on unsupported plan shapes")
 _register("executor.target_partition_size", 1 << 28, "bytes per partition in distributed exec")
 _register("executor.broadcast_limit", 1 << 25, "max bytes for broadcast-join small side")
 _register("strings.host_fallback", True, "allow host fallback for regex/non-ASCII string ops")
+_register("join.radix_fast_path", True,
+          "radix-partition + MXU window-probe tier for single-int-key "
+          "inner joins with a unique build side (exact semantics, "
+          "left-row order)")
+_register("join.fast_path_min_rows", 1 << 16,
+          "minimum probe rows before joins dispatch to the kernel tier")
+_register("join.kernel_interpret", False,
+          "run the join kernel tier in Pallas interpret mode on CPU "
+          "(testing only)")
 _register("join.dense_fast_path", True,
           "direct-address inner join when the single-int build side is "
           "unique over a dense domain (exact semantics, left-row order)")
-_register("groupby.onehot_fast_path", False,
-          "use the Pallas one-hot MXU kernel for low-cardinality groupby "
-          "(float32 accumulation: fast, not bit-identical to pandas f64 sums)")
+_register("groupby.onehot_fast_path", True,
+          "dispatch groupby aggs to the Pallas MXU kernel tiers "
+          "(bit-exact for int values via chunked double-float "
+          "accumulation; ~1e-9 relative for floats)")
+_register("groupby.fast_path_min_rows", 1 << 16,
+          "minimum rows before groupby dispatches to the kernel tier "
+          "(small frames stay on the lax.sort tier, which is cheaper "
+          "to launch and exactly matches pandas for floats too)")
+_register("groupby.kernel_interpret", False,
+          "run the groupby kernel tier in Pallas interpret mode on CPU "
+          "(testing only)")

@@ -70,8 +70,8 @@ def test_partition_layout_invariants(rng):
     assert total % 8 == 0
 
 
-@pytest.mark.parametrize("n,K", [(50_000, 1000), (150_000, 60_000),
-                                 (60_000, 7), (64_000, 1_000_000)])
+@pytest.mark.parametrize("n,K", [(50_000, 1000), (40_000, 30_000),
+                                 (60_000, 7), (24_000, 1_000_000)])
 def test_radix_groupby_sum_count(rng, n, K):
     keys = rng.integers(0, K, n).astype(np.int32)
     vals = rng.normal(size=n).astype(np.float32)
@@ -86,7 +86,7 @@ def test_radix_groupby_sum_count(rng, n, K):
 
 def test_radix_groupby_skew(rng):
     # adversarial skew: 90% of rows in one key — exact counts, no drops
-    n, K = 80_000, 50_000
+    n, K = 40_000, 25_000
     keys = np.where(rng.random(n) < 0.9, 17, rng.integers(0, K, n)).astype(np.int32)
     vals = np.ones(n, np.float32)
     s, c = radix_groupby_sum_count(jnp.asarray(keys), jnp.asarray(vals), K,
@@ -98,8 +98,8 @@ def test_radix_groupby_skew(rng):
 
 
 def test_radix_groupby_two_pass(rng):
-    # 22-bit key domain: exercises the second partition pass
-    n, K = 120_000, 3_000_000
+    # >20-bit key domain: exercises the second partition pass
+    n, K = 20_000, 1_200_000
     keys = rng.integers(0, K, n).astype(np.int32)
     vals = rng.normal(size=n).astype(np.float32)
     s, c = radix_groupby_sum_count(jnp.asarray(keys), jnp.asarray(vals), K,
@@ -110,44 +110,88 @@ def test_radix_groupby_two_pass(rng):
     np.testing.assert_allclose(np.asarray(s), exp_s, rtol=1e-4, atol=1e-3)
 
 
-def test_radix_join_inner_unique(rng):
+def test_radix_groupby_int_exact(rng):
+    """int mode: bit-exact int64 sums vs numpy/pandas (BASELINE.md)."""
+    n, K = 40_000, 30_000
+    keys = rng.integers(0, K, n).astype(np.int32)
+    vals = rng.integers(-2**30, 2**30, n).astype(np.int32)
+    s, c = radix_groupby_sum_count(jnp.asarray(keys), jnp.asarray(vals), K,
+                                   tile_rows=32, chunk_rows=2, agg_rows=8,
+                                   interpret=True, int_mode=True)
+    assert (np.asarray(c) == np.bincount(keys, minlength=K)).all()
+    exp = np.zeros(K, np.int64)
+    np.add.at(exp, keys, vals.astype(np.int64))
+    assert (np.asarray(s) == exp).all()
+
+
+def _check_join(rng, lk, lv, rk, rv, dom, **kw):
     from cudf_tpu.kernels.radix_partition import radix_join_inner_unique
 
-    nl, nr, dom = 40_000, 30_000, 60_000
-    rk = rng.permutation(dom)[:nr].astype(np.int32)
-    rv = rng.normal(size=nr).astype(np.float32)
-    lk = rng.integers(0, dom, nl).astype(np.int32)
-    lv = rng.normal(size=nl).astype(np.float32)
-    pkl, _, mval, found = radix_join_inner_unique(
-        jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk), jnp.asarray(rv),
-        dom, tile_rows=32, chunk_rows=2, agg_rows=8, interpret=True)
+    pkl, pvl, bid, unique = radix_join_inner_unique(
+        jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk), dom,
+        interpret=True, **kw)
+    assert unique
     pkl = np.asarray(pkl).ravel()
-    mval = np.asarray(mval).ravel()
-    found = np.asarray(found).ravel() == 1
+    pvl = np.asarray(pvl).ravel()
+    bid = np.asarray(bid).ravel()
+    found = bid >= 0
     rmap = dict(zip(rk.tolist(), rv.tolist()))
-    # every found row is a correct match
-    for k, v in zip(pkl[found], mval[found]):
-        assert int(k) in rmap and abs(rmap[int(k)] - v) < 1e-5
+    # every found row points at the build row with the matching key
+    assert (rk[bid[found]] == pkl[found]).all()
+    # the probe payload rides along correctly (row ids)
+    assert (lk[pvl[found]] == pkl[found]).all()
     # and the number of matches equals the expected inner-join size
     assert found.sum() == sum(1 for k in lk.tolist() if k in rmap)
 
 
+def test_radix_join_inner_unique(rng):
+    nl, nr, dom = 24_000, 18_000, 36_000
+    rk = rng.permutation(dom)[:nr].astype(np.int32)
+    rv = rng.normal(size=nr).astype(np.float32)
+    lk = rng.integers(0, dom, nl).astype(np.int32)
+    lv = np.arange(nl, dtype=np.int32)    # probe row ids as payload
+    _check_join(rng, lk, lv, rk, rv, dom,
+                tile_rows=32, chunk_rows=2, agg_rows=8)
+
+
 def test_radix_join_single_window(rng):
     """Small-dim fast path: domain <= one window, no partition pass."""
-    from cudf_tpu.kernels.radix_partition import radix_join_inner_unique
-
     dom, nl = 100, 5000
     rk = rng.permutation(dom).astype(np.int32)[:80]
     rv = rng.normal(size=80).astype(np.float32)
     lk = rng.integers(0, dom, nl).astype(np.int32)
-    lv = rng.normal(size=nl).astype(np.float32)
-    pkl, _, mval, found = radix_join_inner_unique(
-        jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk), jnp.asarray(rv),
-        dom, agg_rows=8, interpret=True)
-    pkl = np.asarray(pkl).ravel()
-    found = np.asarray(found).ravel() == 1
-    mval = np.asarray(mval).ravel()
-    rmap = dict(zip(rk.tolist(), rv.tolist()))
-    for k, v in zip(pkl[found], mval[found]):
-        assert int(k) in rmap and abs(rmap[int(k)] - v) < 1e-5
-    assert found.sum() == sum(1 for k in lk.tolist() if k in rmap)
+    lv = np.arange(nl, dtype=np.int32)
+    _check_join(rng, lk, lv, rk, rv, dom, agg_rows=8)
+
+
+def test_radix_join_payload_through_table(rng):
+    """idpay mode: build payload retrieved by the probe lookup itself."""
+    from cudf_tpu.kernels.radix_partition import radix_join_inner_unique
+
+    nl, nr, dom = 20_000, 10_000, 40_000
+    rk = rng.permutation(dom)[:nr].astype(np.int32)
+    rv = rng.normal(size=nr).astype(np.float32)
+    lk = rng.integers(0, dom, nl).astype(np.int32)
+    lv = np.arange(nl, dtype=np.int32)
+    pkl, pvl, bid, pay, unique = radix_join_inner_unique(
+        jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk), dom,
+        rv=jnp.asarray(rv), tile_rows=32, chunk_rows=2, agg_rows=8,
+        interpret=True)
+    assert unique
+    bid = np.asarray(bid).ravel()
+    pay = np.asarray(pay).ravel()
+    found = bid >= 0
+    np.testing.assert_array_equal(pay[found], rv[bid[found]])
+
+
+def test_radix_join_nonunique_detected(rng):
+    """A duplicated build key must be reported (caller falls back)."""
+    from cudf_tpu.kernels.radix_partition import radix_join_inner_unique
+
+    rk = np.array([3, 9, 3, 40], np.int32)
+    lk = rng.integers(0, 50, 4000).astype(np.int32)
+    lv = np.arange(4000, dtype=np.int32)
+    _, _, _, unique = radix_join_inner_unique(
+        jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk), 50,
+        agg_rows=8, interpret=True)
+    assert not unique
