@@ -119,9 +119,13 @@ def bench_join(n, build_rows, iters=3):
     lv = jax.random.normal(k4, (n,), jnp.float32)
 
     def run(i):
-        pkl, pvl, mval, found = radix_join_inner_unique(
-            lk ^ (i & 1), lv, rk ^ (i & 1), rv, build_rows)
-        return float(jnp.sum(mval)) + int(jnp.sum(found))
+        # gather-map + payload-through-table output: pvl = probe row ids,
+        # bid = build row ids, mval = build payload retrieved by the probe
+        pkl, pvl, bid, mval, unique = radix_join_inner_unique(
+            lk ^ (i & 1), jnp.arange(n, dtype=jnp.int32),
+            rk ^ (i & 1), build_rows, rv=rv)
+        assert unique
+        return float(jnp.sum(mval)) + int(jnp.sum(bid >= 0))
 
     run(0)
     t0 = time.perf_counter()

@@ -41,18 +41,19 @@ def g1_groupby(keys: jnp.ndarray, vals: jnp.ndarray, num_groups: int,
     return s, c.astype(jnp.int64)
 
 
-def j1_join(probe_keys: jnp.ndarray, probe_vals: jnp.ndarray,
-            build_keys: jnp.ndarray, build_vals: jnp.ndarray,
+def j1_join(probe_keys: jnp.ndarray, probe_row_ids: jnp.ndarray,
+            build_keys: jnp.ndarray,
             key_domain: int) -> Tuple[jnp.ndarray, ...]:
     """db-benchmark J1 inner join (unique build keys) forward step.
 
-    Returns (probe_keys, probe_vals, matched_build_vals, found) in
-    partitioned row planes (kernels/radix_partition.py docstring).
+    Returns (probe_keys, probe_row_ids, build_row_ids, unique) in
+    partitioned row planes — gather maps, the output shape of
+    inner_join_retrieve.cu (see kernels/radix_partition.py docstring).
     """
     from cudf_tpu.kernels.radix_partition import radix_join_inner_unique
 
-    return radix_join_inner_unique(probe_keys, probe_vals, build_keys,
-                                   build_vals, key_domain)
+    return radix_join_inner_unique(probe_keys, probe_row_ids, build_keys,
+                                   key_domain)
 
 
 def tpch_queries():

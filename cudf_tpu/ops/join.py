@@ -235,6 +235,70 @@ def _try_dense_inner(lc: Column, rc: Column) -> Optional[Tuple[jnp.ndarray, jnp.
     return li, jnp.take(r_idx, li).astype(jnp.int64)
 
 
+def _try_radix_inner(lc: Column, rc: Column, preserve_order: bool = True
+                     ) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Radix-partition + MXU window-probe inner join for a single integer
+    key with a unique build side (kernels/radix_partition.py) — the
+    default fast tier at scale, mirroring the unconditional hash-join
+    dispatch of cpp/src/join/hash_join/hash_join.cu:123-125.
+
+    Emits (left, right) gather maps; with preserve_order the pairs come
+    back in left-row order (pandas merge semantics), at the cost of one
+    pair sort.  Returns None when the shape doesn't qualify (caller falls
+    through to the dense / sort-merge tiers).
+    """
+    import jax
+
+    from cudf_tpu.utils.config import get_option
+
+    if not get_option("join.radix_fast_path"):
+        return None
+    interpret = bool(get_option("join.kernel_interpret"))
+    if jax.default_backend() == "cpu" and not interpret:
+        return None
+    if not (lc.dtype.is_integer and rc.dtype.is_integer):
+        return None
+    nl, nr = lc.length, rc.length
+    if nl < int(get_option("join.fast_path_min_rows")) or nr < 2:
+        return None
+    rdata = rc.data.astype(jnp.int64)
+    if rc.validity is not None:
+        anyv = rdata[jnp.argmax(rc.validity)]
+        rdata_stat = jnp.where(rc.validity, rdata, anyv)
+        n_rvalid = int(jnp.sum(rc.validity))
+    else:
+        rdata_stat = rdata
+        n_rvalid = nr
+    rmin = int(jnp.min(rdata_stat))
+    rmax = int(jnp.max(rdata_stat))
+    domain = rmax - rmin + 1
+    if domain > (1 << 27) or domain < n_rvalid:   # pigeonhole: dupes certain
+        return None
+    from cudf_tpu.kernels.radix_partition import radix_join_inner_unique
+
+    rcodes = (rdata - rmin).astype(jnp.int32)
+    if rc.validity is not None:
+        rcodes = jnp.where(rc.validity, rcodes, -1)
+    lcodes = (lc.data.astype(jnp.int64) - rmin).astype(jnp.int32)
+    ldata64 = lc.data.astype(jnp.int64)
+    out_of_range = (ldata64 < rmin) | (ldata64 > rmax)
+    lcodes = jnp.where(out_of_range, -1, lcodes)
+    if lc.validity is not None:
+        lcodes = jnp.where(lc.validity, lcodes, -1)
+    _, pvl, bid, unique = radix_join_inner_unique(
+        lcodes, jnp.arange(nl, dtype=jnp.int32), rcodes, domain,
+        interpret=interpret)
+    if not unique:
+        return None
+    found = (bid >= 0).reshape(-1)
+    keep = filter_indices(found)
+    li = jnp.take(pvl.reshape(-1), keep).astype(jnp.int64)
+    ri = jnp.take(bid.reshape(-1), keep).astype(jnp.int64)
+    if preserve_order:
+        li, ri = jax.lax.sort([li, ri], num_keys=1, is_stable=True)
+    return li, ri
+
+
 def _join(left_keys, right_keys, how: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
     left_keys, right_keys = list(left_keys), list(right_keys)
     nl, nr = left_keys[0].length, right_keys[0].length
@@ -242,7 +306,9 @@ def _join(left_keys, right_keys, how: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if how == "inner" and (nl == 0 or nr == 0):
         return z, z
     if how == "inner" and len(left_keys) == 1 and len(right_keys) == 1:
-        fast = _try_dense_inner(left_keys[0], right_keys[0])
+        fast = _try_radix_inner(left_keys[0], right_keys[0])
+        if fast is None:
+            fast = _try_dense_inner(left_keys[0], right_keys[0])
         if fast is not None:
             return fast
     if how == "left" and nl == 0:
