@@ -1,0 +1,530 @@
+"""SPMD lowering: compile a LazyFrame IR plan into ONE jitted shard_map
+program over a jax Mesh whose collectives ride the mesh axis.
+
+TPU-native equivalent of cudf-polars' distributed lowering + SPMD engine
+(reference: python/cudf_polars/cudf_polars/streaming/parallel.py
+lower_ir_graph:128-190, engine/spmd.py:255-826).  Where the reference
+rewrites each IR node into a rapidsmpf actor sub-network, here each node
+lowers to a shard-local closure composed of jnp ops and the composable
+shard bodies from parallel/dist.py (shuffle_by_keys, dist_groupby_agg_
+shard, _dist_join_shard, _dist_sort_shard); the whole plan traces into a
+single XLA program under shard_map, so the only host round trip is the
+final collect.
+
+Coverage is intentionally partial: numeric/dictionary columns, pointwise
+Select/HStack/Filter/Projection, GroupBy over decomposable aggs
+(sum/count/size/mean/min/max/var/std), inner/semi/anti shuffle joins,
+single-key Sort, Distinct over int columns, Union, Reduce, and a
+top-level Slice.  Anything else raises Unlowerable and the caller
+(evaluate_streaming) falls back to the partition-list executor — the
+same fallback discipline as the reference's translate-time
+unsupported-node accounting (dsl/translate.py:146).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from cudf_tpu.core import dtypes as dt
+from cudf_tpu.core.column import Column
+from cudf_tpu.core.table import Table
+from cudf_tpu.engine import ir as IRs
+from cudf_tpu.engine.expr import Agg, Over
+
+
+class Unlowerable(Exception):
+    """Plan shape not supported by the SPMD compiler (fallback signal)."""
+
+
+_POINTWISE = (IRs.Select, IRs.HStack, IRs.Filter, IRs.Projection)
+_MERGE_OP = {"sum": "sum", "count": "sum", "size": "sum",
+             "min": "min", "max": "max"}
+
+
+class _Stream:
+    """Shard-local value flowing between lowered nodes inside the traced
+    program: named arrays + a row-validity mask (padded static shapes)."""
+
+    def __init__(self, cols: Dict[str, "jnp.ndarray"], valid):
+        self.cols = cols
+        self.valid = valid
+
+    def table(self, dtypes: Dict[str, dt.DType]) -> Table:
+        n = next(iter(self.cols.values())).shape[0]
+        return Table({name: Column(dtypes[name], n, data=arr)
+                      for name, arr in self.cols.items()})
+
+
+class _Lowering:
+    """Host-side compile pass: walks the IR once, evaluates sources,
+    registers their sharded arrays, and builds the composed shard-local
+    program (a closure tree over _Stream)."""
+
+    def __init__(self, mesh, axis: str = "x"):
+        import jax
+
+        self.mesh = mesh
+        self.axis = axis
+        self.num_parts = int(mesh.shape[axis])
+        self.sources: List = []      # flat list of sharded source arrays
+        self.dicts: Dict[str, Column] = {}   # output name -> dictionary
+
+    # -- source registration (host side) ------------------------------
+    def _register_source(self, table: Table) -> Tuple[callable, Dict[str, dt.DType]]:
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = table.num_rows
+        per = -(-max(n, 1) // self.num_parts)
+        total = per * self.num_parts
+        sharding = NamedSharding(self.mesh, P(self.axis))
+        idxs: Dict[str, int] = {}
+        dtypes: Dict[str, dt.DType] = {}
+        for name in table.names:
+            col = table[name]
+            if col.validity is not None:
+                raise Unlowerable(f"source column {name!r} has nulls")
+            if col.dtype.is_string:
+                from cudf_tpu.ops.dictionary import encode as dict_encode
+
+                col = dict_encode(col)
+            if col.dtype.is_dictionary:
+                self.dicts[name] = col.children[0]
+            elif not (col.dtype.is_numeric or col.dtype.is_bool
+                      or col.dtype.is_temporal):
+                raise Unlowerable(f"source column {name!r}: {col.dtype}")
+            data = col.data
+            if total - n:
+                data = jnp.concatenate(
+                    [data, jnp.zeros((total - n,), data.dtype)])
+            idxs[name] = len(self.sources)
+            self.sources.append(jax.device_put(data, sharding))
+            dtypes[name] = col.dtype
+        vidx = len(self.sources)
+        self.sources.append(jax.device_put(
+            jnp.arange(total, dtype=jnp.int64) < n, sharding))
+
+        def fn(srcs):
+            return _Stream({name: srcs[i] for name, i in idxs.items()},
+                           srcs[vidx])
+
+        return fn, dtypes
+
+    # -- expression helpers (run inside the trace) ---------------------
+    @staticmethod
+    def _check_exprs(exprs):
+        def walk(e):
+            if isinstance(e, (Agg, Over)):
+                raise Unlowerable(f"expr {e!r} not shard-local")
+            for c in getattr(e, "children", ()):
+                walk(c)
+        for e in exprs:
+            walk(e)
+
+    def _eval_expr(self, expr, stream: _Stream, dtypes):
+        col = expr.evaluate(stream.table(dtypes))
+        data = col.data
+        valid = stream.valid
+        if col.validity is not None:
+            valid = valid & col.validity
+        return data, valid, col.dtype
+
+    # -- node lowering --------------------------------------------------
+    def lower(self, node) -> Tuple[callable, Dict[str, dt.DType]]:
+        import jax
+        import jax.numpy as jnp
+
+        if isinstance(node, (IRs.DataFrameScan, IRs.Scan)):
+            return self._register_source(node.do_evaluate())
+
+        if isinstance(node, _POINTWISE):
+            cfn, cdt = self.lower(node.children[0])
+            if isinstance(node, IRs.Projection):
+                names = list(node.schema())
+
+                def fn(srcs, _cfn=cfn, _names=names):
+                    s = _cfn(srcs)
+                    return _Stream({n: s.cols[n] for n in _names}, s.valid)
+
+                return fn, {n: cdt[n] for n in names}
+            if isinstance(node, IRs.Filter):
+                self._check_exprs([node.predicate])
+
+                def fn(srcs, _cfn=cfn, _cdt=cdt, _pred=node.predicate):
+                    s = _cfn(srcs)
+                    data, valid, _ = self._eval_expr(_pred, s, _cdt)
+                    return _Stream(s.cols, valid & data.astype(jnp.bool_))
+
+                return fn, dict(cdt)
+            # Select / HStack: dtypes need a host-side probe (zero-row eval)
+            self._check_exprs(node.exprs)
+            probe = Table({n: Column(d, 0, data=jnp.zeros((0,), d.storage))
+                           for n, d in cdt.items()})
+            out_dt = dict(cdt) if isinstance(node, IRs.HStack) else {}
+            for e in node.exprs:
+                try:
+                    out_dt[e.output_name] = e.evaluate(probe).dtype
+                except Exception as exc:
+                    raise Unlowerable(f"expr probe failed: {e!r}: {exc}")
+                # dictionary propagation: only bare column refs keep codes
+                src = _col_ref(e)
+                if src is not None and src in self.dicts:
+                    self.dicts[e.output_name] = self.dicts[src]
+
+            hstack = isinstance(node, IRs.HStack)
+
+            def fn(srcs, _cfn=cfn, _cdt=cdt, _exprs=list(node.exprs),
+                   _hstack=hstack):
+                s = _cfn(srcs)
+                cols = dict(s.cols) if _hstack else {}
+                valid = s.valid
+                for e in _exprs:
+                    data, valid, _ = self._eval_expr(e, s, _cdt)
+                    cols[e.output_name] = data
+                return _Stream(cols, valid)
+
+            return fn, out_dt
+
+        if isinstance(node, IRs.GroupBy):
+            return self._lower_groupby(node)
+        if isinstance(node, IRs.Join):
+            return self._lower_join(node)
+        if isinstance(node, IRs.Sort):
+            return self._lower_sort(node)
+        if isinstance(node, IRs.Distinct):
+            return self._lower_distinct(node)
+        if isinstance(node, IRs.Union):
+            kids = [self.lower(c) for c in node.children]
+            cdt = kids[0][1]
+
+            def fn(srcs, _kids=kids, _names=list(cdt)):
+                streams = [k[0](srcs) for k in _kids]
+                cols = {n: jnp.concatenate([s.cols[n] for s in streams])
+                        for n in _names}
+                valid = jnp.concatenate([s.valid for s in streams])
+                return _Stream(cols, valid)
+
+            return fn, dict(cdt)
+        if isinstance(node, IRs.Reduce):
+            return self._lower_reduce(node)
+        raise Unlowerable(f"node {type(node).__name__}")
+
+    # -- relational nodes ------------------------------------------------
+    def _lower_groupby(self, node):
+        import jax.numpy as jnp
+        from cudf_tpu.parallel.dist import dist_groupby_agg_shard
+
+        cfn, cdt = self.lower(node.children[0])
+        for k in node.keys:
+            if not (cdt[k].is_integer or cdt[k].is_dictionary
+                    or cdt[k].is_bool or cdt[k].is_temporal):
+                raise Unlowerable(f"groupby key {k}: {cdt[k]}")
+        specs = [IRs.unwrap_agg(a) for a in node.aggs]
+        self._check_exprs([inner for _, inner, _ in specs])
+        # decompose into mergeable partials (streaming/groupby.py role)
+        partials = []   # (inner_expr or None, op)
+        finals = []     # (out_name, kind, partial indices)
+        for name, inner, kind in specs:
+            if kind in ("sum", "min", "max"):
+                finals.append((name, "direct", [len(partials)], kind))
+                partials.append((inner, kind))
+            elif kind in ("count", "size"):
+                finals.append((name, "count", [], kind))
+            elif kind == "mean":
+                finals.append((name, "mean", [len(partials)], None))
+                partials.append((inner, "sum"))
+            elif kind in ("var", "std"):
+                from cudf_tpu.engine.expr import BinOp
+
+                finals.append((name, kind,
+                               [len(partials), len(partials) + 1], None))
+                partials.append((inner, "sum"))
+                partials.append((BinOp(inner, inner, "mul"), "sum"))
+            else:
+                raise Unlowerable(f"agg {kind}")
+        out_dt = {k: cdt[k] for k in node.keys}
+        probe = Table({n: Column(d, 0, data=jnp.zeros((0,), d.storage))
+                       for n, d in cdt.items()})
+        for name, how, pidx, kind in finals:
+            if how == "direct":
+                in_dt = specs[[f[0] for f in finals].index(name)][1] \
+                    .evaluate(probe).dtype
+                if kind == "sum":
+                    out_dt[name] = dt.INT64 if (in_dt.is_integer
+                                                or in_dt.is_bool) else dt.FLOAT64
+                else:
+                    out_dt[name] = in_dt
+            elif how == "count":
+                out_dt[name] = dt.INT64
+            else:
+                out_dt[name] = dt.FLOAT64
+        cap = None  # computed at run time from shard length
+
+        def fn(srcs, _cfn=cfn, _cdt=cdt, _keys=list(node.keys),
+               _partials=partials, _finals=finals):
+            s = _cfn(srcs)
+            keys = [s.cols[k].astype(jnp.int64) for k in _keys]
+            n = keys[0].shape[0]
+            vals_ops = []
+            for inner, op in _partials:
+                data, _, _ = self._eval_expr(inner, s, _cdt)
+                vals_ops.append((data, op))
+            m_keys, outs, cnt, m_valid, dropped = dist_groupby_agg_shard(
+                keys, vals_ops, s.valid,
+                num_parts=self.num_parts, capacity=n, axis=self.axis)
+            cols = {k: m_keys[i] for i, k in enumerate(_keys)}
+            fcnt = cnt.astype(jnp.float64)
+            for name, how, pidx, kind in _finals:
+                if how == "direct":
+                    cols[name] = outs[pidx[0]]
+                elif how == "count":
+                    cols[name] = cnt
+                elif how == "mean":
+                    cols[name] = outs[pidx[0]].astype(jnp.float64) \
+                        / jnp.maximum(fcnt, 1.0)
+                else:  # var/std
+                    s_ = outs[pidx[0]].astype(jnp.float64)
+                    ssq = outs[pidx[1]].astype(jnp.float64)
+                    num = ssq - s_ * s_ / jnp.maximum(fcnt, 1.0)
+                    v = num / jnp.maximum(fcnt - 1.0, 1.0)
+                    cols[name] = jnp.sqrt(v) if how == "std" else v
+            return _Stream(cols, m_valid)
+
+        return fn, out_dt
+
+    def _lower_join(self, node):
+        import jax.numpy as jnp
+        from cudf_tpu.parallel.dist import _dist_join_shard
+
+        if node.how not in ("inner", "semi", "anti"):
+            raise Unlowerable(f"join how={node.how}")
+        lfn, ldt = self.lower(node.children[0])
+        rfn, rdt = self.lower(node.children[1])
+        lpay_names = [n for n in ldt if n not in node.left_on]
+        rpay_names = [n for n in rdt if n not in node.right_on]
+        out_dt = {**{k: ldt[k] for k in node.left_on},
+                  **{n: ldt[n] for n in lpay_names}}
+        if node.how == "inner":
+            for n in rpay_names:
+                oname = n + node.suffix if n in out_dt else n
+                out_dt[oname] = rdt[n]
+                if n in self.dicts and oname not in self.dicts:
+                    self.dicts[oname] = self.dicts[n]
+        how = node.how
+
+        def fn(srcs, _lfn=lfn, _rfn=rfn, _lon=list(node.left_on),
+               _ron=list(node.right_on), _lp=lpay_names, _rp=rpay_names,
+               _how=how, _suffix=node.suffix):
+            ls = _lfn(srcs)
+            rs = _rfn(srcs)
+            lkeys = [ls.cols[k].astype(jnp.int64) for k in _lon]
+            rkeys = [rs.cols[k].astype(jnp.int64) for k in _ron]
+            nl = lkeys[0].shape[0]
+            nr = rkeys[0].shape[0]
+            out_keys, out_l, out_r, ovalid, rmatch, dropped = \
+                _dist_join_shard(
+                    lkeys, [ls.cols[n] for n in _lp], ls.valid,
+                    rkeys, [rs.cols[n] for n in _rp], rs.valid,
+                    how=_how, num_parts=self.num_parts,
+                    cap_l=nl, cap_r=nr,
+                    max_out=self.num_parts * nl * 2, axis=self.axis)
+            if _how in ("semi", "anti"):
+                cols = {k: out_keys[i] for i, k in enumerate(_lon)}
+                cols.update({n: out_l[i] for i, n in enumerate(_lp)})
+                return _Stream(cols, ovalid)
+            cols = {k: out_keys[i] for i, k in enumerate(_lon)}
+            cols.update({n: out_l[i] for i, n in enumerate(_lp)})
+            taken = set(cols)
+            for i, n in enumerate(_rp):
+                cols[n + _suffix if n in taken else n] = out_r[i]
+            return _Stream(cols, ovalid)
+
+        return fn, out_dt
+
+    def _lower_sort(self, node):
+        import jax.numpy as jnp
+        from cudf_tpu.parallel.dist import _dist_sort_shard
+
+        if len(node.by) != 1:
+            raise Unlowerable("multi-key distributed sort")
+        cfn, cdt = self.lower(node.children[0])
+        by = node.by[0]
+        desc = bool(node.descending[0])
+        names = [n for n in cdt]
+
+        def fn(srcs, _cfn=cfn, _by=by, _desc=desc, _names=names):
+            s = _cfn(srcs)
+            key = _order_encode(s.cols[_by], _desc)
+            n = key.shape[0]
+            pays = [s.cols[n_] for n_ in _names]
+            capacity = max(int(n * 2.0), 16)
+            k_out, pays_out, mask_out, dropped = _dist_sort_shard(
+                key, pays, s.valid, num_parts=self.num_parts,
+                capacity=capacity, descending=False, axis=self.axis)
+            cols = {n_: pays_out[i] for i, n_ in enumerate(_names)}
+            return _Stream(cols, mask_out)
+
+        return fn, dict(cdt)
+
+    def _lower_distinct(self, node):
+        import jax.numpy as jnp
+        from cudf_tpu.parallel.dist import _dist_distinct_shard
+
+        cfn, cdt = self.lower(node.children[0])
+        names = list(cdt)
+        if node.subset and set(node.subset) != set(names):
+            raise Unlowerable("distinct over a column subset")
+        for n in names:
+            if not (cdt[n].is_integer or cdt[n].is_dictionary
+                    or cdt[n].is_bool or cdt[n].is_temporal):
+                raise Unlowerable(f"distinct column {n}: {cdt[n]}")
+
+        def fn(srcs, _cfn=cfn, _names=names):
+            s = _cfn(srcs)
+            keys = [s.cols[n].astype(jnp.int64) for n in _names]
+            n = keys[0].shape[0]
+            m_keys, m_valid, dropped = _dist_distinct_shard(
+                keys, s.valid, num_parts=self.num_parts, capacity=n,
+                axis=self.axis)
+            return _Stream({n_: m_keys[i] for i, n_ in enumerate(_names)},
+                           m_valid)
+
+        return fn, dict(cdt)
+
+    def _lower_reduce(self, node):
+        import jax
+        import jax.numpy as jnp
+
+        cfn, cdt = self.lower(node.children[0])
+        specs = [IRs.unwrap_agg(a) for a in node.aggs]
+        self._check_exprs([inner for _, inner, _ in specs])
+        out_dt = {}
+        for name, inner, kind in specs:
+            if kind not in ("sum", "count", "size", "min", "max", "mean"):
+                raise Unlowerable(f"reduce agg {kind}")
+            out_dt[name] = dt.FLOAT64 if kind == "mean" else dt.INT64 \
+                if kind in ("count", "size") else dt.FLOAT64
+
+        def fn(srcs, _cfn=cfn, _cdt=cdt, _specs=specs):
+            s = _cfn(srcs)
+            n = s.valid.shape[0]
+            cols = {}
+            for name, inner, kind in _specs:
+                if kind in ("count", "size"):
+                    loc = jnp.sum(s.valid.astype(jnp.int64))
+                    tot = jax.lax.psum(loc, self.axis)
+                else:
+                    data, _, _ = self._eval_expr(inner, s, _cdt)
+                    x = data.astype(jnp.float64)
+                    if kind in ("sum", "mean"):
+                        loc = jnp.sum(jnp.where(s.valid, x, 0.0))
+                        tot = jax.lax.psum(loc, self.axis)
+                        if kind == "mean":
+                            c = jax.lax.psum(
+                                jnp.sum(s.valid.astype(jnp.int64)), self.axis)
+                            tot = tot / jnp.maximum(c, 1).astype(jnp.float64)
+                    elif kind == "min":
+                        loc = jnp.min(jnp.where(s.valid, x, jnp.inf))
+                        tot = jax.lax.pmin(loc, self.axis)
+                    else:
+                        loc = jnp.max(jnp.where(s.valid, x, -jnp.inf))
+                        tot = jax.lax.pmax(loc, self.axis)
+                cols[name] = jnp.broadcast_to(tot, (n,))
+            shard0 = jax.lax.axis_index(self.axis) == 0
+            valid = (jnp.arange(n) == 0) & shard0
+            return _Stream(cols, valid)
+
+        return fn, out_dt
+
+
+def _col_ref(e) -> Optional[str]:
+    """name of the bare column an expr forwards (Col or Alias(Col))."""
+    from cudf_tpu.engine.expr import Alias, Col
+
+    while isinstance(e, Alias):
+        e = e.children[0]
+    return e.name if isinstance(e, Col) else None
+
+
+def _order_encode(arr, descending: bool):
+    """Order-preserving int64 encoding of a numeric sort key (the IEEE
+    total-order bit flip for floats: key = b ^ ((b >> 63) | signbit)),
+    with descending folded in as a bitwise NOT so _dist_sort_shard never
+    needs its negation path (which would overflow at INT64_MIN)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jnp.issubdtype(arr.dtype, jnp.floating):
+        b = jax.lax.bitcast_convert_type(arr.astype(jnp.float64), jnp.int64)
+        signbit = jnp.int64(-(2**63))
+        key = b ^ ((b >> 63) | signbit)
+    else:
+        key = arr.astype(jnp.int64)
+    if descending:
+        key = jnp.int64(-1) - key
+    return key
+
+
+def evaluate_spmd(node, mesh, axis: str = "x") -> Table:
+    """Compile + run an IR plan as one jitted SPMD program over ``mesh``.
+
+    Raises Unlowerable when the plan shape isn't supported; callers fall
+    back to the partition-list executor (evaluate_streaming's tiered
+    dispatch).  Output row order: sorted plans preserve the global sort
+    order; group/join outputs are hash-distributed (unspecified order,
+    polars maintain_order=False semantics).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # top-level Slice is applied host-side after collect
+    head = None
+    if isinstance(node, IRs.Slice):
+        head = (node.offset, node.length)
+        node = node.children[0]
+
+    low = _Lowering(mesh, axis)
+    prog, out_dt = low.lower(node)
+    names = list(out_dt)
+
+    from jax import shard_map
+
+    def run(srcs):
+        s = prog(srcs)
+        return [s.cols[n] for n in names], s.valid
+
+    spec = P(axis)
+    sharded = shard_map(
+        run, mesh=mesh,
+        in_specs=([spec] * len(low.sources),),
+        out_specs=([spec] * len(names), spec),
+    )
+    (arrs, valid) = jax.jit(sharded)(low.sources)
+    mask = np.asarray(valid)
+    cols = {}
+    for n, a in zip(names, arrs):
+        vals = np.asarray(a)[mask]
+        d = out_dt[n]
+        if n in low.dicts and (d.is_string or d.is_dictionary):
+            dict_col = low.dicts[n]
+            codes = Column(dt.dictionary_dtype(dict_col.dtype), len(vals),
+                           data=jnp.asarray(vals.astype(np.int32)),
+                           children=[dict_col])
+            cols[n] = codes.decode_dictionary()
+        else:
+            cols[n] = Column(d, len(vals),
+                             data=jnp.asarray(vals).astype(d.storage))
+    t = Table(cols)
+    if head is not None:
+        from cudf_tpu.ops import copying
+
+        off, length = head
+        lo = off if off >= 0 else max(t.num_rows + off, 0)
+        hi = t.num_rows if length is None else min(lo + length, t.num_rows)
+        t = Table({n: copying.slice(c, lo, hi) for n, c in t.items()})
+    return t

@@ -104,6 +104,18 @@ def evaluate_streaming(node: IRs.IR, mesh_or_nparts=None) -> Table:
     if mesh_or_nparts is None or mesh_or_nparts == "auto":
         n_parts = choose_partitions(node)
     else:
+        if not isinstance(mesh_or_nparts, int):
+            # a real Mesh: compile the plan into ONE jitted SPMD program
+            # whose collectives ride the mesh axis (engine/spmd.py — the
+            # lower_ir_graph role); unsupported plan shapes fall through
+            # to the partition-list executor below
+            from cudf_tpu.engine.spmd import Unlowerable, evaluate_spmd
+
+            if get_option("executor.spmd_lowering"):
+                try:
+                    return evaluate_spmd(node, mesh_or_nparts)
+                except Unlowerable:
+                    pass
         n_parts = (
             mesh_or_nparts
             if isinstance(mesh_or_nparts, int)

@@ -84,6 +84,82 @@ def local_groupby_sum(key, vals, valid):
     return gkeys[0], sums, cnt, gvalid
 
 
+def local_groupby_agg_multi(keys, vals_ops, valid):
+    """Shard-local multi-key groupby with per-value ops, static shapes.
+
+    vals_ops: list of (array, op) with op in {"sum", "min", "max"}.
+    Returns ([group_keys...], outs, counts, group_valid) aligned to run
+    ENDS of the sorted order (the local_groupby_sum_multi convention).
+    min/max use a run-id segment reduce (cpp group_min.cu/group_max.cu
+    roles); sums stay on the prefix-diff path.
+    """
+    n = keys[0].shape[0]
+    inv = (~valid).astype(jnp.int64)
+    idx = jnp.arange(n, dtype=jnp.int64)
+    sorted_ = jax.lax.sort(
+        [inv, *[k.astype(jnp.int64) for k in keys], idx],
+        num_keys=1 + len(keys), is_stable=True)
+    inv_s, ks_list, order = sorted_[0], sorted_[1:-1], sorted_[-1]
+    diff = inv_s[1:] != inv_s[:-1]
+    for ks in ks_list:
+        diff = diff | (ks[1:] != ks[:-1])
+    neq = jnp.concatenate([jnp.ones((1,), jnp.bool_), diff])
+    is_end = jnp.concatenate([neq[1:], jnp.ones((1,), jnp.bool_)])
+    valid_s = inv_s == 0
+    pos = jnp.arange(n, dtype=jnp.int64)
+    run_start = jax.lax.cummax(jnp.where(neq, pos, jnp.int64(0)))
+    run_id = jnp.cumsum(neq.astype(jnp.int64)) - 1
+
+    def per_run_sum(x_sorted):
+        cs = jnp.cumsum(x_sorted)
+        lo = jnp.where(run_start > 0,
+                       jnp.take(cs, jnp.maximum(run_start - 1, 0)),
+                       jnp.zeros((), cs.dtype))
+        return cs - lo
+
+    outs = []
+    for v, op in vals_ops:
+        vs = jnp.take(v, order)
+        if op == "sum":
+            vs = vs.astype(jnp.float64 if jnp.issubdtype(v.dtype, jnp.floating)
+                           else jnp.int64)
+            vs = jnp.where(valid_s, vs, 0)
+            outs.append(jnp.where(is_end, per_run_sum(vs), 0))
+        elif op in ("min", "max"):
+            seg = jax.ops.segment_min if op == "min" else jax.ops.segment_max
+            ident = (jnp.finfo(vs.dtype).max if jnp.issubdtype(vs.dtype, jnp.floating)
+                     else jnp.iinfo(vs.dtype).max)
+            if op == "max":
+                ident = -ident if jnp.issubdtype(vs.dtype, jnp.floating) \
+                    else jnp.iinfo(vs.dtype).min
+            vm = jnp.where(valid_s, vs, ident)
+            per_run = seg(vm, run_id, num_segments=n)
+            red = jnp.take(per_run, run_id)
+            outs.append(jnp.where(is_end, red, 0))
+        else:
+            raise ValueError(op)
+    cnt = jnp.where(is_end, per_run_sum(valid_s.astype(jnp.int64)), 0)
+    gkeys = [jnp.where(is_end & valid_s, ks, jnp.int64(0)) for ks in ks_list]
+    gvalid = is_end & valid_s & (cnt > 0)
+    return gkeys, outs, cnt, gvalid
+
+
+def dist_groupby_agg_shard(keys, vals_ops, valid, *, num_parts, capacity,
+                           axis):
+    """Composable shard-local body: partial agg → shuffle → merge, with
+    per-value ops (sum/min/max; counts merge by sum).  Usable inside an
+    enclosing shard_map (the engine's SPMD lowering composes several of
+    these into ONE program — lower_ir_graph's role)."""
+    gkeys, outs, cnt, gvalid = local_groupby_agg_multi(keys, vals_ops, valid)
+    k_recv, payload_recv, mask, dropped = shuffle_by_keys(
+        gkeys, [*outs, cnt], gvalid, num_parts, capacity, axis)
+    merge_ops = [(payload_recv[i], op) for i, (_, op) in enumerate(vals_ops)]
+    merge_ops.append((payload_recv[-1], "sum"))        # counts merge by sum
+    m_keys, m_all, _, m_valid = local_groupby_agg_multi(k_recv, merge_ops,
+                                                        mask)
+    return m_keys, m_all[:-1], m_all[-1], m_valid, dropped.reshape(1)
+
+
 def _dist_groupby_sum_shard(keys, vals, valid, *, num_parts: int, capacity: int, axis: str):
     """Runs on each shard inside shard_map: pre-agg → shuffle → merge."""
     # local partial aggregation (shrinks shuffle traffic — the 'partial agg

@@ -1,0 +1,159 @@
+"""IR-graph → shard_map SPMD lowering (engine/spmd.py; VERDICT r2 item 3).
+
+The same LazyFrame plan must produce identical results through the
+in-memory executor, the partition-list executor, and the compiled SPMD
+program on the 8-virtual-device CPU mesh — the one-code-path contract of
+the reference's lower_ir_graph (streaming/parallel.py:128-190).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import cudf_tpu
+from cudf_tpu.engine.lazy import LazyFrame
+from cudf_tpu.engine.expr import col
+from cudf_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(21)
+
+
+@pytest.fixture
+def mesh():
+    return make_mesh(8)
+
+
+def _lf(pdf):
+    return LazyFrame.from_dataframe(cudf_tpu.DataFrame.from_pandas(pdf))
+
+
+def _assert_spmd_used(node, mesh):
+    from cudf_tpu.engine.spmd import evaluate_spmd
+
+    return evaluate_spmd(node, mesh)   # raises Unlowerable on failure
+
+
+def test_q1_shaped_groupby(rng, mesh):
+    n = 4000
+    pdf = pd.DataFrame({
+        "flag": rng.integers(0, 3, n),
+        "qty": rng.integers(1, 50, n).astype(np.int64),
+        "price": rng.uniform(1, 100, n).round(2),
+    })
+    lf = (_lf(pdf)
+          .with_columns((col("price") * col("qty")).alias("gross"))
+          .group_by("flag")
+          .agg(col("qty").sum().alias("sum_qty"),
+               col("gross").sum().alias("sum_gross"),
+               col("price").mean().alias("avg_price"),
+               col("qty").count().alias("n")))
+    out = _assert_spmd_used(lf.optimized(), mesh)
+    got = pd.DataFrame({n_: np.asarray(c.data) for n_, c in out.items()})
+    got = got.sort_values("flag").reset_index(drop=True)
+    exp = (pdf.assign(gross=pdf.price * pdf.qty)
+           .groupby("flag")
+           .agg(sum_qty=("qty", "sum"), sum_gross=("gross", "sum"),
+                avg_price=("price", "mean"), n=("qty", "count"))
+           .reset_index())
+    np.testing.assert_array_equal(got["flag"], exp["flag"])
+    np.testing.assert_array_equal(got["sum_qty"], exp["sum_qty"])
+    np.testing.assert_allclose(got["sum_gross"], exp["sum_gross"], rtol=1e-12)
+    np.testing.assert_allclose(got["avg_price"], exp["avg_price"], rtol=1e-12)
+    np.testing.assert_array_equal(got["n"], exp["n"])
+
+
+def test_q5_shaped_filter_join_groupby_sort(rng, mesh):
+    """The dryrun_multichip plan, through the ENGINE: scan → filter →
+    join → groupby → sort, one jitted SPMD program."""
+    n_fact, n_dim, n_nation = 4000, 256, 5
+    fact = pd.DataFrame({
+        "suppkey": rng.integers(0, n_dim, n_fact),
+        "price": rng.integers(1, 1000, n_fact).astype(np.float64),
+        "qty": rng.integers(1, 50, n_fact),
+    })
+    dim = pd.DataFrame({"suppkey": np.arange(n_dim),
+                        "nation": rng.integers(0, n_nation, n_dim)})
+    lf = (_lf(fact)
+          .filter(col("qty") < 25)
+          .join(_lf(dim), on="suppkey", how="inner")
+          .group_by("nation")
+          .agg(col("price").sum().alias("revenue"))
+          .sort("revenue", descending=True))
+    out = _assert_spmd_used(lf.optimized(), mesh)
+    got = pd.DataFrame({n_: np.asarray(c.data) for n_, c in out.items()})
+    exp = (fact[fact.qty < 25].merge(dim, on="suppkey")
+           .groupby("nation")["price"].sum()
+           .sort_values(ascending=False).reset_index())
+    np.testing.assert_array_equal(got["nation"], exp["nation"])
+    np.testing.assert_allclose(got["revenue"], exp["price"], rtol=1e-12)
+    # and the SAME plan through the public collect(mesh=...) entry
+    got2 = lf.collect(mesh=mesh).to_pandas()
+    np.testing.assert_allclose(got2["revenue"].to_numpy(), exp["price"],
+                               rtol=1e-12)
+
+
+def test_min_max_distributed(rng, mesh):
+    n = 3000
+    pdf = pd.DataFrame({"k": rng.integers(0, 40, n),
+                        "v": rng.normal(size=n)})
+    lf = (_lf(pdf).group_by("k")
+          .agg(col("v").min().alias("lo"), col("v").max().alias("hi"),
+               col("v").std().alias("sd")))
+    out = _assert_spmd_used(lf.optimized(), mesh)
+    got = pd.DataFrame({n_: np.asarray(c.data) for n_, c in out.items()})
+    got = got.sort_values("k").reset_index(drop=True)
+    exp = (pdf.groupby("k")["v"].agg(lo="min", hi="max", sd="std")
+           .reset_index())
+    np.testing.assert_allclose(got["lo"], exp["lo"], rtol=1e-12)
+    np.testing.assert_allclose(got["hi"], exp["hi"], rtol=1e-12)
+    np.testing.assert_allclose(got["sd"], exp["sd"], rtol=1e-9)
+
+
+def test_string_key_dictionary_roundtrip(rng, mesh):
+    n = 2000
+    names = np.array(["ar", "br", "cn", "de", "us"])
+    pdf = pd.DataFrame({"country": names[rng.integers(0, 5, n)],
+                        "v": rng.integers(0, 100, n).astype(np.int64)})
+    lf = _lf(pdf).group_by("country").agg(col("v").sum().alias("total"))
+    out = _assert_spmd_used(lf.optimized(), mesh)
+    got = (pd.DataFrame({
+        "country": out["country"].to_arrow().to_pylist(),
+        "total": np.asarray(out["total"].data)})
+        .sort_values("country").reset_index(drop=True))
+    exp = pdf.groupby("country")["v"].sum().reset_index(name="total")
+    np.testing.assert_array_equal(got["country"], exp["country"])
+    np.testing.assert_array_equal(got["total"], exp["total"])
+
+
+def test_semi_and_distinct(rng, mesh):
+    n = 3000
+    pdf = pd.DataFrame({"k": rng.integers(0, 500, n),
+                        "v": rng.integers(0, 9, n)})
+    keep = pd.DataFrame({"k": np.arange(0, 500, 7)})
+    lf = (_lf(pdf).join(_lf(keep), on="k", how="semi")
+          .unique())
+    out = _assert_spmd_used(lf.optimized(), mesh)
+    got = set(zip(np.asarray(out["k"].data).tolist(),
+                  np.asarray(out["v"].data).tolist()))
+    sel = pdf[pdf.k.isin(keep.k)].drop_duplicates()
+    exp = set(zip(sel.k.tolist(), sel.v.tolist()))
+    assert got == exp
+
+
+def test_unlowerable_falls_back(rng, mesh):
+    """Median is not decomposable: evaluate_streaming must still answer
+    (partition-list fallback), matching the single-device result."""
+    n = 2000
+    pdf = pd.DataFrame({"k": rng.integers(0, 10, n),
+                        "v": rng.normal(size=n)})
+    lf = _lf(pdf).group_by("k").agg(col("v").median().alias("med"))
+    from cudf_tpu.engine.spmd import Unlowerable, evaluate_spmd
+
+    with pytest.raises(Unlowerable):
+        evaluate_spmd(lf.optimized(), mesh)
+    got = lf.collect(mesh=mesh).to_pandas().sort_values("k")
+    exp = pdf.groupby("k")["v"].median().reset_index(name="med")
+    np.testing.assert_allclose(got["med"].to_numpy(), exp["med"], rtol=1e-12)
