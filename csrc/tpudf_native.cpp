@@ -223,6 +223,105 @@ PyObject* snappy_decompress(PyObject*, PyObject* args) {
                                    static_cast<Py_ssize_t>(out.size()));
 }
 
+// ---------------------------------------------------------------------
+// snappy_compress: greedy hash-table LZ77 over 64KB fragments (the
+// snap.cu role at the host tier).  Emits literals and 2-byte-offset
+// copies only — every standard decoder (including snappy_decompress
+// above) accepts the subset.
+// ---------------------------------------------------------------------
+void emit_varint(std::vector<uint8_t>& out, uint64_t v) {
+  while (v >= 0x80) {
+    out.push_back(static_cast<uint8_t>(v) | 0x80);
+    v >>= 7;
+  }
+  out.push_back(static_cast<uint8_t>(v));
+}
+
+void emit_literal(std::vector<uint8_t>& out, const uint8_t* p, uint32_t len) {
+  uint32_t l = len - 1;
+  if (l < 60) {
+    out.push_back(static_cast<uint8_t>(l << 2));
+  } else if (l < (1u << 8)) {
+    out.push_back(60 << 2);
+    out.push_back(static_cast<uint8_t>(l));
+  } else {
+    out.push_back(61 << 2);
+    out.push_back(static_cast<uint8_t>(l));
+    out.push_back(static_cast<uint8_t>(l >> 8));
+  }
+  out.insert(out.end(), p, p + len);
+}
+
+void emit_copy(std::vector<uint8_t>& out, uint32_t offset, uint32_t len) {
+  // split long matches into <=64-byte 2-byte-offset copies
+  while (len > 0) {
+    uint32_t l = len < 64 ? len : 64;
+    if (l < 4) {  // tail shorter than min copy: only reachable if caller
+      l = len;    // guaranteed len >= 4 per fragment; defensive clamp
+    }
+    out.push_back(static_cast<uint8_t>(((l - 1) << 2) | 2));
+    out.push_back(static_cast<uint8_t>(offset));
+    out.push_back(static_cast<uint8_t>(offset >> 8));
+    len -= l;
+  }
+}
+
+PyObject* snappy_compress(PyObject*, PyObject* args) {
+  const char* buf;
+  Py_ssize_t n;
+  if (!PyArg_ParseTuple(args, "y#", &buf, &n)) return nullptr;
+  const uint8_t* in = reinterpret_cast<const uint8_t*>(buf);
+  std::vector<uint8_t> out;
+  out.reserve(static_cast<size_t>(n) / 2 + 16);
+  emit_varint(out, static_cast<uint64_t>(n));
+  constexpr size_t kFragment = 1 << 16;        // offsets fit 2 bytes
+  constexpr uint32_t kHashBits = 14;
+  std::vector<int32_t> table(1u << kHashBits);
+  for (size_t base = 0; base < static_cast<size_t>(n); base += kFragment) {
+    size_t end = base + kFragment;
+    if (end > static_cast<size_t>(n)) end = static_cast<size_t>(n);
+    size_t len = end - base;
+    const uint8_t* frag = in + base;
+    if (len < 16) {
+      emit_literal(out, frag, static_cast<uint32_t>(len));
+      continue;
+    }
+    std::fill(table.begin(), table.end(), -1);
+    size_t i = 0, lit_start = 0;
+    size_t limit = len - 4;
+    while (i <= limit) {
+      uint32_t w;
+      std::memcpy(&w, frag + i, 4);
+      uint32_t h = (w * 0x1e35a7bdu) >> (32 - kHashBits);
+      int32_t cand = table[h];
+      table[h] = static_cast<int32_t>(i);
+      uint32_t cw;
+      if (cand >= 0) {
+        std::memcpy(&cw, frag + cand, 4);
+        if (cw == w) {
+          // extend the match
+          size_t m = 4;
+          while (i + m < len && frag[cand + m] == frag[i + m]) ++m;
+          if (i > lit_start)
+            emit_literal(out, frag + lit_start,
+                         static_cast<uint32_t>(i - lit_start));
+          emit_copy(out, static_cast<uint32_t>(i - cand),
+                    static_cast<uint32_t>(m));
+          i += m;
+          lit_start = i;
+          continue;
+        }
+      }
+      ++i;
+    }
+    if (lit_start < len)
+      emit_literal(out, frag + lit_start, static_cast<uint32_t>(len - lit_start));
+  }
+  if (n == 0) { /* header already written: varint 0 */ }
+  return PyBytes_FromStringAndSize(reinterpret_cast<const char*>(out.data()),
+                                   static_cast<Py_ssize_t>(out.size()));
+}
+
 PyMethodDef methods[] = {
     {"multibyte_split", multibyte_split, METH_VARARGS,
      "split buffer by delimiter -> int64 record offsets (as bytes)"},
@@ -232,6 +331,8 @@ PyMethodDef methods[] = {
      "decode parquet RLE/bit-packed hybrid -> int32 buffer"},
     {"snappy_decompress", snappy_decompress, METH_VARARGS,
      "decompress raw snappy block -> bytes"},
+    {"snappy_compress", snappy_compress, METH_VARARGS,
+     "compress bytes -> raw snappy block"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -116,6 +116,23 @@ def _filters_to_expression(filters):
 
 
 def write_parquet(df: DataFrame, path, compression="snappy", index=None, **kw):
+    from cudf_tpu.utils.config import get_option
+
+    if get_option("io.parquet.native_writer") and (
+            index is False or (index is None and _is_default_index(df))):
+        from cudf_tpu.io.parquet_writer import _CODECS, write_parquet_native
+
+        comp = (compression or "uncompressed").lower()
+        if comp in _CODECS and all(
+                c.dtype.is_numeric or c.dtype.is_bool or c.dtype.is_string
+                or c.dtype.is_dictionary or c.dtype.is_temporal
+                for c in df._table.columns):
+            write_parquet_native(df, path, compression=comp,
+                                 **{k: v for k, v in kw.items()
+                                    if k in ("row_group_size",
+                                             "use_dictionary",
+                                             "data_page_version")})
+            return
     import pyarrow.parquet as pq
 
     tbl = df._table.to_arrow()

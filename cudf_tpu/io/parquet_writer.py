@@ -1,17 +1,20 @@
-"""Self-contained Parquet writer: thrift compact encode + PLAIN pages.
+"""Self-contained Parquet writer: thrift compact encode, dictionary +
+PLAIN pages, snappy/gzip/zstd page compression, v1 and v2 data pages.
 
 TPU-native equivalent of the reference's writer stack
-(reference: cpp/src/io/parquet/writer_impl.cu, page_enc.cu,
+(reference: cpp/src/io/parquet/writer_impl.cu, page_enc.cu:1,
+chunk_dict.cu:1 dictionary build with plain fallback on overflow,
 compact_protocol_writer.cpp) at the host tier: the write path is IO- and
 metadata-bound, not FLOPs-bound, so a native host encoder is the right
 shape (the reference's page_enc kernels exist to avoid device→host
 copies it would otherwise make — our columns sync once regardless).
+Snappy compression runs in csrc/tpudf_native.cpp (the snap.cu role).
 
 Round-trip needs NO pyarrow: write_parquet_native → parquet_native.read
-(or any parquet reader).  Emits PLAIN-encoded data pages (v1),
-UNCOMPRESSED codec, RLE definition levels for nullable columns, and
-column-chunk Statistics (min/max/null_count) so the round-trip supports
-this reader's own predicate pushdown.
+(or any parquet reader; pyarrow cross-reads the output).  Emits RLE
+definition levels for nullable columns and column-chunk Statistics
+(min/max/null_count) so the round-trip supports this reader's own
+predicate pushdown.
 """
 
 from __future__ import annotations
@@ -171,23 +174,199 @@ def _plain_encode(col) -> Tuple[bytes, int, Optional[bytes], Optional[bytes]]:
     return data.tobytes(), pt, mn, mx
 
 
+_CODECS = {"uncompressed": 0, None: 0, "none": 0,
+           "snappy": 1, "gzip": 2, "zstd": 6}
+
+
+def _compress(data: bytes, codec: int) -> bytes:
+    if codec == 0:
+        return data
+    if codec == 1:
+        from cudf_tpu.native import snappy_compress
+
+        return snappy_compress(data)
+    if codec == 2:
+        import gzip
+
+        return gzip.compress(data, compresslevel=1)
+    if codec == 6:
+        import zstandard
+
+        return zstandard.ZstdCompressor().compress(data)
+    raise NotImplementedError(f"codec {codec}")
+
+
+def _rle_hybrid_encode(values: np.ndarray, bit_width: int) -> bytes:
+    """Parquet RLE/bit-packed hybrid encoder for dictionary indices
+    (page_enc.cu's index encoder role): greedy — runs >= 8 become RLE
+    runs, the rest bit-packed groups of 8."""
+    out = bytearray()
+    n = len(values)
+    byte_width = (bit_width + 7) // 8
+
+    def varint(v):
+        while v >= 0x80:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+
+    i = 0
+    pend = []                  # literal values pending bit-pack
+
+    def flush_pend(final: bool):
+        # bit-packed runs hold WHOLE groups of 8 values: mid-stream
+        # flushes emit only complete groups (padding mid-stream would
+        # insert phantom values the decoder consumes); the final flush
+        # pads its tail group with zeros, which sit beyond num_values.
+        if final:
+            while len(pend) % 8:
+                pend.append(0)
+        groups = len(pend) // 8
+        if not groups:
+            return
+        emit, rest = pend[:groups * 8], pend[groups * 8:]
+        varint((groups << 1) | 1)
+        acc = 0
+        nbits = 0
+        for v in emit:
+            acc |= int(v) << nbits
+            nbits += bit_width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        pend[:] = rest
+
+    while i < n:
+        v = values[i]
+        j = i + 1
+        while j < n and values[j] == v:
+            j += 1
+        run = j - i
+        # only run-break at a group boundary: an RLE run after a partial
+        # bit-packed group would strand a sub-8 remainder
+        if run >= 8 and len(pend) % 8 == 0:
+            flush_pend(final=False)
+            varint(run << 1)
+            out += int(v).to_bytes(byte_width, "little")
+        else:
+            pend.extend(values[i:j].tolist())
+            if len(pend) >= 504:      # keep literal groups bounded
+                flush_pend(final=False)
+        i = j
+    flush_pend(final=True)
+    return bytes(out)
+
+
+def _try_dictionary(vals: bytes, pt: int, col) -> Optional[Tuple[bytes, np.ndarray]]:
+    """(dict_page_values_plain, indices) or None when a dictionary does
+    not pay (the chunk_dict.cu plain-fallback heuristic: too many
+    distinct values or dictionary bigger than half the data)."""
+    from cudf_tpu.ops._utils import materialize_validity
+
+    valid = None
+    if col.validity is not None:
+        valid = np.asarray(materialize_validity(col))
+    if col.dtype.is_string or col.dtype.is_dictionary:
+        c = col
+        if c.dtype.is_dictionary:
+            from cudf_tpu.ops.dictionary import decode as dict_decode
+
+            c = dict_decode(c)
+        offs = np.asarray(c.offsets)
+        chars = np.asarray(c.data).tobytes()
+        strs = [chars[offs[i]:offs[i + 1]] for i in range(c.length)
+                if valid is None or valid[i]]
+        uniq, inv = np.unique(np.asarray(strs, dtype=object), return_inverse=True) \
+            if strs else (np.asarray([], dtype=object), np.asarray([], np.int64))
+        if len(uniq) > 65536 or (strs and len(uniq) > len(strs) // 2):
+            return None
+        dict_vals = b"".join(struct.pack("<I", len(s)) + bytes(s) for s in uniq)
+        return dict_vals, inv.astype(np.int32)
+    if pt == _PT_BOOLEAN:
+        return None
+    data = np.asarray(col.data)
+    if valid is not None:
+        data = data[valid]
+    if col.dtype.is_temporal:
+        data = data.astype(np.int64)
+    uniq, inv = np.unique(data, return_inverse=True)
+    if len(uniq) > 65536 or len(uniq) > max(len(data) // 2, 1):
+        return None
+    # re-encode the unique values PLAIN with the chunk's physical type
+    if pt == _PT_INT32:
+        dict_vals = uniq.astype(np.int32).tobytes()
+    elif pt == _PT_INT64:
+        dict_vals = uniq.astype(np.int64).tobytes()
+    elif pt == _PT_FLOAT:
+        dict_vals = uniq.astype(np.float32).tobytes()
+    else:
+        dict_vals = uniq.astype(np.float64).tobytes()
+    return dict_vals, inv.astype(np.int32)
+
+
 def _write_page_header(w: CompactWriter, n_values: int, encoding: int,
-                       size: int):
+                       usize: int, csize: int):
     w.begin_struct()
     w.write_i(1, 0, _CT_I32)              # type = DATA_PAGE
-    w.write_i(2, size, _CT_I32)           # uncompressed size
-    w.write_i(3, size, _CT_I32)           # compressed size (UNCOMPRESSED)
+    w.write_i(2, usize, _CT_I32)          # uncompressed size
+    w.write_i(3, csize, _CT_I32)          # compressed size
     w.begin_struct(5)                     # DataPageHeader
     w.write_i(1, n_values, _CT_I32)
-    w.write_i(2, encoding, _CT_I32)       # PLAIN
+    w.write_i(2, encoding, _CT_I32)
     w.write_i(3, 3, _CT_I32)              # def level encoding = RLE
     w.write_i(4, 3, _CT_I32)              # rep level encoding = RLE
     w.end_struct()
     w.end_struct()
 
 
-def write_parquet_native(df, path: str, row_group_size: int = 1 << 20):
-    """Write a DataFrame as a flat-schema parquet file (PLAIN pages)."""
+def _write_page_header_v2(w: CompactWriter, n_values: int, n_nulls: int,
+                          n_rows: int, encoding: int, usize: int,
+                          csize: int, def_len: int, compressed: bool):
+    w.begin_struct()
+    w.write_i(1, 3, _CT_I32)              # type = DATA_PAGE_V2
+    w.write_i(2, usize, _CT_I32)
+    w.write_i(3, csize, _CT_I32)
+    w.begin_struct(8)                     # DataPageHeaderV2
+    w.write_i(1, n_values, _CT_I32)
+    w.write_i(2, n_nulls, _CT_I32)
+    w.write_i(3, n_rows, _CT_I32)
+    w.write_i(4, encoding, _CT_I32)
+    w.write_i(5, def_len, _CT_I32)        # def levels byte length
+    w.write_i(6, 0, _CT_I32)              # rep levels byte length
+    w.write_bool(7, compressed)
+    w.end_struct()
+    w.end_struct()
+
+
+def _write_dict_page_header(w: CompactWriter, n_values: int, usize: int,
+                            csize: int):
+    w.begin_struct()
+    w.write_i(1, 2, _CT_I32)              # type = DICTIONARY_PAGE
+    w.write_i(2, usize, _CT_I32)
+    w.write_i(3, csize, _CT_I32)
+    w.begin_struct(7)                     # DictionaryPageHeader
+    w.write_i(1, n_values, _CT_I32)
+    w.write_i(2, 0, _CT_I32)              # encoding = PLAIN
+    w.end_struct()
+    w.end_struct()
+
+
+def write_parquet_native(df, path: str, row_group_size: int = 1 << 20,
+                         compression: str = "snappy",
+                         use_dictionary: bool = True,
+                         data_page_version: int = 1):
+    """Write a DataFrame as a flat-schema parquet file.
+
+    compression: uncompressed | snappy | gzip | zstd (page codec);
+    use_dictionary: dictionary-encode chunks when it pays, falling back
+    to PLAIN on overflow (chunk_dict.cu discipline);
+    data_page_version: 1 or 2 (v2 keeps levels uncompressed and marks
+    is_compressed per page).
+    """
+    codec = _CODECS[compression.lower() if compression else None]
     names = list(df._table.names)
     n = len(df)
     with open(path, "wb") as f:
@@ -202,27 +381,63 @@ def write_parquet_native(df, path: str, row_group_size: int = 1 << 20):
                 offset = f.tell()
                 nullable = col.validity is not None
                 nv = col.length
+                utotal = 0            # uncompressed byte accounting
                 vals, pt, mn, mx = _plain_encode(col)
-                body = bytearray()
+                dict_off = None
+                encoding = 0          # PLAIN
+                dic = _try_dictionary(vals, pt, col) if use_dictionary \
+                    else None
+                if dic is not None:
+                    dict_vals, indices = dic
+                    nuniq = max(len(indices) and int(indices.max()) + 1, 1)
+                    cd = _compress(dict_vals, codec)
+                    w = CompactWriter()
+                    _write_dict_page_header(w, nuniq, len(dict_vals),
+                                            len(cd))
+                    dict_off = offset
+                    f.write(bytes(w.buf))
+                    f.write(cd)
+                    utotal += len(w.buf) + len(dict_vals)
+                    bw = max(int(nuniq - 1).bit_length(), 1)
+                    vals = bytes([bw]) + _rle_hybrid_encode(indices, bw)
+                    encoding = 8      # RLE_DICTIONARY
+                # definition levels
                 if nullable:
                     from cudf_tpu.ops._utils import materialize_validity
 
                     lv = np.asarray(materialize_validity(col)).astype(np.uint8)
                     rle = _rle_encode_bits(lv)
-                    body += struct.pack("<I", len(rle)) + rle
                     nulls = int((lv == 0).sum())
                 else:
+                    rle = b""
                     nulls = 0
-                body += vals
+                data_off = f.tell()
                 w = CompactWriter()
-                _write_page_header(w, nv, 0, len(body))
-                f.write(bytes(w.buf))
-                f.write(bytes(body))
+                if data_page_version == 2:
+                    cbody = _compress(vals, codec)
+                    _write_page_header_v2(
+                        w, nv, nulls, nv, encoding,
+                        len(rle) + len(vals), len(rle) + len(cbody),
+                        len(rle), codec != 0)
+                    f.write(bytes(w.buf))
+                    f.write(rle)              # v2 levels: no length prefix,
+                    f.write(cbody)            # never compressed
+                    utotal += len(w.buf) + len(rle) + len(vals)
+                else:
+                    body = (struct.pack("<I", len(rle)) + rle if nullable
+                            else b"") + vals
+                    cbody = _compress(body, codec)
+                    _write_page_header(w, nv, encoding, len(body),
+                                       len(cbody))
+                    f.write(bytes(w.buf))
+                    f.write(cbody)
+                    utotal += len(w.buf) + len(body)
                 total = f.tell() - offset
                 cols_meta.append(dict(
                     name=name, type=pt, offset=offset, nv=nv,
-                    total=total, mn=mn, mx=mx, nulls=nulls,
-                    nullable=nullable))
+                    total=total, utotal=utotal, mn=mn, mx=mx, nulls=nulls,
+                    nullable=nullable, codec=codec, encoding=encoding,
+                    dict_off=dict_off, data_off=data_off))
             row_groups_meta.append(
                 dict(cols=cols_meta, rows=stop - start,
                      bytes=sum(c["total"] for c in cols_meta)))
@@ -259,17 +474,23 @@ def write_parquet_native(df, path: str, row_group_size: int = 1 << 20):
                 w.write_i(2, c["offset"], _CT_I64)   # file_offset
                 w.begin_struct(3)         # ColumnMetaData
                 w.write_i(1, c["type"], _CT_I32)
-                w.begin_list(2, _CT_I32, 1)
-                w._zigzag(0)              # encodings = [PLAIN]
+                encs = [3, c["encoding"]] if c["encoding"] else [3, 0]
+                if c["dict_off"] is not None:
+                    encs.append(0)        # PLAIN dictionary page
+                w.begin_list(2, _CT_I32, len(encs))
+                for e in encs:
+                    w._zigzag(e)
                 w.begin_list(3, _CT_BINARY, 1)
                 nm = c["name"].encode()
                 w._varint(len(nm))
                 w.buf += nm
-                w.write_i(4, 0, _CT_I32)  # codec = UNCOMPRESSED
+                w.write_i(4, c["codec"], _CT_I32)
                 w.write_i(5, c["nv"], _CT_I64)
-                w.write_i(6, c["total"], _CT_I64)    # uncompressed
+                w.write_i(6, c["utotal"], _CT_I64)   # uncompressed
                 w.write_i(7, c["total"], _CT_I64)    # compressed
-                w.write_i(9, c["offset"], _CT_I64)   # data_page_offset
+                w.write_i(9, c["data_off"], _CT_I64)  # data_page_offset
+                if c["dict_off"] is not None:
+                    w.write_i(11, c["dict_off"], _CT_I64)
                 if c["mn"] is not None:
                     w.begin_struct(12)    # Statistics
                     w.write_i(3, c["nulls"], _CT_I64)

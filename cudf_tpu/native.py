@@ -160,6 +160,30 @@ def rle_decode32(data: bytes, bit_width: int, count: int) -> np.ndarray:
     return np.asarray(out[:count] + [0] * max(0, count - len(out)), np.int32)
 
 
+def snappy_compress(data: bytes) -> bytes:
+    """Raw snappy block compress (csrc greedy LZ77; fallback emits a
+    single literal element — a valid, if incompressible, snappy block)."""
+    nat = load_native()
+    if nat is not None and hasattr(nat, "snappy_compress"):
+        return nat.snappy_compress(data)
+    out = bytearray()
+    v = len(data)
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    if data:
+        l = len(data) - 1
+        if l < 60:
+            out.append(l << 2)
+        else:
+            nb = (l.bit_length() + 7) // 8
+            out.append((59 + nb) << 2)
+            out += l.to_bytes(nb, "little")
+        out += data
+    return bytes(out)
+
+
 def snappy_decompress(data: bytes) -> bytes:
     nat = load_native()
     if nat is not None:

@@ -1,11 +1,14 @@
 """Self-contained parquet decode path vs pyarrow (differential)."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+import cudf_tpu
 from cudf_tpu.io.parquet_native import read_parquet_native
 from cudf_tpu.io.thrift import read_file_metadata
 
@@ -279,3 +282,52 @@ def test_flba_decimal(tmp_path):
     assert str(col._column.dtype) == "decimal64(scale=-2)"
     assert col.to_pandas().tolist() == [decimal.Decimal("123.45"),
                                         decimal.Decimal("-0.07"), None]
+
+
+@pytest.mark.parametrize("comp,v", [("snappy", 1), ("snappy", 2),
+                                    ("gzip", 1), ("zstd", 1),
+                                    ("uncompressed", 2)])
+def test_writer_compression_dictionary_versions(tmp_path, comp, v):
+    """VERDICT r2 item 6: dictionary pages + page compression + v2 pages,
+    pyarrow cross-readable and self-round-tripping
+    (chunk_dict.cu:1, page_enc.cu:1 roles)."""
+    import pyarrow.parquet as pq
+
+    from cudf_tpu.io.parquet_writer import write_parquet_native
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    pdf = pd.DataFrame({
+        "dict_int": rng.integers(0, 40, n).astype(np.int32),
+        "plain_int": rng.integers(-2**40, 2**40, n),
+        "s": np.array(["x", "yy", "zzz"])[rng.integers(0, 3, n)],
+        "nul": np.where(rng.random(n) < 0.3, np.nan, rng.normal(size=n)),
+        "runs": np.sort(rng.integers(0, 20, n)).astype(np.int64),
+    })
+    df = cudf_tpu.DataFrame.from_pandas(pdf)
+    p = str(tmp_path / "t.parquet")
+    write_parquet_native(df, p, compression=comp, data_page_version=v)
+    back = pq.read_table(p).to_pandas()
+    pd.testing.assert_frame_equal(back, pdf, check_dtype=False)
+    # our own reader round-trips the same file
+    from cudf_tpu.io.parquet_native import read_parquet_native
+
+    t = read_parquet_native(p)
+    back2 = pd.DataFrame({k: np.asarray(c.to_arrow()) for k, c in t.items()})
+    pd.testing.assert_frame_equal(back2, pdf, check_dtype=False)
+    # dictionary + compression actually shrink the file
+    if comp != "uncompressed":
+        write_parquet_native(df, str(tmp_path / "u.parquet"),
+                             compression="uncompressed",
+                             use_dictionary=False)
+        assert os.path.getsize(p) < os.path.getsize(tmp_path / "u.parquet")
+
+
+def test_snappy_compress_roundtrip():
+    from cudf_tpu import native
+
+    rng = np.random.default_rng(3)
+    for blob in [b"", b"a" * 65537,
+                 rng.integers(0, 4, 100000, dtype=np.uint8).tobytes(),
+                 rng.bytes(70000)]:
+        assert native.snappy_decompress(native.snappy_compress(blob)) == blob
