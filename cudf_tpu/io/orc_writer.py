@@ -1,0 +1,361 @@
+"""Self-contained ORC writer: protobuf metadata, RLEv1 integer/length
+streams, bit-packed booleans, PRESENT streams, optional ZLIB framing.
+
+TPU-native equivalent of the reference's device ORC writer
+(reference: cpp/src/io/orc/writer_impl.cu:1, stripe_enc.cu, dict_enc.cu)
+at the host tier — the write path is metadata/IO-bound (the rationale of
+io/parquet_writer.py applies).  Zero-pyarrow round trip with
+io/orc_native.py; pyarrow/ORC-C++ cross-reads the output.
+
+Layout notes (ORC spec v1 / orc_proto.proto):
+- file = "ORC" + stripes + Footer + PostScript + len(PostScript) byte
+- each stripe = data streams (PRESENT/DATA/LENGTH per column) +
+  StripeFooter; integer DATA uses DIRECT (RLEv1) encoding, strings use
+  DIRECT (DATA bytes + LENGTH RLEv1), booleans bit-pack MSB-first under
+  byte-RLE.
+- compression applies per stream with 3-byte (len<<1|is_original)
+  chunk framing; the footer/postscript lengths refer to framed bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_K_BOOL, _K_BYTE, _K_SHORT, _K_INT, _K_LONG = 0, 1, 2, 3, 4
+_K_FLOAT, _K_DOUBLE, _K_STRING, _K_STRUCT = 5, 6, 7, 12
+_K_DATE, _K_TIMESTAMP = 15, 9
+
+_STREAM_PRESENT, _STREAM_DATA, _STREAM_LENGTH = 0, 1, 2
+_ENC_DIRECT = 0
+
+
+class ProtoWriter:
+    """Minimal protobuf (proto2 wire format) encoder."""
+
+    def __init__(self):
+        self.buf = bytearray()
+
+    def varint(self, v: int):
+        while v >= 0x80:
+            self.buf.append((v & 0x7F) | 0x80)
+            v >>= 7
+        self.buf.append(v)
+
+    def field_varint(self, fn: int, v: int):
+        self.varint((fn << 3) | 0)
+        self.varint(v)
+
+    def field_bytes(self, fn: int, b: bytes):
+        self.varint((fn << 3) | 2)
+        self.varint(len(b))
+        self.buf += b
+
+    def field_packed(self, fn: int, vals):
+        w = ProtoWriter()
+        for v in vals:
+            w.varint(v)
+        self.field_bytes(fn, bytes(w.buf))
+
+    def bytes(self) -> bytes:
+        return bytes(self.buf)
+
+
+# ----------------------------------------------------------------------
+# run-length encoders (stripe_enc.cu roles)
+# ----------------------------------------------------------------------
+
+def _vulong(out: bytearray, v: int):
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+
+def _vslong(out: bytearray, v: int):
+    _vulong(out, (v << 1) ^ (v >> 63) if v < 0 else (v << 1))
+
+
+def rle1_encode_ints(vals: np.ndarray, signed: bool) -> bytes:
+    """ORC RLEv1: constant runs (3..130, delta 0) + literal groups
+    (1..128 varints)."""
+    out = bytearray()
+    n = len(vals)
+    i = 0
+    lit: List[int] = []
+
+    def flush_lit():
+        j = 0
+        while j < len(lit):
+            grp = lit[j:j + 128]
+            out.append(256 - len(grp))     # negative count byte
+            for v in grp:
+                (_vslong if signed else _vulong)(out, int(v))
+            j += 128
+        lit.clear()
+
+    while i < n:
+        v = vals[i]
+        j = i + 1
+        while j < n and j - i < 130 and vals[j] == v:
+            j += 1
+        run = j - i
+        if run >= 3:
+            flush_lit()
+            out.append(run - 3)
+            out.append(0)                  # delta = 0
+            (_vslong if signed else _vulong)(out, int(v))
+        else:
+            lit.extend(int(x) for x in vals[i:j])
+            if len(lit) >= 128:
+                flush_lit()
+        i = j
+    flush_lit()
+    return bytes(out)
+
+
+def byte_rle_encode(vals: np.ndarray) -> bytes:
+    """ORC byte RLE: runs of 3..130 identical bytes, literals 1..128."""
+    out = bytearray()
+    n = len(vals)
+    i = 0
+    lit: List[int] = []
+
+    def flush_lit():
+        j = 0
+        while j < len(lit):
+            grp = lit[j:j + 128]
+            out.append(256 - len(grp))
+            out.extend(grp)
+            j += 128
+        lit.clear()
+
+    while i < n:
+        v = vals[i]
+        j = i + 1
+        while j < n and j - i < 130 and vals[j] == v:
+            j += 1
+        run = j - i
+        if run >= 3:
+            flush_lit()
+            out.append(run - 3)
+            out.append(int(v))
+        else:
+            lit.extend(int(x) for x in vals[i:j])
+            if len(lit) >= 128:
+                flush_lit()
+        i = j
+    flush_lit()
+    return bytes(out)
+
+
+def bool_rle_encode(bits: np.ndarray) -> bytes:
+    """Booleans bit-pack MSB-first into bytes, then byte-RLE."""
+    packed = np.packbits(bits.astype(bool))     # big-endian bit order
+    return byte_rle_encode(packed)
+
+
+def _compress_stream(data: bytes, compression: str, block: int) -> bytes:
+    if compression in (None, "none", "uncompressed"):
+        return data
+    out = bytearray()
+    for i in range(0, len(data), block):
+        chunk = data[i:i + block]
+        if compression == "zlib":
+            import zlib
+
+            comp = zlib.compress(chunk, 1)[2:-4]     # raw deflate
+        elif compression == "snappy":
+            from cudf_tpu.native import snappy_compress
+
+            comp = snappy_compress(chunk)
+        else:
+            raise NotImplementedError(f"orc compression {compression}")
+        if len(comp) < len(chunk):
+            hdr = len(comp) << 1
+            out += bytes([hdr & 0xFF, (hdr >> 8) & 0xFF, (hdr >> 16) & 0xFF])
+            out += comp
+        else:
+            hdr = (len(chunk) << 1) | 1              # stored
+            out += bytes([hdr & 0xFF, (hdr >> 8) & 0xFF, (hdr >> 16) & 0xFF])
+            out += chunk
+    return bytes(out)
+
+
+_COMP_IDS = {None: 0, "none": 0, "uncompressed": 0, "zlib": 1, "snappy": 2}
+_BLOCK = 262144
+
+
+# ----------------------------------------------------------------------
+# column encoding
+# ----------------------------------------------------------------------
+
+def _encode_column(col) -> Tuple[int, List[Tuple[int, bytes]]]:
+    """(orc_type_kind, [(stream_kind, raw_bytes)...]) for one column."""
+    from cudf_tpu.ops._utils import materialize_validity
+
+    streams: List[Tuple[int, bytes]] = []
+    valid = None
+    if col.validity is not None:
+        valid = np.asarray(materialize_validity(col))
+        if valid.all():
+            valid = None
+        else:
+            streams.append((_STREAM_PRESENT, bool_rle_encode(valid)))
+
+    if col.dtype.is_dictionary:
+        from cudf_tpu.ops.dictionary import decode as dict_decode
+
+        col = dict_decode(col)
+    if col.dtype.is_string:
+        offs = np.asarray(col.offsets)
+        chars = np.asarray(col.data).tobytes()
+        parts = []
+        lens = []
+        for i in range(col.length):
+            if valid is not None and not valid[i]:
+                continue
+            s = chars[offs[i]:offs[i + 1]]
+            parts.append(s)
+            lens.append(len(s))
+        streams.append((_STREAM_DATA, b"".join(parts)))
+        streams.append((_STREAM_LENGTH,
+                        rle1_encode_ints(np.asarray(lens, np.int64), False)))
+        return _K_STRING, streams
+
+    data = np.asarray(col.data)
+    if valid is not None:
+        data = data[valid]
+    if col.dtype.is_bool:
+        streams.append((_STREAM_DATA, bool_rle_encode(data)))
+        return _K_BOOL, streams
+    if col.dtype.is_temporal:
+        # date32-style days for date types would need _K_DATE; we emit
+        # int64 epoch values as LONG (temporal fidelity via the frame
+        # layer's dtype metadata; pyarrow fallback covers true temporal)
+        streams.append((_STREAM_DATA,
+                        rle1_encode_ints(data.astype(np.int64), True)))
+        return _K_LONG, streams
+    kind = data.dtype.kind
+    if kind in "iu":
+        if data.dtype.itemsize <= 2:
+            k = _K_SHORT
+        elif data.dtype.itemsize == 4:
+            k = _K_INT
+        else:
+            k = _K_LONG
+        streams.append((_STREAM_DATA,
+                        rle1_encode_ints(data.astype(np.int64), True)))
+        return k, streams
+    if data.dtype == np.float32:
+        streams.append((_STREAM_DATA, data.astype("<f4").tobytes()))
+        return _K_FLOAT, streams
+    streams.append((_STREAM_DATA, data.astype("<f8").tobytes()))
+    return _K_DOUBLE, streams
+
+
+def write_orc_native(df, path: str, stripe_size: int = 1 << 20,
+                     compression: Optional[str] = None):
+    """Write a DataFrame as a flat-schema ORC file (writer_impl.cu role).
+
+    compression: None | zlib | snappy (per-stream chunk framing)."""
+    names = list(df._table.names)
+    n = len(df)
+    comp_id = _COMP_IDS[compression]
+    stripes_meta = []
+    with open(path, "wb") as f:
+        f.write(b"ORC")
+        start = 0
+        type_kinds: Optional[List[int]] = None
+        while start < n or (n == 0 and start == 0):
+            stop = min(start + stripe_size, n)
+            offset = f.tell()
+            col_streams: List[List[Tuple[int, bytes]]] = []
+            kinds = []
+            for name in names:
+                col = _slice_col(df._table[name], start, stop)
+                k, streams = _encode_column(col)
+                kinds.append(k)
+                col_streams.append(streams)
+            if type_kinds is None:
+                type_kinds = kinds
+            # data region: streams in (column, kind) order
+            stream_meta = []
+            data_len = 0
+            for ci, streams in enumerate(col_streams):
+                for kind, raw in streams:
+                    framed = _compress_stream(raw, compression, _BLOCK)
+                    f.write(framed)
+                    stream_meta.append((kind, ci + 1, len(framed)))
+                    data_len += len(framed)
+            # stripe footer
+            sf = ProtoWriter()
+            for kind, colid, ln in stream_meta:
+                st = ProtoWriter()
+                st.field_varint(1, kind)
+                st.field_varint(2, colid)
+                st.field_varint(3, ln)
+                sf.field_bytes(1, st.bytes())
+            for _ in range(len(names) + 1):      # root struct + leaves
+                enc = ProtoWriter()
+                enc.field_varint(1, _ENC_DIRECT)
+                sf.field_bytes(2, enc.bytes())
+            sf_raw = _compress_stream(sf.bytes(), compression, _BLOCK)
+            f.write(sf_raw)
+            stripes_meta.append(dict(
+                offset=offset, index_len=0, data_len=data_len,
+                footer_len=len(sf_raw), rows=stop - start))
+            start = stop
+            if n == 0:
+                break
+
+        # ---- Footer ----------------------------------------------------
+        ft = ProtoWriter()
+        ft.field_varint(1, 3)                     # headerLength ("ORC")
+        content_len = f.tell()
+        ft.field_varint(2, content_len)
+        for s in stripes_meta:
+            st = ProtoWriter()
+            st.field_varint(1, s["offset"])
+            st.field_varint(2, s["index_len"])
+            st.field_varint(3, s["data_len"])
+            st.field_varint(4, s["footer_len"])
+            st.field_varint(5, s["rows"])
+            ft.field_bytes(3, st.bytes())
+        root = ProtoWriter()
+        root.field_varint(1, _K_STRUCT)
+        root.field_packed(2, list(range(1, len(names) + 1)))
+        for name in names:
+            root.field_bytes(3, name.encode())
+        ft.field_bytes(4, root.bytes())
+        for k in (type_kinds or []):
+            t = ProtoWriter()
+            t.field_varint(1, k)
+            ft.field_bytes(4, t.bytes())
+        ft.field_varint(6, n)
+        ft.field_varint(8, 0)                     # rowIndexStride = 0
+        footer_raw = _compress_stream(ft.bytes(), compression, _BLOCK)
+        f.write(footer_raw)
+
+        ps = ProtoWriter()
+        ps.field_varint(1, len(footer_raw))
+        ps.field_varint(2, comp_id)
+        ps.field_varint(3, _BLOCK)
+        ps.field_packed(4, [0, 12])               # file version 0.12
+        ps.field_varint(5, 0)                     # metadataLength
+        ps.field_varint(6, 1)                     # writerVersion
+        ps.field_bytes(8000, b"ORC")              # magic
+        ps_raw = ps.bytes()
+        f.write(ps_raw)
+        assert len(ps_raw) < 256
+        f.write(bytes([len(ps_raw)]))
+
+
+def _slice_col(col, start: int, stop: int):
+    if start == 0 and stop == col.length:
+        return col
+    from cudf_tpu.ops import copying
+
+    return copying.slice(col, start, stop)

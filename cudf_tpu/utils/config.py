@@ -87,6 +87,10 @@ _register("io.parquet.chunk_read_limit", 0, "bytes per parquet pass (0 = whole f
 _register("io.parquet.device_decode", False,
           "decode RLE/dictionary pages on device (VPU expand + gather); "
           "page assembly still host-side — experimental")
+_register("io.orc.native_writer", True,
+          "write flat-schema ORC with the self-contained writer "
+          "(orc_writer.py: RLEv1 streams, zlib/snappy framing); "
+          "pyarrow tier for nested/temporal shapes")
 _register("io.orc.native_reader", True,
           "read flat-schema ORC with the self-contained reader "
           "(orc_native.py); pyarrow tier for nested types")

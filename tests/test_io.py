@@ -5,6 +5,7 @@ import pandas as pd
 import pytest
 
 import cudf_tpu as ct
+import cudf_tpu
 from cudf_tpu.utils.testing import assert_eq, make_random_frame
 
 
@@ -289,3 +290,31 @@ def test_orc_entrypoint_uses_native(tmp_path, monkeypatch, rng):
     monkeypatch.setattr(paorc, "ORCFile", Boom)
     got = ct.read_orc(p).to_pandas()
     pd.testing.assert_frame_equal(got, pdf, check_dtype=False)
+
+
+def test_orc_native_writer_roundtrip(tmp_path):
+    """VERDICT r2 item 7: self-contained ORC writer — zero-pyarrow round
+    trip, pyarrow cross-readable (writer_impl.cu:1, stripe_enc.cu roles)."""
+    import pyarrow.orc as po
+
+    from cudf_tpu.io.orc_writer import write_orc_native
+
+    rng = np.random.default_rng(4)
+    n = 5000
+    pdf = pd.DataFrame({
+        "i": rng.integers(-1000, 1000, n).astype(np.int32),
+        "f": rng.normal(size=n),
+        "s": np.array(["x", "yy", ""])[rng.integers(0, 3, n)],
+        "b": rng.random(n) < 0.5,
+        "nul": np.where(rng.random(n) < 0.25, np.nan, rng.normal(size=n)),
+    })
+    df = cudf_tpu.DataFrame.from_pandas(pdf)
+    for comp in [None, "zlib", "snappy"]:
+        p = str(tmp_path / f"t_{comp}.orc")
+        write_orc_native(df, p, compression=comp, stripe_size=1024)
+        back = po.ORCFile(p).read().to_pandas()
+        pd.testing.assert_frame_equal(back, pdf, check_dtype=False)
+        from cudf_tpu.io.orc_native import read_orc_native
+
+        back2 = read_orc_native(p).to_pandas()
+        pd.testing.assert_frame_equal(back2, pdf, check_dtype=False)
