@@ -224,6 +224,14 @@ class DType:
         return self.id in (TypeId.LIST, TypeId.STRUCT)
 
     @property
+    def is_list(self) -> bool:
+        return self.id == TypeId.LIST
+
+    @property
+    def is_struct(self) -> bool:
+        return self.id == TypeId.STRUCT
+
+    @property
     def is_fixed_width(self) -> bool:
         return self.id in _STORAGE
 

@@ -315,6 +315,10 @@ def read_parquet_native(path: str, columns: Optional[List[str]] = None,
     import jax.numpy as jnp
 
     md = thrift.read_file_metadata(path)
+    if any(s.num_children for s in md.schema[1:]):
+        # nested schema: list/struct assembly via rep/def levels
+        # (io/parquet_nested.py — dremel.cu / page_data.cu roles)
+        return _read_parquet_nested(path, md, columns, filters, row_groups)
     # leaf schema (flat files only in this tier)
     leaves = [s for s in md.schema[1:] if s.num_children == 0]
     names = [s.name for s in leaves]
@@ -402,3 +406,51 @@ def read_parquet_native_chunked(path: str, columns: Optional[List[str]] = None,
     if batch:
         yield read_parquet_native(path, columns, filters=filters,
                                   row_groups=batch)
+
+
+def _read_parquet_nested(path, md, columns, filters, row_groups):
+    """Mixed flat/list/struct schema reader (see io/parquet_nested.py)."""
+    import jax.numpy as jnp
+
+    from cudf_tpu.frame.dataframe import DataFrame
+    from cudf_tpu.frame.index import default_index
+    from cudf_tpu.io import parquet_nested as pn
+    from cudf_tpu.ops import copying
+
+    fields = pn.schema_fields(md.schema)
+    wanted = columns or [f.name for f in fields]
+    groups = md.row_groups
+    if row_groups is not None:
+        groups = [groups[i] for i in row_groups]
+    if filters:
+        groups = [rg for rg in groups if _rg_passes_filters(rg, filters, None)]
+    # index column chunks by dotted path per row group
+    cols: Dict[str, List[Column]] = {n: [] for n in wanted}
+    for rg in groups:
+        by_path = {tuple(cc.path): cc for cc in rg.columns}
+        for f in fields:
+            if f.name not in cols:
+                continue
+            if f.kind == "leaf":
+                leaf = f.leaves[0]
+                cc = by_path[leaf.path]
+                values, defs, reps = pn.read_chunk_levels(path, cc, leaf)
+                cols[f.name].append(pn._values_column(values, defs, leaf))
+            elif f.kind == "list":
+                leaf = f.leaves[0]
+                cc = by_path[leaf.path]
+                values, defs, reps = pn.read_chunk_levels(path, cc, leaf)
+                cols[f.name].append(pn.assemble_list(values, defs, reps, f))
+            else:
+                parts = []
+                for leaf in f.leaves:
+                    cc = by_path[leaf.path]
+                    values, defs, _ = pn.read_chunk_levels(path, cc, leaf)
+                    parts.append((values, defs))
+                cols[f.name].append(pn.assemble_struct(parts, f))
+    out = {}
+    for n in wanted:
+        parts = cols[n]
+        out[n] = parts[0] if len(parts) == 1 else copying.concatenate(parts)
+    t = Table(out)
+    return DataFrame._from(t, default_index(t.num_rows))

@@ -354,6 +354,50 @@ def _write_dict_page_header(w: CompactWriter, n_values: int, usize: int,
     w.end_struct()
 
 
+
+def _list_levels(col) -> Tuple[np.ndarray, np.ndarray, "Column"]:
+    """(rep_levels, def_levels, element_column) for a list column —
+    dremel-style level generation (cpp/src/lists/dremel.cu:1).
+
+    Levels use the standard 3-level optional schema: def 0 = null list,
+    1 = empty list, 2 = null element, 3 = element present; rep 0 starts
+    a row."""
+    from cudf_tpu.ops._utils import materialize_validity
+
+    n = col.length
+    offs = np.asarray(col.offsets)
+    counts = offs[1:] - offs[:-1]
+    lvalid = (np.asarray(materialize_validity(col))
+              if col.validity is not None else np.ones(n, bool))
+    counts = np.where(lvalid, counts, 0)
+    emit = np.maximum(counts, 1)
+    tot = int(emit.sum())
+    starts = np.cumsum(emit) - emit
+    first = np.zeros(tot, bool)
+    first[starts] = True
+    rep = np.where(first, 0, 1).astype(np.int32)
+    has = np.repeat(counts > 0, emit)
+    lv_r = np.repeat(lvalid, emit)
+    within = np.arange(tot) - np.repeat(starts, emit)
+    child_idx = np.repeat(offs[:-1], emit) + within
+    child = col.children[0]
+    if child.validity is not None:
+        evalid = np.asarray(materialize_validity(child))
+    else:
+        evalid = np.ones(child.length, bool)
+    ev = evalid[np.clip(child_idx, 0, max(child.length - 1, 0))] \
+        if child.length else np.zeros(tot, bool)
+    defs = np.where(~lv_r, 0,
+                    np.where(~has, 1, np.where(ev, 3, 2))).astype(np.int32)
+    return rep, defs, child
+
+
+def _encode_levels(levels: np.ndarray, max_level: int) -> bytes:
+    bw = max(int(max_level).bit_length(), 1)
+    body = _rle_hybrid_encode(levels.astype(np.int32), bw)
+    return struct.pack("<I", len(body)) + body
+
+
 def write_parquet_native(df, path: str, row_group_size: int = 1 << 20,
                          compression: str = "snappy",
                          use_dictionary: bool = True,
@@ -376,17 +420,55 @@ def write_parquet_native(df, path: str, row_group_size: int = 1 << 20,
         while start < n or (n == 0 and start == 0):
             stop = min(start + row_group_size, n)
             cols_meta = []
+            leaf_specs = []
             for name in names:
                 col = _slice_col(df._table[name], start, stop)
+                if col.dtype.is_list:
+                    rep, defs, child = _list_levels(col)
+                    leaf_specs.append(dict(
+                        path=(name, "list", "element"), col=child,
+                        rep=rep, defs=defs, max_rep=1, max_def=3,
+                        nv=len(defs), dict_ok=False))
+                elif col.dtype.is_struct:
+                    from cudf_tpu.ops._utils import materialize_validity
+
+                    svalid = (np.asarray(materialize_validity(col))
+                              if col.validity is not None else None)
+                    fields = col.dtype.fields or ()
+                    for (fname, _), child in zip(fields, col.children):
+                        cvalid = (np.asarray(materialize_validity(child))
+                                  if child.validity is not None
+                                  else np.ones(child.length, bool))
+                        if svalid is not None:
+                            defs = np.where(~svalid, 0,
+                                            np.where(cvalid, 2, 1))
+                        else:
+                            defs = np.where(cvalid, 2, 1)
+                        import jax.numpy as _jnp
+
+                        both = cvalid if svalid is None else (cvalid & svalid)
+                        leaf = child.with_validity(
+                            None if both.all() else _jnp.asarray(both))
+                        leaf_specs.append(dict(
+                            path=(name, fname), col=leaf, rep=None,
+                            defs=defs.astype(np.int32), max_rep=0, max_def=2,
+                            nv=child.length, dict_ok=False))
+                else:
+                    leaf_specs.append(dict(
+                        path=(name,), col=col, rep=None, defs=None,
+                        max_rep=0, max_def=1 if col.validity is not None
+                        else 0, nv=col.length, dict_ok=True))
+            for spec in leaf_specs:
+                col = spec["col"]
                 offset = f.tell()
                 nullable = col.validity is not None
-                nv = col.length
+                nv = spec["nv"]
                 utotal = 0            # uncompressed byte accounting
                 vals, pt, mn, mx = _plain_encode(col)
                 dict_off = None
                 encoding = 0          # PLAIN
-                dic = _try_dictionary(vals, pt, col) if use_dictionary \
-                    else None
+                dic = _try_dictionary(vals, pt, col) \
+                    if (use_dictionary and spec["dict_ok"]) else None
                 if dic is not None:
                     dict_vals, indices = dic
                     nuniq = max(len(indices) and int(indices.max()) + 1, 1)
@@ -401,31 +483,38 @@ def write_parquet_native(df, path: str, row_group_size: int = 1 << 20,
                     bw = max(int(nuniq - 1).bit_length(), 1)
                     vals = bytes([bw]) + _rle_hybrid_encode(indices, bw)
                     encoding = 8      # RLE_DICTIONARY
-                # definition levels
-                if nullable:
+                # repetition + definition levels (v1 layout: each RLE
+                # section carries its own 4-byte length prefix)
+                lvl = b""
+                if spec["max_rep"]:
+                    lvl += _encode_levels(spec["rep"], spec["max_rep"])
+                if spec["defs"] is not None:
+                    lvl += _encode_levels(spec["defs"], spec["max_def"])
+                    nulls = int((spec["defs"] < spec["max_def"]).sum())
+                elif nullable:
                     from cudf_tpu.ops._utils import materialize_validity
 
-                    lv = np.asarray(materialize_validity(col)).astype(np.uint8)
-                    rle = _rle_encode_bits(lv)
-                    nulls = int((lv == 0).sum())
+                    dl = np.asarray(materialize_validity(col)).astype(np.int32)
+                    lvl += _encode_levels(dl, 1)
+                    nulls = int((dl == 0).sum())
                 else:
-                    rle = b""
                     nulls = 0
+                has_levels = len(lvl) > 0
                 data_off = f.tell()
                 w = CompactWriter()
-                if data_page_version == 2:
+                if data_page_version == 2 and spec["max_rep"] == 0:
                     cbody = _compress(vals, codec)
+                    lvl2 = lvl[4:] if has_levels else b""  # v2: no prefix
                     _write_page_header_v2(
                         w, nv, nulls, nv, encoding,
-                        len(rle) + len(vals), len(rle) + len(cbody),
-                        len(rle), codec != 0)
+                        len(lvl2) + len(vals), len(lvl2) + len(cbody),
+                        len(lvl2), codec != 0)
                     f.write(bytes(w.buf))
-                    f.write(rle)              # v2 levels: no length prefix,
-                    f.write(cbody)            # never compressed
-                    utotal += len(w.buf) + len(rle) + len(vals)
+                    f.write(lvl2)
+                    f.write(cbody)
+                    utotal += len(w.buf) + len(lvl2) + len(vals)
                 else:
-                    body = (struct.pack("<I", len(rle)) + rle if nullable
-                            else b"") + vals
+                    body = lvl + vals
                     cbody = _compress(body, codec)
                     _write_page_header(w, nv, encoding, len(body),
                                        len(cbody))
@@ -434,7 +523,7 @@ def write_parquet_native(df, path: str, row_group_size: int = 1 << 20,
                     utotal += len(w.buf) + len(body)
                 total = f.tell() - offset
                 cols_meta.append(dict(
-                    name=name, type=pt, offset=offset, nv=nv,
+                    path=spec["path"], type=pt, offset=offset, nv=nv,
                     total=total, utotal=utotal, mn=mn, mx=mx, nulls=nulls,
                     nullable=nullable, codec=codec, encoding=encoding,
                     dict_off=dict_off, data_off=data_off))
@@ -446,23 +535,50 @@ def write_parquet_native(df, path: str, row_group_size: int = 1 << 20,
                 break
 
         # ---- FileMetaData footer --------------------------------------
+        # schema tree in pre-order: (name, repetition, phys|None,
+        # num_children, converted|None)
+        leaves = row_groups_meta[0]["cols"] if row_groups_meta else []
+        leaf_by_path = {c["path"]: c for c in leaves}
+        schema_els = []
+        for name in names:
+            col0 = df._table[name]
+            if col0.dtype.is_list:
+                c = leaf_by_path[(name, "list", "element")]
+                schema_els.append((name, 1, None, 1, 3))        # LIST group
+                schema_els.append(("list", 2, None, 1, None))   # repeated
+                schema_els.append(("element", 1, c["type"], 0,
+                                   0 if c["type"] == _PT_BA else None))
+            elif col0.dtype.is_struct:
+                fields = col0.dtype.fields or ()
+                schema_els.append((name, 1 if col0.validity is not None
+                                   else 0, None, len(fields), None))
+                for fname, _ in fields:
+                    c = leaf_by_path[(name, fname)]
+                    schema_els.append((fname, 1, c["type"], 0,
+                                       0 if c["type"] == _PT_BA else None))
+            else:
+                c = leaf_by_path[(name,)]
+                schema_els.append((name, 1 if c["nullable"] else 0,
+                                   c["type"], 0,
+                                   0 if c["type"] == _PT_BA else None))
         w = CompactWriter()
         w.begin_struct()
         w.write_i(1, 2, _CT_I32)          # version
-        # schema: root + leaves
-        leaves = row_groups_meta[0]["cols"] if row_groups_meta else []
-        w.begin_list(2, _CT_STRUCT, 1 + len(names))
+        w.begin_list(2, _CT_STRUCT, 1 + len(schema_els))
         w.begin_struct()                  # root
         w.write_binary(4, b"schema")
         w.write_i(5, len(names), _CT_I32)
         w.end_struct()
-        for c in leaves:
+        for (nm, repn, pt_, nkids, conv) in schema_els:
             w.begin_struct()
-            w.write_i(1, c["type"], _CT_I32)
-            w.write_i(3, 1 if c["nullable"] else 0, _CT_I32)  # repetition
-            w.write_binary(4, c["name"].encode())
-            if c["type"] == _PT_BA:
-                w.write_i(6, 0, _CT_I32)  # converted_type = UTF8
+            if pt_ is not None:
+                w.write_i(1, pt_, _CT_I32)
+            w.write_i(3, repn, _CT_I32)   # repetition
+            w.write_binary(4, nm.encode())
+            if nkids:
+                w.write_i(5, nkids, _CT_I32)
+            if conv is not None:
+                w.write_i(6, conv, _CT_I32)
             w.end_struct()
         w.write_i(3, n, _CT_I64)          # num_rows
         w.begin_list(4, _CT_STRUCT, len(row_groups_meta))
@@ -480,10 +596,11 @@ def write_parquet_native(df, path: str, row_group_size: int = 1 << 20,
                 w.begin_list(2, _CT_I32, len(encs))
                 for e in encs:
                     w._zigzag(e)
-                w.begin_list(3, _CT_BINARY, 1)
-                nm = c["name"].encode()
-                w._varint(len(nm))
-                w.buf += nm
+                w.begin_list(3, _CT_BINARY, len(c["path"]))
+                for seg in c["path"]:
+                    nm = seg.encode()
+                    w._varint(len(nm))
+                    w.buf += nm
                 w.write_i(4, c["codec"], _CT_I32)
                 w.write_i(5, c["nv"], _CT_I64)
                 w.write_i(6, c["utotal"], _CT_I64)   # uncompressed
