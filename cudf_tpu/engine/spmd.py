@@ -52,10 +52,19 @@ class _Stream:
         self.cols = cols
         self.valid = valid
 
-    def table(self, dtypes: Dict[str, dt.DType]) -> Table:
+    def table(self, dtypes: Dict[str, dt.DType], dicts=None) -> Table:
         n = next(iter(self.cols.values())).shape[0]
-        return Table({name: Column(dtypes[name], n, data=arr)
-                      for name, arr in self.cols.items()})
+        cols = {}
+        for name, arr in self.cols.items():
+            d = dtypes[name]
+            kids = ()
+            if d.is_dictionary and dicts and name in dicts:
+                # the dictionary itself enters the trace as a constant,
+                # so string expressions over dict columns lower to
+                # device-tier chunk compares
+                kids = [dicts[name]]
+            cols[name] = Column(d, n, data=arr, children=kids)
+        return Table(cols)
 
 
 class _Lowering:
@@ -93,7 +102,22 @@ class _Lowering:
 
                 col = dict_encode(col)
             if col.dtype.is_dictionary:
-                self.dicts[name] = col.children[0]
+                # capture the dictionary with NUMPY buffers: inside
+                # shard_map, closed-over jax arrays become tracers, but
+                # numpy constants stay python-concrete so string ops can
+                # still take host metadata decisions (max length etc.).
+                # Column.__init__ coerces to jax arrays, so override the
+                # buffers on a shallow copy.
+                import copy as _copy
+
+                k = _copy.copy(col.children[0])
+                if k.data is not None:
+                    k.data = np.asarray(k.data)
+                if k.offsets is not None:
+                    k.offsets = np.asarray(k.offsets)
+                if k.validity is not None:
+                    k.validity = np.asarray(k.validity)
+                self.dicts[name] = k
             elif not (col.dtype.is_numeric or col.dtype.is_bool
                       or col.dtype.is_temporal):
                 raise Unlowerable(f"source column {name!r}: {col.dtype}")
@@ -126,7 +150,9 @@ class _Lowering:
             walk(e)
 
     def _eval_expr(self, expr, stream: _Stream, dtypes):
-        col = expr.evaluate(stream.table(dtypes))
+        col = expr.evaluate(stream.table(dtypes, self.dicts))
+        if col.dtype.is_string:
+            raise Unlowerable(f"string-typed expr result {expr!r}")
         data = col.data
         valid = stream.valid
         if col.validity is not None:
@@ -162,8 +188,12 @@ class _Lowering:
                 return fn, dict(cdt)
             # Select / HStack: dtypes need a host-side probe (zero-row eval)
             self._check_exprs(node.exprs)
-            probe = Table({n: Column(d, 0, data=jnp.zeros((0,), d.storage))
-                           for n, d in cdt.items()})
+            probe = Table({
+                n: Column(d, 0, data=jnp.zeros((0,), d.storage),
+                          children=[self.dicts[n]] if (
+                              d.is_dictionary and n in self.dicts)
+                          else ())
+                for n, d in cdt.items()})
             out_dt = dict(cdt) if isinstance(node, IRs.HStack) else {}
             for e in node.exprs:
                 try:
@@ -349,12 +379,45 @@ class _Lowering:
         import jax.numpy as jnp
         from cudf_tpu.parallel.dist import _dist_sort_shard
 
-        if len(node.by) != 1:
-            raise Unlowerable("multi-key distributed sort")
         cfn, cdt = self.lower(node.children[0])
+        names = [n for n in cdt]
+        if len(node.by) != 1:
+            # composite int64 key: every by-column must have a host-known
+            # bounded code range (dictionary / bool); mixed-radix packing
+            # preserves the lexicographic order
+            sizes = []
+            for b in node.by:
+                if cdt[b].is_dictionary and b in self.dicts:
+                    sizes.append(self.dicts[b].length + 1)
+                elif cdt[b].is_bool:
+                    sizes.append(3)
+                else:
+                    raise Unlowerable("multi-key sort on unbounded dtypes")
+            by_cols = list(node.by)
+            descs = list(node.descending)
+
+            def fn(srcs, _cfn=cfn, _by=by_cols, _sizes=sizes, _descs=descs,
+                   _names=names):
+                s = _cfn(srcs)
+                key = jnp.zeros(s.valid.shape, jnp.int64)
+                for b, sz, d in zip(_by, _sizes, _descs):
+                    c = s.cols[b].astype(jnp.int64)
+                    if d:
+                        c = (sz - 1) - c
+                    key = key * sz + c
+                n = key.shape[0]
+                pays = [s.cols[n_] for n_ in _names]
+                capacity = max(int(n * 2.0), 16)
+                k_out, pays_out, mask_out, dropped = _dist_sort_shard(
+                    key, pays, s.valid, num_parts=self.num_parts,
+                    capacity=capacity, descending=False, axis=self.axis)
+                return _Stream(
+                    {n_: pays_out[i] for i, n_ in enumerate(_names)},
+                    mask_out)
+
+            return fn, dict(cdt)
         by = node.by[0]
         desc = bool(node.descending[0])
-        names = [n for n in cdt]
 
         def fn(srcs, _cfn=cfn, _by=by, _desc=desc, _names=names):
             s = _cfn(srcs)

@@ -278,6 +278,43 @@ def _as_string_column(x, n) -> Column:
 
 
 def _string_binary(lhs, rhs, op, n) -> Column:
+    # decode-free dictionary-vs-scalar compares: evaluate the comparison
+    # once per DICTIONARY value, then gather the boolean by code — no
+    # count-then-allocate string gather, so the path stays jit-traceable
+    # (the engine's SPMD compiler relies on this) and O(dict) instead of
+    # O(rows) on the string side (cudf dictionary search semantics)
+    for a, b, flip in ((lhs, rhs, False), (rhs, lhs, True)):
+        if (isinstance(a, Column) and a.dtype.is_dictionary
+                and not isinstance(b, Column)
+                and op in _COMPARISONS and op != "null_equals"):
+            keys = a.children[0]
+            # host-buffer literal column: inside shard_map all jax-array
+            # constants become tracers, so keep the scalar side in numpy
+            # (matching the numpy-buffer dictionary the SPMD lowering
+            # captures) — the comparison then traces cleanly
+            import copy as _copy
+
+            import numpy as _np
+
+            sb = str(b).encode()
+            lit_col = _copy.copy(Column.from_strings([str(b)]))
+            lit_col.data = _np.frombuffer(sb, _np.uint8) if sb else \
+                _np.zeros(0, _np.uint8)
+            lit_col.offsets = _np.asarray([0, len(sb)], _np.int64)
+            lit_col.length = 1
+            reps = keys.length
+            # broadcast by comparing each dictionary entry against the
+            # single literal row (lengths differ; compare elementwise by
+            # tiling the literal's padded bytes)
+            cmp = _compare_strings_broadcast(keys, lit_col)  # [dict]
+            if flip:
+                cmp = -cmp
+            per_code = _CMP_FNS[op](cmp, 0)
+            codes = jnp.clip(a.data.astype(jnp.int64), 0,
+                             max(keys.length - 1, 0))
+            data = jnp.take(per_code, codes) if keys.length else \
+                jnp.zeros((n,), jnp.bool_)
+            return Column(dt.BOOL8, n, data=data, validity=a.validity)
     l = _as_string_column(lhs, n)
     r = _as_string_column(rhs, n)
     if l.dtype.is_dictionary:
@@ -298,6 +335,33 @@ def _string_binary(lhs, rhs, op, n) -> Column:
         validity = bm.and_masks(l.validity, r.validity)
         return Column(dt.BOOL8, n, data=data, validity=validity)
     raise TypeError(f"unsupported string op {op}")
+
+
+def _compare_strings_broadcast(l: Column, r1: Column) -> jnp.ndarray:
+    """3-way compare of every row of l against the SINGLE row of r1
+    (numpy-buffer columns stay host-concrete; see _string_binary)."""
+    max_len = int(max(1, _column_max_len(l), _column_max_len(r1)))
+    lm = _padded_bytes(l, max_len).astype(jnp.int16)
+    rm = _padded_bytes(r1, max_len).astype(jnp.int16)   # [1, w]
+    diff = jnp.sign(lm - rm)
+    nz = diff != 0
+    first = jnp.argmax(nz, axis=1)
+    any_nz = jnp.any(nz, axis=1)
+    picked = jnp.take_along_axis(diff, first[:, None], axis=1)[:, 0]
+    return jnp.where(any_nz, picked, 0).astype(jnp.int8)
+
+
+def _column_max_len(c: Column) -> int:
+    # host metadata must stay in NUMPY: inside shard_map even jnp ops on
+    # closed-over constants become tracers
+    if not c.length:
+        return 0
+    import numpy as _np
+
+    offs = c.offsets
+    if isinstance(offs, _np.ndarray):
+        return int((offs[1:] - offs[:-1]).max())
+    return int(jnp.max(offs[1:] - offs[:-1]))
 
 
 def _padded_bytes(col: Column, width: int) -> jnp.ndarray:
@@ -322,8 +386,7 @@ def _compare_strings(l: Column, r: Column) -> jnp.ndarray:
     vectorized pass.  Long-string columns should be dictionary-encoded
     before comparison (the idiomatic path for joins/sorts).
     """
-    max_len = int(max(1, max(int(jnp.max(l.offsets[1:] - l.offsets[:-1])) if l.length else 0,
-                             int(jnp.max(r.offsets[1:] - r.offsets[:-1])) if r.length else 0)))
+    max_len = int(max(1, _column_max_len(l), _column_max_len(r)))
     lm = _padded_bytes(l, max_len).astype(jnp.int16)
     rm = _padded_bytes(r, max_len).astype(jnp.int16)
     diff = jnp.sign(lm - rm)  # [n, w] in {-1,0,1}
