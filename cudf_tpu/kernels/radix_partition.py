@@ -432,6 +432,14 @@ def bucket_aggregate(pkeys, pvals, step_tab, num_windows: int, shift: int,
         )(step_tab, pkeys, *vplanes)
 
 
+def zero_empty_windows(acc, bucket_base):
+    """Zero acc blocks of windows whose region is empty: such windows get
+    NO grid step, so their revisited-output blocks are never initialized
+    (uninitialized HBM — NaN/garbage).  One elementwise pass."""
+    empty = (bucket_base[1:] - bucket_base[:-1]) == 0
+    return jnp.where(empty[:, None, None], 0.0, acc)
+
+
 def combine_acc(acc, int_mode: bool):
     """(sums, counts) flat over G*SPAN keys from a bucket_aggregate acc.
 
@@ -644,6 +652,7 @@ def radix_groupby_sum_count(keys, vals, num_keys: int,
         acc = bucket_aggregate(pk, pv, step_tab, G, WINDOW_BITS,
                                agg_rows, interpret=interpret,
                                mode="int" if int_mode else "float")
+        acc = zero_empty_windows(acc, base)
     sums, cnts = combine_acc(acc, int_mode)
     return sums[:num_keys], cnts[:num_keys]
 
@@ -674,12 +683,15 @@ def _probe_kernel(shift, agg_rows, with_pay,
 
     # RB rows batch into ONE [HI, RB*128] one-hot operand per plane (the
     # same K-dim batching as the aggregation kernel: per-row matmuls
-    # measured 2.5x slower), then a lane take_along_axis extracts the
-    # lo-indexed cell per element.
+    # measured 2.5x slower).  Extraction of the lo-indexed cell uses the
+    # shared lo one-hot multiply + sublane reduce (gathers and 1-D
+    # concatenations both hit Mosaic walls); chunk planes recombine into
+    # two <=2^16 f32 planes BEFORE extraction, halving the VPU cost.
     RB = 8
+    lo_classes = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
 
     def body(i, _):
-        oh_parts, lo_parts, win_parts = [], [], []
+        oh_parts, lob_parts, win_parts = [], [], []
         for k in range(RB):
             r = i * RB + k
             local = keys_ref[r, :] - base                 # window-relative
@@ -688,29 +700,36 @@ def _probe_kernel(shift, agg_rows, with_pay,
             in_win = (local >= 0) & (local < SPAN)
             hi = jnp.where(in_win, hi, -1)
             oh_parts.append((hi_classes == hi[None, :]).astype(jnp.bfloat16))
-            lo_parts.append(lo)
+            lob_parts.append((lo_classes == lo[None, :]).astype(jnp.float32))
             win_parts.append(in_win)
         oh = jnp.concatenate(oh_parts, axis=1)            # [HI, RB*128]
-        lo = jnp.concatenate(lo_parts).reshape(RB * LANES, 1)
-        in_win = jnp.concatenate(win_parts)
+        B = jnp.concatenate(lob_parts, axis=1)            # [128, RB*128]
 
-        def lookup(t):                                    # [RB*128, 128]
-            u = jax.lax.dot_general(oh, t, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            return jnp.take_along_axis(u, lo, axis=-1)[:, 0]
+        def table_mm(t):                                  # [128, RB*128]
+            return jax.lax.dot_general(t, oh, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
 
-        c = [lookup(t) for t in t_id]
-        found = (c[0] + c[1] + c[2] + c[3] > 0) & in_win
-        bid = (c[0].astype(jnp.int32)
-               + (c[1].astype(jnp.int32) << 8)
-               + (c[2].astype(jnp.int32) << 16)
-               + (c[3].astype(jnp.int32) << 24)) - 1
-        out = jnp.where(found, bid, -1).reshape(RB, LANES)
-        obid_ref[pl.ds(i * RB, RB), :] = out
+        def extract(u):                                   # [RB*128] lanes
+            return jnp.sum(u * B, axis=0)
+
+        u_lo = table_mm(t_id[0]) + 256.0 * table_mm(t_id[1])
+        u_hi = table_mm(t_id[2]) + 256.0 * table_mm(t_id[3])
+        c_lo = extract(u_lo)                              # <= 2^16, exact
+        c_hi = extract(u_hi)
+        found_f = c_lo + c_hi                             # > 0 iff occupied
+        bid_f = (c_lo.astype(jnp.int32)
+                 + (c_hi.astype(jnp.int32) << 16)) - 1
         if with_pay:
-            pay = lookup(t_pay[0]) + lookup(t_pay[1]) + lookup(t_pay[2])
-            pay = jnp.where(found, pay, 0.0).reshape(RB, LANES)
-            out_refs[1][pl.ds(i * RB, RB), :] = pay
+            pay_f = extract(table_mm(t_pay[0]) + table_mm(t_pay[1])
+                            + table_mm(t_pay[2]))
+        for k in range(RB):
+            sl = slice(k * LANES, (k + 1) * LANES)
+            found = (found_f[sl] > 0) & win_parts[k]
+            row = jnp.where(found, bid_f[sl], -1)
+            obid_ref[pl.ds(i * RB + k, 1), :] = row[None, :]
+            if with_pay:
+                prow = jnp.where(found, pay_f[sl], 0.0)
+                out_refs[1][pl.ds(i * RB + k, 1), :] = prow[None, :]
         return 0
 
     jax.lax.fori_loop(0, agg_rows // RB, body, 0)
@@ -799,6 +818,7 @@ def build_join_tables(rk, key_domain: int, rv=None, tile_rows: int = 512,
     step_r = step_table_device(base_r, rows_r, agg_rows)
     acc = bucket_aggregate(pkr, pvr, step_r, G, WINDOW_BITS, agg_rows,
                            interpret=interpret, mode=mode)
+    acc = zero_empty_windows(acc, base_r)
     tables, unique = probe_tables(acc)
     return tables, unique, G
 
