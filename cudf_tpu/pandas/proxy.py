@@ -253,6 +253,7 @@ class _FastSlowProxy:
         if self._fast is None:
             import cudf_tpu
 
+            _check_fast_convertible(self._slow)
             with _entering_fast():
                 object.__setattr__(self, "_fast", cudf_tpu.from_pandas(self._slow))
         return self._fast
@@ -380,6 +381,44 @@ def _dispatch_call(proxy: _FastSlowProxy, name: str, args, kwargs):
         out = fn(*_unwrap(args, False), **_unwrap(kwargs, False))
         _record(name, False)
         return _wrap(out)
+
+
+def _check_fast_convertible(slow) -> None:
+    """Refuse the fast domain for pandas extension dtypes whose masked /
+    arrow-backed semantics the columnar layer would silently flatten to
+    numpy (Int64 -> int64 etc.) — such objects stay ENTIRELY on the slow
+    path, preserving dtype fidelity (the curated-surface discipline of
+    the reference's _wrappers/pandas.py: unsupported types never enter
+    the fast domain)."""
+    import pandas as pd
+    from pandas.api.types import is_extension_array_dtype
+
+    def bad(dtype) -> bool:
+        if not is_extension_array_dtype(dtype):
+            return False
+        if isinstance(dtype, pd.CategoricalDtype):
+            return False                      # dictionary-encoded: fast
+        if isinstance(dtype, pd.DatetimeTZDtype):
+            return False                      # tz layer handles these
+        try:
+            from pandas.core.dtypes.dtypes import BaseMaskedDtype
+
+            if isinstance(dtype, BaseMaskedDtype):
+                return True                   # Int64/Float64/boolean
+        except ImportError:
+            pass
+        return isinstance(dtype, (pd.ArrowDtype, pd.PeriodDtype,
+                                  pd.IntervalDtype, pd.SparseDtype))
+
+    dtypes = []
+    if isinstance(slow, pd.DataFrame):
+        dtypes = list(slow.dtypes) + [slow.index.dtype]
+    elif isinstance(slow, pd.Series):
+        dtypes = [slow.dtype, slow.index.dtype]
+    for d in dtypes:
+        if bad(d):
+            raise TypeError(
+                f"pandas extension dtype {d} stays on the slow path")
 
 
 class _FastSlowAttr:
