@@ -135,6 +135,69 @@ def bench_join(n, build_rows, iters=3):
     return n / dt
 
 
+def bench_join_dict(n, n_dict=100_000, iters=3):
+    """J1 with DICTIONARY-ENCODED STRING keys (BASELINE.md's second J1
+    config): the probe/build key columns carry distinct dictionaries, so
+    the measured time INCLUDES the dictionary-matching recode of the
+    probe side onto the build dictionary (join.cu:37
+    match_dictionaries), then the identical radix/MXU int-code path."""
+    from cudf_tpu.kernels.radix_partition import radix_join_inner_unique
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    # build dictionary = n_dict distinct strings; probe dictionary is a
+    # permutation of the same value set (worst-case full recode)
+    perm = jax.random.permutation(k1, n_dict).astype(jnp.int32)
+    inv_perm = jnp.zeros((n_dict,), jnp.int32).at[perm].set(
+        jnp.arange(n_dict, dtype=jnp.int32))
+    rk = jax.random.permutation(k2, n_dict).astype(jnp.int32)
+    rv = jax.random.normal(k1, (n_dict,), jnp.float32)
+    lk_codes = jax.random.randint(k3, (n,), 0, n_dict, dtype=jnp.int32)
+
+    def run(i):
+        # match_dictionaries: recode probe codes onto the build dictionary
+        # (device gather through the n_dict-sized remap table)
+        lk = jnp.take(inv_perm, lk_codes ^ (i & 1))
+        pkl, pvl, bid, mval, unique = radix_join_inner_unique(
+            lk, jnp.arange(n, dtype=jnp.int32), rk ^ (i & 1), n_dict, rv=rv)
+        assert unique
+        return float(jnp.sum(mval)) + int(jnp.sum(bid >= 0))
+
+    run(0)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        run(i)
+    dt = (time.perf_counter() - t0) / iters
+    return n / dt
+
+
+def bench_tpch(scale=1.0, queries=("q1", "q5", "q6"), iters=2):
+    """TPC-H single-chip wall times via the SPMD compiler on a 1-device
+    mesh: each query is ONE jitted program, so the axon tunnel is crossed
+    once per run (BASELINE.md SF100 trendline; reference
+    cpp/benchmarks/ndsh/q01.cpp)."""
+    import sys
+
+    from benchmarks import tpch
+    from cudf_tpu.parallel.mesh import make_mesh
+
+    tables = tpch.generate(scale)
+    mesh = make_mesh(1)
+    out = {}
+    for qn in queries:
+        fn = getattr(tpch, qn)
+        try:
+            fn(tables, mesh=mesh)          # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                fn(tables, mesh=mesh)
+            out[f"tpch_sf{scale:g}_{qn}_seconds"] = round(
+                (time.perf_counter() - t0) / iters, 4)
+        except Exception as e:             # keep the bench robust
+            print(f"  tpch {qn} skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+    return out
+
+
 def main():
     import sys
 
@@ -155,19 +218,30 @@ def main():
     print("J1 big join (1e8 x 1e8 unique build)...", file=sys.stderr, flush=True)
     j_big = bench_join(N, N, iters=2)
     print(f"  big: {j_big/1e6:.0f} Mrows/s", file=sys.stderr, flush=True)
+    print("J1 dict-string-key join (1e8 x 1e5, incl. dictionary match)...",
+          file=sys.stderr, flush=True)
+    j_dict = bench_join_dict(N)
+    print(f"  dict: {j_dict/1e6:.0f} Mrows/s", file=sys.stderr, flush=True)
+    print("TPC-H SF1 q1/q5/q6 (SPMD-compiled, single chip)...",
+          file=sys.stderr, flush=True)
+    tpch_times = bench_tpch(1.0)
+    print(f"  {tpch_times}", file=sys.stderr, flush=True)
     join_rps = float((j_small * j_med * j_big) ** (1 / 3))
     rows_per_sec = float(np.sqrt(low * high))
+    detail = {"low_card_rows_per_sec": round(low),
+              "high_card_rows_per_sec": round(high),
+              "j1_join_geomean_rows_per_sec": round(join_rps),
+              "j1_small_rows_per_sec": round(j_small),
+              "j1_medium_rows_per_sec": round(j_med),
+              "j1_big_rows_per_sec": round(j_big),
+              "j1_dict_string_key_rows_per_sec": round(j_dict)}
+    detail.update(tpch_times)
     print(json.dumps({
         "metric": "db-benchmark G1 groupby rows/sec/chip (geomean low/high cardinality, 1e8 rows)",
         "value": round(rows_per_sec),
         "unit": "rows/s",
         "vs_baseline": round(rows_per_sec / A100_CUDF_G1_ROWS_PER_SEC, 4),
-        "detail": {"low_card_rows_per_sec": round(low),
-                   "high_card_rows_per_sec": round(high),
-                   "j1_join_geomean_rows_per_sec": round(join_rps),
-                   "j1_small_rows_per_sec": round(j_small),
-                   "j1_medium_rows_per_sec": round(j_med),
-                   "j1_big_rows_per_sec": round(j_big)},
+        "detail": detail,
     }))
 
 
