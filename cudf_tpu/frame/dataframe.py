@@ -183,8 +183,13 @@ class DataFrame:
     # export / import
     # ------------------------------------------------------------------
     def to_pandas(self):
-        import pandas as pd
+        # construct with REAL pandas even when the cudf_tpu.pandas
+        # accelerator is installed (sys.modules["pandas"].DataFrame is the
+        # proxy class there; building a proxy from to_pandas would make
+        # __repr__ recurse fast→slow→fast forever)
+        import sys
 
+        pd = sys.modules.get("_slow_pandas") or __import__("pandas")
         data = {n: c.to_arrow().to_pandas().values for n, c in self._table.items()}
         return pd.DataFrame(data, index=self._index.to_pandas())
 

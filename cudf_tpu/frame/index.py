@@ -386,6 +386,15 @@ def _to_index_column(data, dtype) -> Column:
 def _as_index(obj) -> Index:
     if isinstance(obj, Index):
         return obj
+    import pandas as pd
+
+    if isinstance(obj, pd.MultiIndex):
+        from cudf_tpu.core.column import as_column
+
+        return MultiIndex(
+            [as_column(obj.get_level_values(i)) for i in range(obj.nlevels)],
+            list(obj.names),
+        )
     return Index(obj)
 
 

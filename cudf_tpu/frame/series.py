@@ -160,8 +160,11 @@ class Series:
     # export
     # ------------------------------------------------------------------
     def to_pandas(self):
-        import pandas as pd
+        # real pandas even under the accelerator (proxy pd.Series would
+        # recurse in __repr__ — see DataFrame.to_pandas)
+        import sys
 
+        pd = sys.modules.get("_slow_pandas") or __import__("pandas")
         col = self._column
         if col.dtype.arrow:
             arr = col.to_arrow()

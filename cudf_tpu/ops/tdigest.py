@@ -92,6 +92,13 @@ def percentile_approx(digest: TDigest, percentiles) -> Column:
     vc = jnp.take(cum, valid_idx)
     k = int(jnp.sum(nonempty))
     vm, vc = vm[:k], vc[:k]
+    # anchor the tails to the digest's exact min/max: interpolation nodes
+    # are [min @ cum=0] + centroid midpoints + [max @ cum=total]
+    vm = jnp.concatenate([jnp.full((1,), digest.min), vm,
+                          jnp.full((1,), digest.max)])
+    vc = jnp.concatenate([jnp.zeros((1,)), vc,
+                          jnp.full((1,), jnp.asarray(total, jnp.float64))])
+    k = k + 2
     hi = jnp.clip(jnp.searchsorted(vc, target, side="left"), 0, k - 1)
     lo = jnp.clip(hi - 1, 0, k - 1)
     c_lo, c_hi = jnp.take(vc, lo), jnp.take(vc, hi)

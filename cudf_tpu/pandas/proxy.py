@@ -307,7 +307,12 @@ class _FastSlowProxy:
         return len(self._fast if self._fast is not None else self._slow)
 
     def __repr__(self):
-        return repr(self._slow_obj() if self._fast is None else self._fast)
+        if self._fast is None:
+            return repr(self._slow_obj())
+        # fast repr round-trips through to_pandas(); keep any pandas
+        # construction it does on the slow side (recursion guard)
+        with _entering_fast():
+            return repr(self._fast)
 
     def __iter__(self):
         return iter(self._fast if self._fast is not None else self._slow_obj())

@@ -305,6 +305,58 @@ def local_join_padded(lkeys, lvalid, rkeys, rvalid, max_out: int,
     )
 
 
+def local_join_full_padded(lkeys, lvalid, rkeys, rvalid, max_out: int):
+    """Static-shape shard-local multi-key FULL OUTER join.
+
+    Left-join expansion (every valid left row emits >= 1 output row)
+    followed by the right side's unmatched rows appended at the tail —
+    the full_join composition of cpp/src/join/join.cu (left join +
+    right-anti complement), kept scatter-free: the appended rows come
+    from a stable sort that compacts unmatched right rows to the front.
+
+    Returns (l_idx, r_idx, out_valid, l_present, r_present, total).
+    """
+    nl, nr = lkeys[0].shape[0], rkeys[0].shape[0]
+    counts, lo, r_order = _match_ranges_multi(lkeys, lvalid, rkeys, rvalid)
+    emit = jnp.where(lvalid, jnp.maximum(counts, 1), 0)
+    offsets = jnp.concatenate([jnp.zeros((1,), emit.dtype), jnp.cumsum(emit)])
+    total_l = offsets[-1]
+    # right rows with no left match, compacted to the front in row order
+    r_unmatched = local_semi_mask(rkeys, rvalid, lkeys, lvalid, anti=True)
+    n_ru = jnp.sum(r_unmatched.astype(jnp.int64))
+    ru_sorted = jax.lax.sort(
+        [jnp.where(r_unmatched, jnp.int64(0), jnp.int64(1)),
+         jnp.arange(nr, dtype=jnp.int64)],
+        num_keys=1, is_stable=True)
+    ru_rows = ru_sorted[-1]
+    pos = jnp.arange(max_out, dtype=jnp.int64)
+    in_left = pos < total_l
+    # left-join region (same decode as local_join_padded)
+    row = jnp.searchsorted(offsets[1:], pos, side="right")
+    row_c = jnp.clip(row, 0, nl - 1)
+    within = pos - jnp.take(offsets, row_c)
+    r_matched = in_left & (within < jnp.take(counts, row_c))
+    r_sorted_pos = jnp.take(lo, row_c) + within
+    r_idx_l = jnp.take(r_order,
+                       jnp.clip(r_sorted_pos, 0, jnp.maximum(nr - 1, 0)))
+    # appended right-only region
+    j = pos - total_l
+    r_idx_a = jnp.take(ru_rows, jnp.clip(j, 0, jnp.maximum(nr - 1, 0)))
+    total = total_l + n_ru
+    out_valid = pos < total
+    l_present = in_left & out_valid
+    r_present = jnp.where(in_left, r_matched, out_valid)
+    r_idx = jnp.where(in_left, r_idx_l, r_idx_a)
+    return (
+        jnp.where(l_present, row_c, 0),
+        jnp.where(r_present, r_idx, 0),
+        out_valid,
+        l_present,
+        r_present,
+        total,
+    )
+
+
 def local_semi_mask(lkeys, lvalid, rkeys, rvalid, anti: bool = False):
     """bool[nl] mask of left rows with (no) match — semi/anti join
     (the filtered_join/mixed_join_semi role)."""
@@ -323,6 +375,15 @@ def _dist_join_shard(lkeys, lpay, lvalid, rkeys, rpay, rvalid, *, how,
     if how in ("semi", "anti"):
         sel = local_semi_mask(lk2, lmask, rk2, rmask, anti=(how == "anti"))
         return lk2, lpay2, [], sel, jnp.ones_like(sel), dropped
+    if how == "full":
+        li, ri, ovalid, lpres, rpres, total = local_join_full_padded(
+            lk2, lmask, rk2, rmask, max_out)
+        out_keys = [jnp.where(lpres, jnp.take(lk, li),
+                              jnp.where(rpres, jnp.take(rk, ri), 0))
+                    for lk, rk in zip(lk2, rk2)]
+        out_l = [jnp.where(lpres, jnp.take(p, li), 0) for p in lpay2]
+        out_r = [jnp.where(rpres, jnp.take(p, ri), 0) for p in rpay2]
+        return out_keys, out_l, out_r, ovalid, lpres, rpres, dropped
     li, ri, ovalid, rmatch, total = local_join_padded(
         lk2, lmask, rk2, rmask, max_out, how)
     out_keys = [jnp.where(ovalid, jnp.take(k, li), 0) for k in lk2]
@@ -344,29 +405,37 @@ def dist_join(
     axis: str = "x",
 ):
     """Distributed hash-shuffle join, multi-key, how ∈ {inner, left,
-    semi, anti} (streaming/join.py:58-266 shuffle path; the reference
-    lowers all of these per-node).
+    full, semi, anti} (streaming/join.py:58-266 shuffle path; the
+    reference lowers all of these per-node; full = join.cu's
+    full_join composition).
 
     Returns shard-local padded ([keys...], left payloads, right payloads,
-    out_valid, r_matched, dropped[P]).  For semi/anti the "payloads"
-    are the shuffled LEFT rows and out_valid is the selection mask
-    (right payloads empty).  ``dropped`` nonzero on any shard means a
-    shuffle capacity overflowed and results are incomplete — callers
-    must check (round-1 review: no silent drops).
+    out_valid, r_matched, dropped[P]).  For how="full" the return is the
+    7-tuple ([keys...], left payloads, right payloads, out_valid,
+    l_present, r_present, dropped[P]) — keys come from whichever side is
+    present.  For semi/anti the "payloads" are the shuffled LEFT rows
+    and out_valid is the selection mask (right payloads empty).
+    ``dropped`` nonzero on any shard means a shuffle capacity overflowed
+    and results are incomplete — callers must check (round-1 review: no
+    silent drops).
     """
     num_parts = mesh.shape[axis]
     nl = left_keys[0].shape[0] // num_parts
     nr = right_keys[0].shape[0] // num_parts
     # capacities: whole local shard may hash to one bucket in the worst case
     cap_l, cap_r = nl, nr
-    max_out = max_out_per_shard or (num_parts * nl * 2)
+    default_out = num_parts * nl * 2
+    if how == "full":
+        default_out = num_parts * (nl + nr) * 2
+    max_out = max_out_per_shard or default_out
     fn = partial(_dist_join_shard, how=how, num_parts=num_parts, cap_l=cap_l,
                  cap_r=cap_r, max_out=max_out, axis=axis)
+    n_out = 7 if how == "full" else 6
     return shard_map(
         lambda a, b, c, d, e, f: fn(a, b, c, d, e, f),
         mesh=mesh,
         in_specs=(P(axis),) * 6,
-        out_specs=(P(axis),) * 6,
+        out_specs=(P(axis),) * n_out,
     )(list(left_keys), list(left_payload), left_valid,
       list(right_keys), list(right_payload), right_valid)
 
@@ -535,6 +604,99 @@ def dist_distinct(
         in_specs=(P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P(axis)),
     )(list(keys), valid)
+
+
+# ----------------------------------------------------------------------
+# distributed approximate quantiles (tdigest merge across shards)
+# ----------------------------------------------------------------------
+
+def _local_tdigest_padded(x, valid, delta: int):
+    """Jit-safe shard-local t-digest over padded rows (weight-0 padding).
+
+    Static-shape recast of ops/tdigest.build_tdigest (the TDIGEST groupby
+    agg, cpp/src/quantiles/tdigest/tdigest_aggregation.cu): sort, k1
+    scale-function cluster assignment, segment sums.  Invalid rows sort
+    to the top with weight 0 so they contribute nothing.
+    """
+    xf = x.astype(jnp.float64)
+    v = valid & ~jnp.isnan(xf)
+    key = jnp.where(v, xf, jnp.inf)
+    xs, w = jax.lax.sort([key, v.astype(jnp.float64)], num_keys=1)
+    total = jnp.sum(w)
+    cum = jnp.cumsum(w) - w * 0.5
+    q = cum / jnp.maximum(total, 1e-300)
+    kq = jnp.arcsin(2.0 * jnp.clip(q, 0.0, 1.0) - 1.0) / jnp.pi + 0.5
+    cid = jnp.clip(jnp.floor(kq * delta).astype(jnp.int32), 0, delta - 1)
+    xs0 = jnp.where(w > 0, xs, 0.0)       # keep inf*0 out of the sums
+    wsum = jax.ops.segment_sum(w, cid, num_segments=delta)
+    xsum = jax.ops.segment_sum(xs0 * w, cid, num_segments=delta)
+    means = jnp.where(wsum > 0, xsum / jnp.maximum(wsum, 1e-300), 0.0)
+    mn = jnp.min(jnp.where(v, xf, jnp.inf))
+    mx = jnp.max(jnp.where(v, xf, -jnp.inf))
+    return means, wsum, mn, mx
+
+
+def _dist_tdigest_shard(x, valid, *, delta, axis):
+    means, wsum, mn, mx = _local_tdigest_padded(x, valid, delta)
+    # gather every shard's centroids and re-cluster (MERGE_TDIGEST)
+    all_m = jax.lax.all_gather(means, axis, tiled=True)
+    all_w = jax.lax.all_gather(wsum, axis, tiled=True)
+    key = jnp.where(all_w > 0, all_m, jnp.inf)   # empty centroids last
+    ms, ws = jax.lax.sort([key, all_w], num_keys=1)
+    total = jnp.sum(ws)
+    cum = jnp.cumsum(ws) - ws * 0.5
+    q = cum / jnp.maximum(total, 1e-300)
+    kq = jnp.arcsin(2.0 * jnp.clip(q, 0.0, 1.0) - 1.0) / jnp.pi + 0.5
+    cid = jnp.clip(jnp.floor(kq * delta).astype(jnp.int32), 0, delta - 1)
+    ms0 = jnp.where(ws > 0, ms, 0.0)
+    wsum2 = jax.ops.segment_sum(ws, cid, num_segments=delta)
+    xsum2 = jax.ops.segment_sum(ms0 * ws, cid, num_segments=delta)
+    means2 = jnp.where(wsum2 > 0, xsum2 / jnp.maximum(wsum2, 1e-300), 0.0)
+    g_mn = jax.lax.pmin(mn, axis)
+    g_mx = jax.lax.pmax(mx, axis)
+    return means2, wsum2, g_mn.reshape(1), g_mx.reshape(1)
+
+
+def dist_tdigest(
+    mesh: Mesh,
+    x: jnp.ndarray,
+    valid: jnp.ndarray,
+    delta: int = 100,
+    axis: str = "x",
+):
+    """Distributed t-digest sketch over a row-sharded column: shard-local
+    build → all_gather centroids → merge-cluster.  Jit-compatible; the
+    merged (means[delta], weights[delta], min[1], max[1]) is replicated
+    on every shard (the reference's TDIGEST → MERGE_TDIGEST partial-agg
+    tree, streaming/groupby.py decomposition)."""
+    fn = partial(_dist_tdigest_shard, delta=delta, axis=axis)
+    return shard_map(
+        lambda a, b: fn(a, b),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(), P(), P(), P()),
+        # outputs are replicated by construction (all_gather + identical
+        # per-shard merge); JAX's varying-manual-axes inference can't see
+        # through the post-gather compute, so skip the check
+        check_vma=False,
+    )(x, valid)
+
+
+def dist_quantile(mesh, x, valid, percentiles, delta: int = 100,
+                  axis: str = "x"):
+    """Eager distributed approximate quantiles (percentile_approx over a
+    mesh-merged tdigest).  Returns a numpy array of estimates."""
+    import numpy as np
+
+    from cudf_tpu.ops.tdigest import TDigest, percentile_approx
+
+    means, weights, mn, mx = jax.jit(
+        lambda a, b: dist_tdigest(mesh, a, b, delta=delta, axis=axis))(
+            x, valid)
+    digest = TDigest(jnp.asarray(means), jnp.asarray(weights),
+                     float(np.asarray(mn)[0]), float(np.asarray(mx)[0]))
+    col = percentile_approx(digest, percentiles)
+    return np.asarray(col.data)
 
 
 # ----------------------------------------------------------------------

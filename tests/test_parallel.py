@@ -406,3 +406,76 @@ def test_distributed_groupby_string_key(rng):
     got_p = got.to_pandas().sort_values("k").reset_index(drop=True)
     assert got_p["k"].tolist() == exp["k"].tolist()
     np.testing.assert_allclose(got_p["v_sum"], exp["v_sum"], rtol=1e-9)
+
+
+def test_dist_join_full_outer(rng):
+    from cudf_tpu.parallel import dist_join
+
+    mesh = make_mesh(8)
+    nl, nr = 600, 400
+    lk1 = rng.integers(0, 60, nl)
+    lk2 = rng.integers(0, 3, nl)
+    lv = rng.normal(size=nl)
+    rk1 = rng.integers(20, 80, nr)   # partial overlap: both-only regions
+    rk2 = rng.integers(0, 3, nr)
+    rv = rng.normal(size=nr)
+    (lk1j, lk2j, lvj), lvalid = _pad_to(mesh, [lk1, lk2, lv])
+    (rk1j, rk2j, rvj), rvalid = _pad_to(mesh, [rk1, rk2, rv])
+    keys, out_l, out_r, ovalid, lpres, rpres, dropped = jax.jit(
+        lambda a, b, c, vm, d, e, f, wm: dist_join(
+            mesh, [a, b], [c], vm, [d, e], [f], wm, how="full",
+            max_out_per_shard=8 * (nl + nr))
+    )(lk1j, lk2j, lvj, lvalid, rk1j, rk2j, rvj, rvalid)
+    assert int(np.asarray(dropped).sum()) == 0
+    ldf = pd.DataFrame({"k1": lk1, "k2": lk2, "lv": lv})
+    rdf = pd.DataFrame({"k1": rk1, "k2": rk2, "rv": rv})
+    exp = ldf.merge(rdf, on=["k1", "k2"], how="outer")
+    mask = np.asarray(ovalid)
+    lp = np.asarray(lpres)
+    rp = np.asarray(rpres)
+    assert int(mask.sum()) == len(exp)
+    assert int(lp.sum()) == int(exp["lv"].notna().sum())
+    assert int(rp.sum()) == int(exp["rv"].notna().sum())
+    np.testing.assert_allclose(np.asarray(out_l[0])[lp].sum(),
+                               exp["lv"].sum(), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(out_r[0])[rp].sum(),
+                               exp["rv"].sum(), rtol=1e-9)
+    # key columns populated from whichever side is present
+    k1_all = np.asarray(keys[0])[mask]
+    exp_k1 = np.sort(exp["k1"].values)
+    np.testing.assert_array_equal(np.sort(k1_all), exp_k1)
+
+
+def test_dist_quantile_tdigest(rng):
+    from cudf_tpu.parallel.dist import dist_quantile
+    import jax.numpy as jnp
+
+    mesh = make_mesh(8)
+    n = 8000
+    x = rng.normal(size=n) * 100.0
+    xj = jnp.asarray(x)
+    valid = jnp.ones((n,), bool)
+    pcts = [0.01, 0.25, 0.5, 0.75, 0.99]
+    got = dist_quantile(mesh, xj, valid, pcts, delta=200)
+    exp = np.quantile(x, pcts)
+    # t-digest is approximate: tight at the tails, ~1% of range mid-body
+    span = x.max() - x.min()
+    assert np.all(np.abs(got - exp) < 0.02 * span)
+    # min/max-anchored extremes
+    got_ends = dist_quantile(mesh, xj, valid, [0.0, 1.0], delta=200)
+    np.testing.assert_allclose(got_ends, [x.min(), x.max()], rtol=1e-9)
+
+
+def test_dist_quantile_with_invalid_rows(rng):
+    from cudf_tpu.parallel.dist import dist_quantile
+    import jax.numpy as jnp
+
+    mesh = make_mesh(8)
+    n = 4096
+    x = rng.normal(size=n)
+    valid = np.asarray(rng.random(n) < 0.7)
+    got = dist_quantile(mesh, jnp.asarray(x), jnp.asarray(valid), [0.5],
+                        delta=200)
+    exp = np.quantile(x[valid], 0.5)
+    span = x[valid].max() - x[valid].min()
+    assert abs(got[0] - exp) < 0.02 * span
