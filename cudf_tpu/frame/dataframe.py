@@ -190,7 +190,9 @@ class DataFrame:
         import sys
 
         pd = sys.modules.get("_slow_pandas") or __import__("pandas")
-        data = {n: c.to_arrow().to_pandas().values for n, c in self._table.items()}
+        from cudf_tpu.frame.series import column_to_pandas_array
+
+        data = {n: column_to_pandas_array(c, pd) for n, c in self._table.items()}
         return pd.DataFrame(data, index=self._index.to_pandas())
 
     def to_arrow(self):

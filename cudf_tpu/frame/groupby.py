@@ -27,6 +27,39 @@ _SIMPLE_AGGS = (
 )
 
 
+def _retag_masked_agg(in_dtype: dt.DType, out: Column, agg: str) -> Column:
+    """Propagate pandas masked/arrow extension dtypes through groupby aggs
+    (pandas rules: sum/prod/min/max/first/last keep the input dtype —
+    except boolean sum/prod → Int64; mean/std/var/median/sem/skew →
+    Float64 for int/bool inputs, FloatN preserved; count → Int64;
+    any/all → boolean; nunique stays plain int64)."""
+    if not (in_dtype.nullable or in_dtype.arrow):
+        return out
+    from cudf_tpu.ops.unary import cast
+
+    flags = dict(nullable=in_dtype.nullable, arrow=in_dtype.arrow)
+
+    def to(tid):
+        target = dt.DType(tid, **flags)
+        return cast(out, target) if out.dtype != target else out
+
+    if agg in ("any", "all"):
+        return to(dt.TypeId.BOOL8)
+    if agg in ("count", "size"):
+        return to(dt.TypeId.INT64)
+    if agg == "nunique":
+        return out
+    if agg in ("mean", "std", "var", "median", "sem", "skew", "quantile"):
+        return to(in_dtype.id if in_dtype.is_float else dt.TypeId.FLOAT64)
+    if agg in ("sum", "prod", "product"):
+        return to(dt.TypeId.INT64 if in_dtype.is_bool else in_dtype.id)
+    if agg in ("min", "max", "first", "last", "nth", "idxmin", "idxmax"):
+        if agg in ("idxmin", "idxmax"):
+            return out
+        return to(in_dtype.id)
+    return out
+
+
 class _GroupByBase:
     def __init__(self, obj, by, level=None, sort=False, dropna=True,
                  as_index=True, group_keys=True, observed=False):
@@ -68,6 +101,13 @@ class _GroupByBase:
                     self._key_names.append(b)
                     self._key_cols.append(self._lookup_key(b))
             self._keys_from_index = False
+        for kc in self._key_cols:
+            if kc.dtype.nullable or kc.dtype.arrow:
+                # masked/arrow KEYS: NA-group membership + extension-dtype
+                # result indexes are pandas-internal semantics — take the
+                # host path (proxy falls back; direct API documents this)
+                raise NotImplementedError(
+                    "extension-dtype group keys take the host path")
         self._grouper = None
 
     def _lookup_key(self, name) -> Column:
@@ -264,7 +304,10 @@ class DataFrameGroupBy(_GroupByBase):
         for out_name, col_name, agg, extra in specs:
             if extra is not None:
                 return None
-            vals.append((out_name, self._obj._table[col_name], agg))
+            col = self._obj._table[col_name]
+            if col.dtype.nullable or col.dtype.arrow:
+                return None       # masked outputs need the retagging tier
+            vals.append((out_name, col, agg))
         res = gb_ops._try_onehot_fast_path(
             Table({"__key__": key_col}), vals, self._dropna)
         if res is None:
@@ -285,7 +328,7 @@ class DataFrameGroupBy(_GroupByBase):
         for out_name, col_name, agg, _ in specs:
             col = self._obj._table[col_name]
             fn = gb_ops._AGG_DISPATCH[agg]
-            out_cols[out_name] = fn(col, g)
+            out_cols[out_name] = _retag_masked_agg(col.dtype, fn(col, g), agg)
         index = self._result_index()
         df = DataFrame._from(Table(out_cols), index)
         if self._sort:

@@ -42,6 +42,28 @@ _RBINOPS = {
 }
 
 
+def column_to_pandas_array(col: Column, pd):
+    """Column → pandas 1-D array preserving extension dtypes: arrow-backed
+    columns → ArrowExtensionArray, nullable → masked Integer/Float/Boolean
+    arrays, everything else through pyarrow (keeps tz/categorical)."""
+    if col.dtype.arrow:
+        arr = col.to_arrow()
+        return pd.arrays.ArrowExtensionArray(
+            arr if not hasattr(arr, "combine_chunks") else arr)
+    if col.dtype.nullable:
+        # round-trip pandas nullable extension dtypes (Int64/UInt8/
+        # boolean/Float64) through our validity instead of float+NaN
+        vals = np.asarray(col.data)
+        mask = (~np.asarray(col.validity) if col.validity is not None
+                else np.zeros(col.length, bool))
+        if col.dtype.is_bool:
+            return pd.arrays.BooleanArray(vals.astype(bool), mask)
+        if col.dtype.is_float:
+            return pd.arrays.FloatingArray(vals.astype(col.dtype.storage), mask)
+        return pd.arrays.IntegerArray(vals.astype(col.dtype.storage), mask)
+    return col.to_arrow().to_pandas().reset_index(drop=True).array
+
+
 class Series:
     def __init__(self, data=None, index=None, dtype=None, name=None, column=None):
         if column is not None:
@@ -165,30 +187,8 @@ class Series:
         import sys
 
         pd = sys.modules.get("_slow_pandas") or __import__("pandas")
-        col = self._column
-        if col.dtype.arrow:
-            arr = col.to_arrow()
-            ext = pd.arrays.ArrowExtensionArray(
-                arr if not hasattr(arr, "combine_chunks") else arr)
-            return pd.Series(ext, index=self._index.to_pandas(), name=self.name)
-        if col.dtype.nullable:
-            # round-trip pandas nullable extension dtypes (Int64/UInt8/
-            # boolean/Float64) through our validity instead of float+NaN
-            vals = np.asarray(col.data)
-            mask = (~np.asarray(col.validity) if col.validity is not None
-                    else np.zeros(col.length, bool))
-            if col.dtype.is_bool:
-                arr = pd.arrays.BooleanArray(vals.astype(bool), mask)
-            elif col.dtype.is_float:
-                arr = pd.arrays.FloatingArray(vals.astype(col.dtype.storage), mask)
-            else:
-                arr = pd.arrays.IntegerArray(vals.astype(col.dtype.storage), mask)
-            return pd.Series(arr, index=self._index.to_pandas(), name=self.name)
-        data = col.to_arrow().to_pandas()
-        data = data.reset_index(drop=True)  # keep extension dtypes (e.g. tz)
-        data.index = self._index.to_pandas()
-        data.name = self.name
-        return data
+        arr = column_to_pandas_array(self._column, pd)
+        return pd.Series(arr, index=self._index.to_pandas(), name=self.name)
 
     def to_numpy(self):
         return self._column.to_numpy()

@@ -21,10 +21,12 @@ def pytest_configure(config):
     # pandas' asserters compare type() identity; hand them real pandas
     # objects (the reference's module accelerator does the same unwrap
     # for pandas-internal callers)
-    from cudf_tpu.pandas.proxy import _FastSlowProxy
+    from cudf_tpu.pandas.proxy import _FastSlowProxy, _plain_index
 
     def _unp(o):
-        return o._slow_obj() if isinstance(o, _FastSlowProxy) else o
+        if isinstance(o, _FastSlowProxy):
+            return o._slow_obj()
+        return _plain_index(o)
 
     import pandas._testing as tm
 

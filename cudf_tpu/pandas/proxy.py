@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import sys
 import threading
 import types
 from typing import Any
@@ -67,11 +68,94 @@ def _unwrap(obj, to_fast: bool):
     """Convert proxies / containers into fast or slow domain objects."""
     if isinstance(obj, _FastSlowProxy):
         return obj._fast_obj() if to_fast else obj._slow_obj()
+    if getattr(type(obj), "_wb_base", None) is not None:
+        return _plain_index(obj)
     if isinstance(obj, (list, tuple)):
         return type(obj)(_unwrap(o, to_fast) for o in obj)
     if isinstance(obj, dict):
         return {k: _unwrap(v, to_fast) for k, v in obj.items()}
     return obj
+
+
+# ----------------------------------------------------------------------
+# write-back index wrappers: `df.columns.names = [...]` / `df.index.name
+# = ...` must mutate the PROXY, not a temporary copy (upstream pandas
+# tests use this idiom constantly; the reference's _IntermediateProxy
+# write-back plays the same role)
+# ----------------------------------------------------------------------
+
+_WB_CACHE: dict = {}
+
+
+def _plain_index(idx):
+    """Copy a write-back index wrapper back to its plain pandas class
+    (asserters do `type(x) is Index` checks — wrappers must not leak)."""
+    base = getattr(type(idx), "_wb_base", None)
+    if base is None:
+        return idx
+    out = idx.copy()
+    out.__class__ = base
+    return out
+
+
+def _writeback_wrap(idx, parent, attrname: str):
+    """Reassign ``idx``'s class to a subclass whose name/names mutations
+    write through to ``parent``'s slow domain (fast invalidated)."""
+    base = type(idx)
+    wb_base = getattr(base, "_wb_base", None)
+    if wb_base is not None:
+        base = wb_base
+    cls = _WB_CACHE.get(base)
+    if cls is None:
+        def _setattr(self, n, v, _base=base):
+            _base.__setattr__(self, n, v)
+            if n in ("name", "names"):
+                par = self.__dict__.get("_wb_parent")
+                at = self.__dict__.get("_wb_attrname")
+                if par is not None:
+                    try:
+                        plain = _plain_index(self)
+                        setattr(par._slow_obj(), at, plain)
+                        par._invalidate_fast()
+                    except Exception:
+                        pass
+        # pandas gates engine/libjoin fast paths on `type(self) is Index`
+        # (core/indexes/base.py:5147,4953); a subclass silently takes the
+        # wrong branch (e.g. StringObjectEngine handed an ArrowStringArray).
+        # Delegate the two identity-sensitive members by flipping the
+        # instance's class to the base for the duration of the call.
+        def _as_base(self, member, _base=base):
+            cls_ = self.__class__
+            self.__class__ = _base
+            try:
+                return getattr(self, member)
+            finally:
+                self.__class__ = cls_
+
+        def _get_engine_target(self):
+            return _as_base(self, "_get_engine_target")()
+
+        def _get_join_target(self):
+            return _as_base(self, "_get_join_target")()
+
+        cls = type(f"_WB{base.__name__}", (base,),
+                   {"__setattr__": _setattr, "_wb_base": base,
+                    "_get_engine_target": _get_engine_target,
+                    "_get_join_target": _get_join_target,
+                    "_can_use_libjoin": property(
+                        lambda self: _as_base(self, "_can_use_libjoin")),
+                    "_engine": property(
+                        lambda self: _as_base(self, "_engine"))})
+        # repr uses type(self).__name__ — don't leak the wrapper name
+        cls.__name__ = base.__name__
+        _WB_CACHE[base] = cls
+    try:
+        idx.__class__ = cls
+    except TypeError:
+        return idx
+    idx.__dict__["_wb_parent"] = parent
+    idx.__dict__["_wb_attrname"] = attrname
+    return idx
 
 
 def _wrap(result):
@@ -111,6 +195,16 @@ def _wrap(result):
     return result
 
 
+def _holds_callable(obj) -> bool:
+    """True when a user callable (UDF) hides anywhere in the argument —
+    a lambda, np.sum, a partial, or one nested in a list/dict agg spec."""
+    if isinstance(obj, (list, tuple, set)):
+        return any(_holds_callable(o) for o in obj)
+    if isinstance(obj, dict):
+        return any(_holds_callable(v) for v in obj.values())
+    return callable(obj) and not isinstance(obj, (type, str))
+
+
 class _AccessorProxy:
     """Wraps fast-domain accessors / GroupBy / Rolling objects so their
     results re-enter the proxy domain.  ``slow_factory`` lazily builds
@@ -129,12 +223,24 @@ class _AccessorProxy:
             import functools
 
             def call(*a, **k):
-                if attr is not None:
+                # UDF-shaped calls (apply/filter/pipe, or any callable in
+                # the agg spec) go straight to real pandas: per-group
+                # Python execution gains nothing on device and the result
+                # shape rules (_cast_pointwise_result, Series→frame
+                # pivoting, group-key exclusion) are pandas-internal
+                # (the reference routes JIT-incompatible UDFs the same way)
+                skip_fast = self._slow_factory is not None and (
+                    name in ("apply", "filter", "pipe", "aggregate", "agg",
+                             "transform") and
+                    (_holds_callable(a) or _holds_callable(k)))
+                if attr is not None and not skip_fast:
                     try:
                         return _wrap(attr(*_unwrap(a, True), **_unwrap(k, True)))
                     except Exception:
                         if self._slow_factory is None:
                             raise
+                if self._slow_factory is None:
+                    return _wrap(attr(*_unwrap(a, True), **_unwrap(k, True)))
                 slow = self._slow_factory()
                 out = getattr(slow, name)(*_unwrap(a, False), **_unwrap(k, False))
                 _record(name, False)
@@ -457,6 +563,13 @@ class _FastSlowAttr:
                 "locindexer", "ilocindexer", "atindexer", "iatindexer"):
             _record(name, is_fast)
             return _IndexerProxy(attr, parent=p, name=name)
+        if name in ("columns", "index"):
+            _record(name, is_fast)
+            out = _wrap(attr)
+            pd = _slow_pandas()
+            if isinstance(out, pd.Index):
+                out = _writeback_wrap(out, p, name)
+            return out
         if callable(attr) and not isinstance(attr, type):
             def method(*args, **kwargs):
                 return _dispatch_call(p, name, args, kwargs)
@@ -569,6 +682,29 @@ _FAST_FUNCS = {
 }
 
 
+_PANDAS_DIR = None
+
+
+def _caller_is_pandas_internal() -> bool:
+    """pandas internals sometimes re-import from the top-level package at
+    runtime (e.g. merge's ``from pandas import concat``,
+    core/reshape/merge.py) and would receive our proxied functions; a
+    proxy leaking into pandas' own code paths breaks it (missing
+    ``__finalize__`` etc.).  The reference's ModuleAccelerator solves
+    this the same way — detect a pandas-internal caller and hand back
+    plain pandas behavior (module_accelerator.py caller-path check)."""
+    global _PANDAS_DIR
+    if _PANDAS_DIR is None:
+        import os
+
+        _PANDAS_DIR = os.path.dirname(_slow_pandas().__file__) + os.sep
+    try:
+        fname = sys._getframe(2).f_code.co_filename
+    except ValueError:
+        return False
+    return fname.startswith(_PANDAS_DIR)
+
+
 def _proxy_function(name: str, slow_fn):
     @functools.wraps(slow_fn)
     def f(*args, **kwargs):
@@ -576,6 +712,8 @@ def _proxy_function(name: str, slow_fn):
 
         if _in_fast():
             return slow_fn(*args, **kwargs)
+        if _caller_is_pandas_internal():
+            return slow_fn(*_unwrap(args, False), **_unwrap(kwargs, False))
         fast_fn = getattr(cudf_tpu, name, None)
         if fast_fn is not None:
             try:
