@@ -28,7 +28,8 @@ def read_parquet(
 ) -> DataFrame:
     from cudf_tpu.utils.config import get_option
 
-    if get_option("io.parquet.native_reader"):
+    if get_option("io.parquet.native_reader") and isinstance(path, str) \
+            and not kw and not _has_pandas_ext_metadata(path):
         try:
             from cudf_tpu.io.parquet_native import read_parquet_native
 
@@ -44,7 +45,7 @@ def read_parquet(
                 # residual predicate (predicate_pushdown.cpp does the same)
                 df = _apply_residual_filters(df, flt)
             return df
-        except (NotImplementedError, ValueError):
+        except Exception:
             pass                          # pyarrow tier below
     import pyarrow.parquet as pq
 
@@ -61,6 +62,26 @@ def read_parquet(
         tbl = f.read(columns=list(columns) if columns else None)
     t = Table.from_arrow(tbl)
     return DataFrame._from(t, default_index(t.num_rows))
+
+
+def _has_pandas_ext_metadata(path: str) -> bool:
+    """Files carrying pandas schema metadata (categoricals, tz-aware
+    timestamps, extension dtypes) need the pyarrow tier's metadata-aware
+    reconstruction — the footer key_value 'pandas' entry names them."""
+    try:
+        from cudf_tpu.io import thrift
+
+        md = thrift.read_file_metadata(path)
+        for k, v in (md.key_value or []):
+            if k == b"pandas" and (b'"pandas_type": "categorical"' in v
+                                   or b"datetimetz" in v
+                                   or b'"numpy_type": "object"' in v
+                                   or b"Int64" in v or b"Float64" in v
+                                   or b"boolean" in v):
+                return True
+    except Exception:
+        return False
+    return False
 
 
 def _apply_residual_filters(df: DataFrame, filters) -> DataFrame:

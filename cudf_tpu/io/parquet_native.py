@@ -103,6 +103,114 @@ def _decode_plain(data: bytes, phys: int, n: int, type_length: int = 0):
     raise NotImplementedError(f"physical type {phys}")
 
 
+# observable for page-pruning tests (the reference's equivalent check
+# asserts on pages decoded in page_index_filter tests)
+PAGE_COUNTERS = {"decoded": 0, "skipped": 0}
+
+
+def _read_page_payload(raw: bytes, pos: int, ph: thrift.PageHeader,
+                       codec: int) -> bytes:
+    """Decompress one page's payload (v2 keeps levels uncompressed)."""
+    if ph.type == 3 and not ph.v2_is_compressed:
+        return raw[pos:pos + ph.compressed_page_size]
+    if ph.type == 3:
+        # v2: levels are stored UNcompressed ahead of the compressed
+        # values section (format spec DataPageHeaderV2)
+        lvl_len = ph.def_levels_byte_length + ph.rep_levels_byte_length
+        lvl = raw[pos:pos + lvl_len]
+        body_c = raw[pos + lvl_len:pos + ph.compressed_page_size]
+        return lvl + _decompress(
+            body_c, codec, ph.uncompressed_page_size - lvl_len)
+    return _decompress(raw[pos:pos + ph.compressed_page_size],
+                       codec, ph.uncompressed_page_size)
+
+
+def _decode_data_page(ph: thrift.PageHeader, payload: bytes, phys: int,
+                      nullable: bool, type_length: int,
+                      dictionary, dict_dev):
+    """Decode one data page → (vals, valid, dict_dev).
+
+    vals is an ndarray, or (offsets, chars) for strings."""
+    PAGE_COUNTERS["decoded"] += 1
+    nv = ph.num_values
+    if ph.type == 3:
+        # v2 def levels: RLE without the 4-byte length prefix
+        if nullable and ph.def_levels_byte_length:
+            dls = native.rle_decode32(
+                payload[:ph.def_levels_byte_length], 1, nv)
+        else:
+            dls = np.ones(nv, np.int32) if not nullable or \
+                (ph.num_nulls == 0) else np.ones(nv, np.int32)
+        consumed = ph.def_levels_byte_length + ph.rep_levels_byte_length
+    else:
+        dls, consumed = _read_levels(payload, nv, 1 if nullable else 0)
+    body = payload[consumed:]
+    valid = dls.astype(bool) if nullable else np.ones(nv, bool)
+    n_present = int(valid.sum())
+    from cudf_tpu.utils.config import get_option
+
+    device_tier = get_option("io.parquet.device_decode")
+    if ph.encoding == _ENC_PLAIN:
+        vals = _decode_plain(body, phys, n_present, type_length)
+    elif ph.encoding == _ENC_DELTA_BINARY and phys in (1, 2):
+        # DELTA_BINARY_PACKED on device (page_delta_decode.cu role)
+        from cudf_tpu.io.parquet_device import device_delta_binary_decode
+
+        v64, _ = device_delta_binary_decode(bytes(body), n_present)
+        vals = np.asarray(v64).astype(_NP[phys])
+    elif ph.encoding == _ENC_DELTA_LENGTH_BA and phys == 6:
+        from cudf_tpu.io.parquet_device import (
+            device_delta_length_byte_array)
+
+        offs_j, chars_j = device_delta_length_byte_array(
+            bytes(body), n_present)
+        vals = (np.asarray(offs_j), np.asarray(chars_j))
+    elif ph.encoding in (_ENC_RLE_DICT, _ENC_PLAIN_DICT):
+        bw = body[0]
+        if device_tier and phys in _NP:
+            # device tier: RLE/bit-pack expand + dictionary gather on
+            # the VPU (io/parquet_device.py)
+            import jax.numpy as _jnp
+
+            from cudf_tpu.io.parquet_device import device_rle_decode
+
+            idx_j = device_rle_decode(bytes(body[1:]), bw, n_present)
+            vals = np.asarray(_jnp.take(_jnp.asarray(dictionary), idx_j))
+            return vals, valid, dict_dev
+        if device_tier and phys == 6:
+            # device string decode for the dict-encoded case
+            # (page_string_decode.cu role): indices + dictionary +
+            # output assembly all device-resident
+            import jax.numpy as _jnp
+
+            from cudf_tpu.io.parquet_device import (
+                device_dict_string_gather, device_rle_decode)
+
+            if dict_dev is None:
+                offs, chars = dictionary
+                dict_dev = (_jnp.asarray(offs), _jnp.asarray(chars))
+            idx_j = device_rle_decode(bytes(body[1:]), bw, n_present)
+            offs_j, chars_j = device_dict_string_gather(
+                idx_j, dict_dev[0], dict_dev[1])
+            vals = (np.asarray(offs_j), np.asarray(chars_j))
+            return vals, valid, dict_dev
+        idx = native.rle_decode32(body[1:], bw, n_present)
+        if phys == 6:
+            offs, chars = dictionary
+            lens = (offs[1:] - offs[:-1])[idx]
+            new_offs = np.zeros(n_present + 1, np.int64)
+            np.cumsum(lens, out=new_offs[1:])
+            out_chars = np.empty(int(new_offs[-1]), np.uint8)
+            for i, j in enumerate(idx):
+                out_chars[new_offs[i]:new_offs[i + 1]] = chars[offs[j]:offs[j + 1]]
+            vals = (new_offs, out_chars)
+        else:
+            vals = dictionary[idx]
+    else:
+        raise NotImplementedError(f"encoding {ph.encoding}")
+    return vals, valid, dict_dev
+
+
 def read_column_chunk(path: str, meta: thrift.ColumnChunkMeta, nullable: bool = True,
                       type_length: int = 0):
     """Decode one column chunk → (values ndarray | (offsets, chars), validity | None)."""
@@ -121,110 +229,18 @@ def read_column_chunk(path: str, meta: thrift.ColumnChunkMeta, nullable: bool = 
     while remaining > 0 and pos < len(raw):
         ph = thrift.PageHeader.parse(raw, pos)
         pos += ph.header_len
-        if ph.type == 3 and not ph.v2_is_compressed:
-            payload = raw[pos:pos + ph.compressed_page_size]
-        elif ph.type == 3:
-            # v2: levels are stored UNcompressed ahead of the compressed
-            # values section (format spec DataPageHeaderV2)
-            lvl_len = ph.def_levels_byte_length + ph.rep_levels_byte_length
-            lvl = raw[pos:pos + lvl_len]
-            body_c = raw[pos + lvl_len:pos + ph.compressed_page_size]
-            payload = lvl + _decompress(
-                body_c, meta.codec, ph.uncompressed_page_size - lvl_len)
-        else:
-            payload = _decompress(raw[pos:pos + ph.compressed_page_size],
-                                  meta.codec, ph.uncompressed_page_size)
+        payload = _read_page_payload(raw, pos, ph, meta.codec)
         pos += ph.compressed_page_size
         if ph.type == 2:  # dictionary page
             dictionary = _decode_plain(payload, phys, ph.dict_num_values, type_length)
             continue
         if ph.type not in (0, 3):
             raise NotImplementedError(f"page type {ph.type}")
-        nv = ph.num_values
-        if ph.type == 3:
-            # v2 def levels: RLE without the 4-byte length prefix
-            if nullable and ph.def_levels_byte_length:
-                dls = native.rle_decode32(
-                    payload[:ph.def_levels_byte_length], 1, nv)
-            else:
-                dls = np.ones(nv, np.int32) if not nullable or \
-                    (ph.num_nulls == 0) else np.ones(nv, np.int32)
-            consumed = ph.def_levels_byte_length + ph.rep_levels_byte_length
-        else:
-            dls, consumed = _read_levels(payload, nv, 1 if nullable else 0)
-        body = payload[consumed:]
-        valid = dls.astype(bool) if nullable else np.ones(nv, bool)
-        n_present = int(valid.sum())
-        from cudf_tpu.utils.config import get_option
-
-        device_tier = get_option("io.parquet.device_decode")
-        if ph.encoding == _ENC_PLAIN:
-            vals = _decode_plain(body, phys, n_present, type_length)
-        elif ph.encoding == _ENC_DELTA_BINARY and phys in (1, 2):
-            # DELTA_BINARY_PACKED on device (page_delta_decode.cu role)
-            from cudf_tpu.io.parquet_device import device_delta_binary_decode
-
-            v64, _ = device_delta_binary_decode(bytes(body), n_present)
-            vals = np.asarray(v64).astype(_NP[phys])
-        elif ph.encoding == _ENC_DELTA_LENGTH_BA and phys == 6:
-            from cudf_tpu.io.parquet_device import (
-                device_delta_length_byte_array)
-
-            offs_j, chars_j = device_delta_length_byte_array(
-                bytes(body), n_present)
-            vals = (np.asarray(offs_j), np.asarray(chars_j))
-        elif ph.encoding in (_ENC_RLE_DICT, _ENC_PLAIN_DICT):
-            bw = body[0]
-            if device_tier and phys in _NP:
-                # device tier: RLE/bit-pack expand + dictionary gather on
-                # the VPU (io/parquet_device.py)
-                import jax.numpy as _jnp
-
-                from cudf_tpu.io.parquet_device import device_rle_decode
-
-                idx_j = device_rle_decode(bytes(body[1:]), bw, n_present)
-                vals = np.asarray(_jnp.take(_jnp.asarray(dictionary), idx_j))
-                values_parts.append(vals)
-                validity_parts.append(valid)
-                remaining -= nv
-                continue
-            if device_tier and phys == 6:
-                # device string decode for the dict-encoded case
-                # (page_string_decode.cu role): indices + dictionary +
-                # output assembly all device-resident
-                import jax.numpy as _jnp
-
-                from cudf_tpu.io.parquet_device import (
-                    device_dict_string_gather, device_rle_decode)
-
-                if dict_dev is None:
-                    offs, chars = dictionary
-                    dict_dev = (_jnp.asarray(offs), _jnp.asarray(chars))
-                idx_j = device_rle_decode(bytes(body[1:]), bw, n_present)
-                offs_j, chars_j = device_dict_string_gather(
-                    idx_j, dict_dev[0], dict_dev[1])
-                vals = (np.asarray(offs_j), np.asarray(chars_j))
-                values_parts.append(vals)
-                validity_parts.append(valid)
-                remaining -= nv
-                continue
-            idx = native.rle_decode32(body[1:], bw, n_present)
-            if phys == 6:
-                offs, chars = dictionary
-                lens = (offs[1:] - offs[:-1])[idx]
-                new_offs = np.zeros(n_present + 1, np.int64)
-                np.cumsum(lens, out=new_offs[1:])
-                out_chars = np.empty(int(new_offs[-1]), np.uint8)
-                for i, j in enumerate(idx):
-                    out_chars[new_offs[i]:new_offs[i + 1]] = chars[offs[j]:offs[j + 1]]
-                vals = (new_offs, out_chars)
-            else:
-                vals = dictionary[idx]
-        else:
-            raise NotImplementedError(f"encoding {ph.encoding}")
+        vals, valid, dict_dev = _decode_data_page(
+            ph, payload, phys, nullable, type_length, dictionary, dict_dev)
         values_parts.append(vals)
         validity_parts.append(valid)
-        remaining -= nv
+        remaining -= ph.num_values
 
     validity = np.concatenate(validity_parts) if validity_parts else np.zeros(0, bool)
     if phys == 6:
@@ -254,6 +270,110 @@ def read_column_chunk(path: str, meta: thrift.ColumnChunkMeta, nullable: bool = 
     full = np.zeros(validity.shape[0], dtype=present.dtype)
     full[validity] = present
     return full, validity
+
+
+def _spread_page(vals, valid, phys):
+    """Expand a page's present-only values to full page length.
+
+    numeric → (full_vals, valid); strings → (full_offs, chars, valid)."""
+    n = valid.shape[0]
+    if phys == 6:
+        offs, chars = vals
+        lens = np.zeros(n, np.int64)
+        lens[valid] = np.asarray(offs[1:]) - np.asarray(offs[:-1])
+        full_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=full_offs[1:])
+        return full_offs, np.asarray(chars), valid
+    present = np.asarray(vals)
+    if valid.all():
+        return present, valid
+    full = np.zeros(n, dtype=present.dtype)
+    full[valid] = present
+    return full, valid
+
+
+def read_column_chunk_pruned(path: str, meta: thrift.ColumnChunkMeta,
+                             page_locs, intervals, rg_rows: int,
+                             nullable: bool = True, type_length: int = 0):
+    """Decode only the pages of one chunk that overlap ``intervals``
+    (sorted disjoint [start, stop) row ranges, rg-relative), returning
+    exactly the interval rows — the page-skip read the reference's
+    page-index filter performs (experimental/page_index_filter.cu);
+    ``page_locs`` comes from the chunk's OffsetIndex.
+
+    → same contract as read_column_chunk, for the selected rows only."""
+    phys = meta.type
+    starts = [p.first_row_index for p in page_locs]
+    bounds = starts[1:] + [rg_rows]
+    dictionary = None
+    with open(path, "rb") as f:
+        if meta.dictionary_page_offset is not None:
+            f.seek(meta.dictionary_page_offset)
+            raw = f.read((page_locs[0].offset if page_locs else
+                          meta.data_page_offset) - meta.dictionary_page_offset
+                         + (1 << 16))
+            ph = thrift.PageHeader.parse(raw, 0)
+            payload = _read_page_payload(raw, ph.header_len, ph, meta.codec)
+            dictionary = _decode_plain(payload, phys, ph.dict_num_values,
+                                       type_length)
+        pages = {}                       # page idx → spread full-page arrays
+        dict_dev = None
+        for i, loc in enumerate(page_locs):
+            p0, p1 = starts[i], bounds[i]
+            if not any(a < p1 and b > p0 for a, b in intervals):
+                PAGE_COUNTERS["skipped"] += 1
+                continue
+            f.seek(loc.offset)
+            raw = f.read(loc.compressed_page_size + (1 << 12))
+            ph = thrift.PageHeader.parse(raw, 0)
+            payload = _read_page_payload(raw, ph.header_len, ph, meta.codec)
+            vals, valid, dict_dev = _decode_data_page(
+                ph, payload, phys, nullable, type_length, dictionary,
+                dict_dev)
+            pages[i] = _spread_page(vals, valid, phys)
+    # assemble interval rows (pages are row-aligned within the group:
+    # flat schemas only, so num_values == num_rows per page)
+    out_valid: List[np.ndarray] = []
+    if phys == 6:
+        offs_parts: List[np.ndarray] = []
+        chars_parts: List[np.ndarray] = []
+        for a, b in intervals:
+            for i in pages:
+                p0, p1 = starts[i], bounds[i]
+                lo, hi = max(a, p0), min(b, p1)
+                if lo >= hi:
+                    continue
+                full_offs, chars, valid = pages[i]
+                o = full_offs[lo - p0:hi - p0 + 1]
+                chars_parts.append(chars[o[0]:o[-1]])
+                offs_parts.append(np.asarray(o[1:]) - o[0])
+                out_valid.append(valid[lo - p0:hi - p0])
+        validity = (np.concatenate(out_valid) if out_valid
+                    else np.zeros(0, bool))
+        total = validity.shape[0]
+        offs = np.zeros(total + 1, np.int64)
+        shift = 0
+        row = 0
+        for o in offs_parts:
+            offs[row + 1: row + 1 + len(o)] = np.asarray(o) + shift
+            shift += o[-1] if len(o) else 0
+            row += len(o)
+        chars = (np.concatenate(chars_parts) if chars_parts
+                 else np.zeros(0, np.uint8))
+        return (offs, chars), (None if validity.all() else validity)
+    vals_parts: List[np.ndarray] = []
+    for a, b in intervals:
+        for i in pages:
+            p0, p1 = starts[i], bounds[i]
+            lo, hi = max(a, p0), min(b, p1)
+            if lo >= hi:
+                continue
+            full, valid = pages[i]
+            vals_parts.append(full[lo - p0:hi - p0])
+            out_valid.append(valid[lo - p0:hi - p0])
+    validity = np.concatenate(out_valid) if out_valid else np.zeros(0, bool)
+    full = np.concatenate(vals_parts) if vals_parts else np.zeros(0)
+    return full, (None if validity.all() else validity)
 
 
 def _rg_passes_filters(rg, filters, phys_of) -> bool:
@@ -302,13 +422,101 @@ def prune_row_groups(path: str, filters) -> Tuple[int, int]:
     return kept, len(md.row_groups)
 
 
+def _page_intervals_for_rg(path, rg, filters, wanted):
+    """Kept row intervals for one row group from its page index, or None
+    when page pruning is not applicable (missing index on any wanted or
+    filter column).  [] means the whole group is provably empty."""
+    from cudf_tpu.io import parquet_pushdown as ppd
+
+    by_name = {(cc.path[-1] if cc.path else ""): cc for cc in rg.columns}
+    needed = set(wanted) | {f[0] for f in filters if f[0] in by_name}
+    for n in needed:
+        cc = by_name.get(n)
+        if cc is None or cc.offset_index_offset is None:
+            return None
+    per_col: Dict[str, List] = {}
+    for name, op, val in filters:
+        if name in by_name:
+            per_col.setdefault(name, []).append((op, val))
+    intervals = [(0, rg.num_rows)]
+    any_pruned = False
+    for name, col_filters in per_col.items():
+        cc = by_name[name]
+        ci, oi = ppd.read_page_index(path, cc)
+        if ci is None or not ci.min_values:
+            continue
+        keep = ppd.page_keep_intervals(ci, oi, rg.num_rows, col_filters,
+                                       cc.type)
+        intervals = ppd.intervals_intersect(intervals, keep)
+        any_pruned = True
+    return intervals if any_pruned else None
+
+
+_CMP = {
+    "==": lambda a, b: a == b, "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+}
+
+
+def _hybrid_exact_intervals(path, rg, filters, intervals, type_len,
+                            nullable):
+    """Filter-column-first pass (experimental/hybrid_scan.cpp role):
+    decode only the filter columns over the stat-kept ``intervals``,
+    evaluate the predicates exactly, and return coalesced intervals of
+    the actual matching rows — payload columns then decode only pages
+    holding matches.  None = not applicable (non-numeric filter col)."""
+    by_name = {(cc.path[-1] if cc.path else ""): cc for cc in rg.columns}
+    per_col: Dict[str, List] = {}
+    for name, op, val in filters:
+        if name not in by_name or op not in _CMP:
+            return None
+        if by_name[name].type not in _NP:       # numeric-only exact pass
+            return None
+        per_col.setdefault(name, []).append((op, val))
+    if not per_col:
+        return None
+    from cudf_tpu.io import parquet_pushdown as ppd
+
+    rows = np.concatenate([np.arange(a, b) for a, b in intervals]) \
+        if intervals else np.zeros(0, np.int64)
+    mask = np.ones(rows.shape[0], bool)
+    for name, col_filters in per_col.items():
+        cc = by_name[name]
+        _, oi = ppd.read_page_index(path, cc)
+        vals, valid = read_column_chunk_pruned(
+            path, cc, oi.page_locations, intervals, rg.num_rows,
+            nullable=nullable.get(name, True),
+            type_length=type_len.get(name) or 0)
+        for op, val in col_filters:
+            try:
+                mask &= _CMP[op](vals, val)
+            except TypeError:
+                return None
+        if valid is not None:
+            mask &= valid
+    hit = rows[mask]
+    if hit.size == 0:
+        return []
+    # coalesce matching rows into intervals, bridging gaps ≤ 512 rows
+    # (scattered singletons would defeat the page-overlap scan; the
+    # residual filter trims bridged rows exactly)
+    brk = np.nonzero(np.diff(hit) > 512)[0]
+    starts = np.concatenate([[0], brk + 1])
+    stops = np.concatenate([brk, [hit.size - 1]])
+    return [(int(hit[a]), int(hit[b]) + 1) for a, b in zip(starts, stops)]
+
+
 def read_parquet_native(path: str, columns: Optional[List[str]] = None,
                         filters=None, row_groups: Optional[List[int]] = None):
     """Full-file reader over the self-contained decode path.
 
-    filters: AND-list of (col, op, val) → row-group stats pruning
-    (reference: predicate_pushdown.cpp; the pruned groups are never read
-    from disk).  row_groups: explicit subset (chunked passes).
+    filters: AND-list of (col, op, val) → row-group stats + bloom-filter
+    pruning and, when the file carries a page index, page-granular
+    pruning (reference: predicate_pushdown.cpp, bloom_filter_reader.cu,
+    experimental/page_index_filter.cu; pruned groups/pages are never
+    read from disk).  row_groups: explicit subset (chunked passes).
     """
     from cudf_tpu.frame.dataframe import DataFrame
     from cudf_tpu.frame.index import default_index
@@ -324,6 +532,7 @@ def read_parquet_native(path: str, columns: Optional[List[str]] = None,
     names = [s.name for s in leaves]
     nullable = {s.name: s.repetition_type == 1 for s in leaves}
     conv = {s.name: s.converted_type for s in leaves}
+    logical = {s.name: s.logical for s in leaves}
     type_len = {s.name: s.type_length for s in leaves}
     dec_scale = {s.name: s.scale for s in leaves}
     phys_of = {s.name: s.type for s in leaves}
@@ -334,18 +543,48 @@ def read_parquet_native(path: str, columns: Optional[List[str]] = None,
     if row_groups is not None:
         groups = [groups[i] for i in row_groups]
     if filters:
+        from cudf_tpu.io import parquet_pushdown as ppd
+
         groups = [rg for rg in groups
-                  if _rg_passes_filters(rg, filters, None)]
+                  if _rg_passes_filters(rg, filters, None)
+                  and ppd.rg_bloom_passes(path, rg, filters)]
     for rg in groups:
+        intervals = (_page_intervals_for_rg(path, rg, filters, wanted)
+                     if filters else None)
+        if intervals == []:
+            continue                     # page stats prove no row matches
+        if intervals is not None:
+            from cudf_tpu.utils.config import get_option
+
+            if get_option("io.parquet.hybrid_scan"):
+                exact = _hybrid_exact_intervals(path, rg, filters,
+                                                intervals, type_len,
+                                                nullable)
+                if exact == []:
+                    continue             # predicate proves no row matches
+                if exact is not None:
+                    intervals = exact
         for cc in rg.columns:
             name = cc.path[-1] if cc.path else ""
             if name not in per_col:
                 continue
-            vals, valid = read_column_chunk(path, cc, nullable=nullable.get(name, True),
-                                            type_length=type_len.get(name) or 0)
+            if intervals is not None:
+                from cudf_tpu.io import parquet_pushdown as ppd
+
+                _, oi = ppd.read_page_index(path, cc)
+                vals, valid = read_column_chunk_pruned(
+                    path, cc, oi.page_locations, intervals, rg.num_rows,
+                    nullable=nullable.get(name, True),
+                    type_length=type_len.get(name) or 0)
+                kept = sum(b - a for a, b in intervals)
+            else:
+                vals, valid = read_column_chunk(
+                    path, cc, nullable=nullable.get(name, True),
+                    type_length=type_len.get(name) or 0)
+                kept = rg.num_rows
             per_col[name].append(vals)
             per_val[name].append(valid if valid is not None else
-                                 np.ones(rg.num_rows, bool))
+                                 np.ones(kept, bool))
     cols = {}
     for n in wanted:
         parts = per_col[n]
@@ -368,13 +607,42 @@ def read_parquet_native(path: str, columns: Optional[List[str]] = None,
             cols[n] = col
         else:
             data = np.concatenate(parts) if parts else np.zeros(0)
-            if conv.get(n) in (9, 10):  # DATE / TIME_MILLIS etc. — keep raw for now
-                pass
-            if phys_of.get(n) == 7 and conv.get(n) == 5:
+            lg = logical.get(n)
+            cv = conv.get(n)
+            # logical/converted type fidelity (the reference applies the
+            # same mapping in reader_impl.cpp finalize): TIMESTAMP unit,
+            # DATE days, INTEGER bit width/sign
+            if (lg and lg[0] == "timestamp") or cv in (9, 10):
+                unit = lg[1] if lg else ("ms" if cv == 9 else "us")
+                data = data.astype(np.int64).view(f"M8[{unit}]")
+            elif (lg and lg[0] == "date") or cv == 6:
+                mask_j = None
+                if mask is not None:
+                    import jax.numpy as _jnp
+
+                    mask_j = _jnp.asarray(mask)
+                import jax.numpy as _jnp
+
+                cols[n] = Column(dt.DType(dt.TypeId.TIMESTAMP_DAYS),
+                                 data.shape[0],
+                                 data=_jnp.asarray(data.astype(np.int32)),
+                                 validity=mask_j)
+                continue
+            elif (lg and lg[0] == "int") or cv in range(11, 19):
+                if lg:
+                    bits, signed = lg[1], lg[2]
+                else:
+                    signed = cv >= 15
+                    bits = 8 << ((cv - 11) & 3)
+                data = data.astype(np.dtype(f"{'i' if signed else 'u'}{bits // 8}"))
+            if phys_of.get(n) == 7 and (conv.get(n) == 5 or
+                                        (lg and lg[0] == "decimal")):
                 # FLBA DECIMAL: unscaled int64 rep, our scale = -parquet
                 # scale (fixed_point.hpp:37 convention)
                 import jax.numpy as _jnp
 
+                if lg and lg[0] == "decimal" and not dec_scale.get(n):
+                    dec_scale[n] = lg[1]
                 col = Column(dt.decimal_dtype(-dec_scale.get(n, 0)),
                              data.shape[0], data=_jnp.asarray(data),
                              validity=_jnp.asarray(mask) if mask is not None else None)

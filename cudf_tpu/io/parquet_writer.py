@@ -398,19 +398,87 @@ def _encode_levels(levels: np.ndarray, max_level: int) -> bytes:
     return struct.pack("<I", len(body)) + body
 
 
+def _sbbf_build(col, pt: int, max_ndv: int = 1 << 18) -> Optional[bytes]:
+    """Split-block bloom filter bitset over a chunk's distinct present
+    values (chunk_dict.cu's sibling bloom_filter writer role), or None
+    when the column shape doesn't support it."""
+    from cudf_tpu.io.parquet_pushdown import sbbf_insert_hashes, xxhash64
+    from cudf_tpu.ops._utils import materialize_validity
+
+    valid = None
+    if col.validity is not None:
+        valid = np.asarray(materialize_validity(col))
+    if col.dtype.is_string or col.dtype.is_dictionary:
+        c = col
+        if c.dtype.is_dictionary:
+            from cudf_tpu.ops.dictionary import decode as dict_decode
+
+            c = dict_decode(c)
+        offs = np.asarray(c.offsets)
+        chars = np.asarray(c.data).tobytes()
+        vals = {chars[offs[i]:offs[i + 1]] for i in range(c.length)
+                if valid is None or valid[i]}
+    elif pt in (_PT_INT32, _PT_INT64, _PT_FLOAT, _PT_DOUBLE):
+        data = np.asarray(col.data)
+        if valid is not None:
+            data = data[valid]
+        if col.dtype.is_temporal:
+            data = data.astype(np.int64)
+        uniq = np.unique(data)
+        fmt = {_PT_INT32: "<i", _PT_INT64: "<q",
+               _PT_FLOAT: "<f", _PT_DOUBLE: "<d"}[pt]
+        if pt == _PT_INT32:
+            uniq = uniq.astype(np.int32)
+        elif pt == _PT_INT64:
+            uniq = uniq.astype(np.int64)
+        vals = {struct.pack(fmt, v) for v in uniq.tolist()}
+    else:
+        return None
+    if not vals or len(vals) > max_ndv:
+        return None
+    # ~10.5 bits/value hits the spec's ~1% fpp; blocks are 32 bytes
+    nbytes = max(32, 1 << (int(len(vals) * 10.5 / 8 - 1).bit_length()))
+    bitset = bytearray(nbytes)
+    sbbf_insert_hashes(bitset, (xxhash64(v) for v in vals))
+    return bytes(bitset)
+
+
+def _write_bloom_header(w: CompactWriter, num_bytes: int):
+    """BloomFilterHeader: SBBF / xxhash / uncompressed (the only
+    defined union members, parquet.thrift)."""
+    w.begin_struct()
+    w.write_i(1, num_bytes, _CT_I32)
+    for fid in (2, 3, 4):                # algorithm / hash / compression
+        w.begin_struct(fid)
+        w.begin_struct(1)                # union member 1 = the default
+        w.end_struct()
+        w.end_struct()
+    w.end_struct()
+
+
 def write_parquet_native(df, path: str, row_group_size: int = 1 << 20,
                          compression: str = "snappy",
                          use_dictionary: bool = True,
-                         data_page_version: int = 1):
+                         data_page_version: int = 1,
+                         data_page_rows: int = 0,
+                         write_page_index: bool = True,
+                         bloom_filter_columns=None):
     """Write a DataFrame as a flat-schema parquet file.
 
     compression: uncompressed | snappy | gzip | zstd (page codec);
     use_dictionary: dictionary-encode chunks when it pays, falling back
     to PLAIN on overflow (chunk_dict.cu discipline);
     data_page_version: 1 or 2 (v2 keeps levels uncompressed and marks
-    is_compressed per page).
+    is_compressed per page);
+    data_page_rows: split chunks into pages of this many rows (0 = one
+    page per chunk);
+    write_page_index: emit ColumnIndex/OffsetIndex per-page stats before
+    the footer (the structures page_index_filter.cu consumes);
+    bloom_filter_columns: column names to build split-block bloom
+    filters for (bloom_filter_reader.cu's inputs).
     """
     codec = _CODECS[compression.lower() if compression else None]
+    bloom_cols = set(bloom_filter_columns or ())
     names = list(df._table.names)
     n = len(df)
     with open(path, "wb") as f:
@@ -464,10 +532,11 @@ def write_parquet_native(df, path: str, row_group_size: int = 1 << 20,
                 nullable = col.validity is not None
                 nv = spec["nv"]
                 utotal = 0            # uncompressed byte accounting
-                vals, pt, mn, mx = _plain_encode(col)
+                vals_all, pt, mn, mx = _plain_encode(col)
                 dict_off = None
                 encoding = 0          # PLAIN
-                dic = _try_dictionary(vals, pt, col) \
+                indices = None
+                dic = _try_dictionary(vals_all, pt, col) \
                     if (use_dictionary and spec["dict_ok"]) else None
                 if dic is not None:
                     dict_vals, indices = dic
@@ -481,58 +550,165 @@ def write_parquet_native(df, path: str, row_group_size: int = 1 << 20,
                     f.write(cd)
                     utotal += len(w.buf) + len(dict_vals)
                     bw = max(int(nuniq - 1).bit_length(), 1)
-                    vals = bytes([bw]) + _rle_hybrid_encode(indices, bw)
                     encoding = 8      # RLE_DICTIONARY
-                # repetition + definition levels (v1 layout: each RLE
+                # whole-chunk definition levels (v1 layout: each RLE
                 # section carries its own 4-byte length prefix)
-                lvl = b""
-                if spec["max_rep"]:
-                    lvl += _encode_levels(spec["rep"], spec["max_rep"])
                 if spec["defs"] is not None:
-                    lvl += _encode_levels(spec["defs"], spec["max_def"])
-                    nulls = int((spec["defs"] < spec["max_def"]).sum())
+                    dl_all = spec["defs"]
                 elif nullable:
                     from cudf_tpu.ops._utils import materialize_validity
 
-                    dl = np.asarray(materialize_validity(col)).astype(np.int32)
-                    lvl += _encode_levels(dl, 1)
-                    nulls = int((dl == 0).sum())
+                    dl_all = np.asarray(
+                        materialize_validity(col)).astype(np.int32)
                 else:
-                    nulls = 0
-                has_levels = len(lvl) > 0
+                    dl_all = None
+                nulls = int((dl_all < spec["max_def"]).sum()) \
+                    if dl_all is not None else 0
+                # page split (page_enc.cu fragments; flat leaves only —
+                # a rep-levelled page boundary would need row alignment)
+                if data_page_rows and spec["max_rep"] == 0 \
+                        and nv > data_page_rows:
+                    ranges = [(i, min(i + data_page_rows, nv))
+                              for i in range(0, nv, data_page_rows)]
+                else:
+                    ranges = [(0, nv)]
+                # prefix count of present values (dict index slicing)
+                if dl_all is not None:
+                    pv = np.zeros(nv + 1, np.int64)
+                    np.cumsum(dl_all == spec["max_def"], out=pv[1:])
+                else:
+                    pv = None
                 data_off = f.tell()
-                w = CompactWriter()
-                if data_page_version == 2 and spec["max_rep"] == 0:
-                    cbody = _compress(vals, codec)
-                    lvl2 = lvl[4:] if has_levels else b""  # v2: no prefix
-                    _write_page_header_v2(
-                        w, nv, nulls, nv, encoding,
-                        len(lvl2) + len(vals), len(lvl2) + len(cbody),
-                        len(lvl2), codec != 0)
-                    f.write(bytes(w.buf))
-                    f.write(lvl2)
-                    f.write(cbody)
-                    utotal += len(w.buf) + len(lvl2) + len(vals)
-                else:
-                    body = lvl + vals
-                    cbody = _compress(body, codec)
-                    _write_page_header(w, nv, encoding, len(body),
-                                       len(cbody))
-                    f.write(bytes(w.buf))
-                    f.write(cbody)
-                    utotal += len(w.buf) + len(body)
+                pages_meta = []
+                for (r0, r1) in ranges:
+                    page_off = f.tell()
+                    dl_page = dl_all[r0:r1] if dl_all is not None else None
+                    lvl = b""
+                    if spec["max_rep"]:
+                        lvl += _encode_levels(spec["rep"], spec["max_rep"])
+                    if dl_page is not None:
+                        lvl += _encode_levels(dl_page, spec["max_def"])
+                        nulls_page = int((dl_page < spec["max_def"]).sum())
+                    else:
+                        nulls_page = 0
+                    if len(ranges) == 1:
+                        mn_p, mx_p = mn, mx
+                        if indices is not None:
+                            vals = bytes([bw]) + _rle_hybrid_encode(
+                                indices, bw)
+                        else:
+                            vals = vals_all
+                    else:
+                        sub = _slice_col(col, r0, r1)
+                        sub_vals, _, mn_p, mx_p = _plain_encode(sub)
+                        if indices is not None:
+                            a = pv[r0] if pv is not None else r0
+                            b = pv[r1] if pv is not None else r1
+                            vals = bytes([bw]) + _rle_hybrid_encode(
+                                indices[a:b], bw)
+                        else:
+                            vals = sub_vals
+                    has_levels = len(lvl) > 0
+                    npage = r1 - r0
+                    w = CompactWriter()
+                    if data_page_version == 2 and spec["max_rep"] == 0:
+                        cbody = _compress(vals, codec)
+                        lvl2 = lvl[4:] if has_levels else b""  # no prefix
+                        _write_page_header_v2(
+                            w, npage, nulls_page, npage, encoding,
+                            len(lvl2) + len(vals), len(lvl2) + len(cbody),
+                            len(lvl2), codec != 0)
+                        f.write(bytes(w.buf))
+                        f.write(lvl2)
+                        f.write(cbody)
+                        utotal += len(w.buf) + len(lvl2) + len(vals)
+                    else:
+                        body = lvl + vals
+                        cbody = _compress(body, codec)
+                        _write_page_header(w, npage, encoding, len(body),
+                                           len(cbody))
+                        f.write(bytes(w.buf))
+                        f.write(cbody)
+                        utotal += len(w.buf) + len(body)
+                    pages_meta.append(dict(
+                        off=page_off, size=f.tell() - page_off,
+                        first_row=r0, mn=mn_p, mx=mx_p, nulls=nulls_page,
+                        all_null=nulls_page == (r1 - r0)))
                 total = f.tell() - offset
+                name0 = spec["path"][0]
+                bloom = (_sbbf_build(col, pt)
+                         if name0 in bloom_cols and spec["max_rep"] == 0
+                         else None)
                 cols_meta.append(dict(
                     path=spec["path"], type=pt, offset=offset, nv=nv,
                     total=total, utotal=utotal, mn=mn, mx=mx, nulls=nulls,
                     nullable=nullable, codec=codec, encoding=encoding,
-                    dict_off=dict_off, data_off=data_off))
+                    dict_off=dict_off, data_off=data_off,
+                    pages=pages_meta, bloom=bloom))
             row_groups_meta.append(
                 dict(cols=cols_meta, rows=stop - start,
                      bytes=sum(c["total"] for c in cols_meta)))
             start = stop
             if n == 0:
                 break
+
+        # ---- bloom filters + page index (before the footer, per spec:
+        # PageIndex layout section; the reader finds them through the
+        # ColumnChunk/ColumnMetaData offset fields) -------------------
+        for rg in row_groups_meta:
+            for c in rg["cols"]:
+                if c.get("bloom"):
+                    c["bloom_off"] = f.tell()
+                    w = CompactWriter()
+                    _write_bloom_header(w, len(c["bloom"]))
+                    f.write(bytes(w.buf))
+                    f.write(c["bloom"])
+                    c["bloom_len"] = f.tell() - c["bloom_off"]
+        if write_page_index:
+            for rg in row_groups_meta:
+                for c in rg["cols"]:
+                    pages = c["pages"]
+                    if any(p["mn"] is None and not p["all_null"]
+                           for p in pages):
+                        continue          # no stats (e.g. boolean)
+                    w = CompactWriter()
+                    w.begin_struct()      # ColumnIndex
+                    w.begin_list(1, _CT_TRUE, len(pages))
+                    for p in pages:
+                        w.buf.append(1 if p["all_null"] else 2)
+                    w.begin_list(2, _CT_BINARY, len(pages))
+                    for p in pages:
+                        v = p["mn"] or b""
+                        w._varint(len(v))
+                        w.buf += v
+                    w.begin_list(3, _CT_BINARY, len(pages))
+                    for p in pages:
+                        v = p["mx"] or b""
+                        w._varint(len(v))
+                        w.buf += v
+                    w.write_i(4, 0, _CT_I32)   # boundary_order UNORDERED
+                    w.begin_list(5, _CT_I64, len(pages))
+                    for p in pages:
+                        w._zigzag(p["nulls"])
+                    w.end_struct()
+                    c["ci_off"] = f.tell()
+                    f.write(bytes(w.buf))
+                    c["ci_len"] = f.tell() - c["ci_off"]
+            for rg in row_groups_meta:
+                for c in rg["cols"]:
+                    w = CompactWriter()
+                    w.begin_struct()      # OffsetIndex
+                    w.begin_list(1, _CT_STRUCT, len(c["pages"]))
+                    for p in c["pages"]:
+                        w.begin_struct()  # PageLocation
+                        w.write_i(1, p["off"], _CT_I64)
+                        w.write_i(2, p["size"], _CT_I32)
+                        w.write_i(3, p["first_row"], _CT_I64)
+                        w.end_struct()
+                    w.end_struct()
+                    c["oi_off"] = f.tell()
+                    f.write(bytes(w.buf))
+                    c["oi_len"] = f.tell() - c["oi_off"]
 
         # ---- FileMetaData footer --------------------------------------
         # schema tree in pre-order: (name, repetition, phys|None,
@@ -614,8 +790,17 @@ def write_parquet_native(df, path: str, row_group_size: int = 1 << 20,
                     w.write_binary(5, c["mx"])
                     w.write_binary(6, c["mn"])
                     w.end_struct()
-                w.end_struct()
-                w.end_struct()
+                if c.get("bloom_off") is not None:
+                    w.write_i(14, c["bloom_off"], _CT_I64)
+                    w.write_i(15, c["bloom_len"], _CT_I32)
+                w.end_struct()            # ColumnMetaData
+                if c.get("oi_off") is not None:
+                    w.write_i(4, c["oi_off"], _CT_I64)
+                    w.write_i(5, c["oi_len"], _CT_I32)
+                if c.get("ci_off") is not None:
+                    w.write_i(6, c["ci_off"], _CT_I64)
+                    w.write_i(7, c["ci_len"], _CT_I32)
+                w.end_struct()            # ColumnChunk
             w.write_i(2, rg["bytes"], _CT_I64)
             w.write_i(3, rg["rows"], _CT_I64)
             w.end_struct()

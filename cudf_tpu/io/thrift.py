@@ -86,6 +86,10 @@ class CompactReader:
         etype = b & 0x0F
         if size == 15:
             size = self.read_varint()
+        if etype in (1, 2):
+            # bool list elements take one byte each (0x01 true / 0x02
+            # false) — unlike struct fields where the type IS the value
+            return [self.read_byte() == 1 for _ in range(size)]
         return [self._read_value(etype) for _ in range(size)]
 
 
@@ -103,6 +107,7 @@ class SchemaElement:
     converted_type: Optional[int]
     scale: int = 0
     precision: int = 0
+    logical: Optional[tuple] = None     # parsed LogicalType (field 10)
 
     @classmethod
     def from_raw(cls, d):
@@ -111,7 +116,32 @@ class SchemaElement:
             name=d.get(4, b"").decode(), num_children=d.get(5, 0) or 0,
             converted_type=d.get(6),
             scale=d.get(7, 0) or 0, precision=d.get(8, 0) or 0,
+            logical=cls._parse_logical(d.get(10)),
         )
+
+    @staticmethod
+    def _parse_logical(lt):
+        """LogicalType union → simple tuple (parquet.thrift LogicalType;
+        the modern replacement for ConvertedType — pyarrow writes ns
+        timestamps with ONLY this)."""
+        if not isinstance(lt, dict):
+            return None
+        if 1 in lt:
+            return ("string",)
+        if 5 in lt:
+            dec = lt[5]
+            return ("decimal", dec.get(1, 0), dec.get(2, 0))
+        if 6 in lt:
+            return ("date",)
+        if 7 in lt or 8 in lt:
+            sub = lt.get(8, lt.get(7))
+            unit = sub.get(2, {})
+            u = "ms" if 1 in unit else ("us" if 2 in unit else "ns")
+            return ("timestamp" if 8 in lt else "time", u, sub.get(1, False))
+        if 10 in lt:
+            iu = lt[10]
+            return ("int", iu.get(1, 32), bool(iu.get(2, True)))
+        return None
 
 
 @dataclass
@@ -165,6 +195,14 @@ class ColumnChunkMeta:
     data_page_offset: int
     dictionary_page_offset: Optional[int]
     statistics: Optional["Statistics"] = None
+    # ColumnChunk-level (outer struct) page-index / bloom locators
+    # (reference: page_index_filter.cu, bloom_filter_reader.cu inputs)
+    offset_index_offset: Optional[int] = None
+    offset_index_length: Optional[int] = None
+    column_index_offset: Optional[int] = None
+    column_index_length: Optional[int] = None
+    bloom_filter_offset: Optional[int] = None
+    bloom_filter_length: Optional[int] = None
 
     @classmethod
     def from_raw(cls, d):
@@ -175,6 +213,7 @@ class ColumnChunkMeta:
             total_uncompressed_size=d[6], total_compressed_size=d[7],
             data_page_offset=d[9], dictionary_page_offset=d.get(11),
             statistics=Statistics.from_raw(d[12]) if 12 in d else None,
+            bloom_filter_offset=d.get(14), bloom_filter_length=d.get(15),
         )
 
 
@@ -189,8 +228,69 @@ class RowGroup:
         cols = []
         for c in d.get(1, []):
             meta = c.get(3)  # ColumnMetaData struct
-            cols.append(ColumnChunkMeta.from_raw(meta))
+            cc = ColumnChunkMeta.from_raw(meta)
+            # outer ColumnChunk fields: 4/5 offset index, 6/7 column index
+            cc.offset_index_offset = c.get(4)
+            cc.offset_index_length = c.get(5)
+            cc.column_index_offset = c.get(6)
+            cc.column_index_length = c.get(7)
+            cols.append(cc)
         return cls(columns=cols, total_byte_size=d.get(2, 0), num_rows=d.get(3, 0))
+
+
+# ----------------------------------------------------------------------
+# page index (parquet.thrift ColumnIndex / OffsetIndex) — per-page stats
+# enabling page-granular predicate pushdown (the reference's
+# experimental/page_index_filter.cu consumes the same structures)
+# ----------------------------------------------------------------------
+
+@dataclass
+class PageLocation:
+    offset: int
+    compressed_page_size: int
+    first_row_index: int
+
+
+@dataclass
+class OffsetIndex:
+    page_locations: List[PageLocation]
+
+    @classmethod
+    def parse(cls, buf: bytes) -> "OffsetIndex":
+        d = CompactReader(buf).read_struct()
+        return cls([PageLocation(p[1], p[2], p[3]) for p in d.get(1, [])])
+
+
+@dataclass
+class ColumnIndex:
+    null_pages: List[bool]
+    min_values: List[bytes]
+    max_values: List[bytes]
+    boundary_order: int
+    null_counts: Optional[List[int]]
+
+    @classmethod
+    def parse(cls, buf: bytes) -> "ColumnIndex":
+        d = CompactReader(buf).read_struct()
+        return cls(
+            null_pages=d.get(1, []), min_values=d.get(2, []),
+            max_values=d.get(3, []), boundary_order=d.get(4, 0),
+            null_counts=d.get(5),
+        )
+
+
+@dataclass
+class BloomFilterHeader:
+    num_bytes: int
+    # algorithm/hash/compression are unions — presence of field 1 in each
+    # means BLOCK / XXHASH / UNCOMPRESSED (the only defined values)
+    header_len: int = 0
+
+    @classmethod
+    def parse(cls, buf: bytes, pos: int = 0) -> "BloomFilterHeader":
+        r = CompactReader(buf, pos)
+        d = r.read_struct()
+        return cls(num_bytes=d[1], header_len=r.pos - pos)
 
 
 @dataclass
@@ -199,6 +299,7 @@ class FileMetaData:
     schema: List[SchemaElement]
     num_rows: int
     row_groups: List[RowGroup]
+    key_value: List[Tuple[bytes, bytes]] = field(default_factory=list)
 
     @classmethod
     def from_raw(cls, d):
@@ -207,6 +308,8 @@ class FileMetaData:
             schema=[SchemaElement.from_raw(s) for s in d.get(2, [])],
             num_rows=d.get(3, 0),
             row_groups=[RowGroup.from_raw(r) for r in d.get(4, [])],
+            key_value=[(kv.get(1, b""), kv.get(2, b""))
+                       for kv in d.get(5, []) if isinstance(kv, dict)],
         )
 
 

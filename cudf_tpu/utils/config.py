@@ -104,9 +104,16 @@ _register("io.parquet.native_writer", True,
           "write flat-schema parquet with the self-contained writer "
           "(dictionary pages, snappy/gzip/zstd, v1/v2 data pages); "
           "pyarrow tier for nested/indexed frames")
-_register("io.parquet.native_reader", False,
+_register("io.parquet.native_reader", True,
           "use the self-contained thrift+decode reader (parquet_native) "
-          "with row-group stats pushdown instead of the pyarrow tier")
+          "with row-group stats + page-index + bloom pushdown; pyarrow "
+          "tier on unsupported shapes (always-on like the reference's "
+          "own reader, cpp/src/io/parquet/reader_impl.cpp)")
+_register("io.parquet.hybrid_scan", True,
+          "filter-column-first two-pass scan when a page index is "
+          "present: decode filter columns, evaluate predicates exactly, "
+          "then decode payload pages holding matches only "
+          "(experimental/hybrid_scan.cpp role)")
 _register("executor.spmd_lowering", True,
           "compile LazyFrame plans over a Mesh into one jitted shard_map "
           "program (engine/spmd.py); falls back to the partition-list "
