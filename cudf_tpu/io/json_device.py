@@ -46,7 +46,17 @@ def _escape_mask(buf: jnp.ndarray) -> jnp.ndarray:
     return (run_len_before & 1) == 1
 
 
-def read_json_lines_device(path_or_data, usecols: Optional[List[str]] = None):
+def read_json_records_device(path_or_data,
+                             usecols: Optional[List[str]] = None):
+    """Parse a top-level JSON array of flat objects ([{...}, ...]) into a
+    DataFrame — the 'records' orient, sharing the FST passes with the
+    lines tokenizer (reference: read_json.cu handles both shapes through
+    the same token pipeline)."""
+    return read_json_lines_device(path_or_data, usecols, records=True)
+
+
+def read_json_lines_device(path_or_data, usecols: Optional[List[str]] = None,
+                           records: bool = False):
     """Parse NDJSON (flat objects) into a DataFrame, device-resident."""
     from cudf_tpu.frame.dataframe import DataFrame
     from cudf_tpu.frame.index import default_index
@@ -61,6 +71,14 @@ def read_json_lines_device(path_or_data, usecols: Optional[List[str]] = None):
         with open(path_or_data, "rb") as f:
             data = f.read()
     raw = np.frombuffer(data, np.uint8)
+    if records:
+        stripped = data.strip()
+        if not (stripped.startswith(b"[") and stripped.endswith(b"]")):
+            raise ValueError("records orient needs a top-level array")
+        if stripped == b"[]":
+            from cudf_tpu.frame.dataframe import DataFrame as _DF
+
+            return _DF._from(Table({}), default_index(0))
     if len(raw) == 0:
         return DataFrame._from(Table({}), default_index(0))
     if raw[-1:] != b"\n"[0]:
@@ -73,13 +91,26 @@ def read_json_lines_device(path_or_data, usecols: Optional[List[str]] = None):
     outside = inq_excl == 0                      # quote bytes count outside
     is_open = (buf == ord("{")) & outside
     is_close = (buf == ord("}")) & outside
+    is_arr = (buf == ord("[")) & outside
+    is_arr_c = (buf == ord("]")) & outside
     depth = jnp.cumsum(is_open.astype(jnp.int32)) - \
         jnp.cumsum(is_close.astype(jnp.int32))
-    if int(jnp.max(depth)) > 1 or bool(jnp.any(((buf == ord("[")) & outside))):
-        raise ValueError("nested objects/arrays — host tier")
-    nl = (buf == ord("\n")) & outside
-    colon = (buf == ord(":")) & outside & (depth == 1)
-    comma = (buf == ord(",")) & outside & (depth == 1)
+    if records:
+        arr_depth = jnp.cumsum(is_arr.astype(jnp.int32)) - \
+            jnp.cumsum(is_arr_c.astype(jnp.int32))
+        if int(jnp.max(depth)) > 1 or int(jnp.max(arr_depth)) > 1 or \
+                int(jnp.sum(is_arr)) != 1:
+            raise ValueError("nested objects/arrays — host tier")
+        # record break: the '}' closing each object (depth 1 → 0)
+        nl = is_close
+        fdepth = depth == 1
+    else:
+        if int(jnp.max(depth)) > 1 or bool(jnp.any(is_arr)):
+            raise ValueError("nested objects/arrays — host tier")
+        nl = (buf == ord("\n")) & outside
+        fdepth = depth == 1
+    colon = (buf == ord(":")) & outside & fdepth
+    comma = (buf == ord(",")) & outside & fdepth
 
     pos = jnp.arange(nb, dtype=jnp.int64)
     colon_pos = filter_indices(colon)
@@ -87,8 +118,10 @@ def read_json_lines_device(path_or_data, usecols: Optional[List[str]] = None):
     if n_fields == 0:
         n_rows = int(jnp.sum(nl))
         return DataFrame._from(Table({}), default_index(n_rows))
-    # row of each field
-    row_of = jnp.take(jnp.cumsum(nl.astype(jnp.int64)), colon_pos)
+    # row of each field (records: objects closed BEFORE this field)
+    row_cum = jnp.cumsum(nl.astype(jnp.int64))
+    row_of = jnp.take(row_cum - nl.astype(jnp.int64), colon_pos) \
+        if records else jnp.take(row_cum, colon_pos)
     # key span: the string immediately before the colon — last unescaped
     # quote pair before it.  qpos = positions of unescaped quotes.
     qpos = filter_indices(q)
@@ -121,6 +154,12 @@ def read_json_lines_device(path_or_data, usecols: Optional[List[str]] = None):
         is_ws = (ch == 32) | (ch == 9) | (ch == 13)
         val_end = jnp.where(is_ws & (val_end > val_start),
                             val_end - 1, val_end)
+    # literal null values → empty spans (to_numbers/'' = null; a string
+    # "null" is quoted and unaffected)
+    nul = (val_end - val_start) == 4
+    for k, c in enumerate(b"null"):
+        nul &= jnp.take(buf, jnp.clip(val_start + k, 0, nb - 1)) == c
+    val_end = jnp.where(nul, val_start, val_end)
 
     # key strings → column ids (dictionary encode)
     key_col = _substr_col(buf, key_start, key_end - key_start)
@@ -158,7 +197,7 @@ def read_json_lines_device(path_or_data, usecols: Optional[List[str]] = None):
         raw_col = _substr_col(buf, starts_j, lens_j)
         vals = raw_col.to_pylist()
         sample = [v for v, p in zip(vals[:64], np.asarray(present)[:64]) if p]
-        if sample and all(s == "null" or s.startswith('"') for s in sample):
+        if sample and all(s == "" or s.startswith('"') for s in sample):
             # string column: strip quotes, un-escape, null for 'null'
             is_str = jnp.asarray(
                 np.array([v.startswith('"') for v in vals], bool))
@@ -167,7 +206,7 @@ def read_json_lines_device(path_or_data, usecols: Optional[List[str]] = None):
             validity = present & is_str
             cols[name] = stripped.with_validity(
                 None if bool(jnp.all(validity)) else validity)
-        elif sample and all(s in ("null",) + _BOOL_SPELLINGS
+        elif sample and all(s in ("",) + _BOOL_SPELLINGS
                             or s in ("true", "false") for s in sample):
             bval = jnp.asarray(np.array([v == "true" for v in vals], bool))
             validity = present & jnp.asarray(
@@ -176,7 +215,7 @@ def read_json_lines_device(path_or_data, usecols: Optional[List[str]] = None):
                 dt.BOOL8, n_rows, data=bval,
                 validity=None if bool(jnp.all(validity)) else validity)
         else:
-            target = _infer_dtype([s for s in sample if s != "null"])
+            target = _infer_dtype([s for s in sample if s != ""])
             if target == dt.STRING:
                 validity = present
                 cols[name] = raw_col.with_validity(

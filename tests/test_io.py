@@ -318,3 +318,48 @@ def test_orc_native_writer_roundtrip(tmp_path):
 
         back2 = read_orc_native(p).to_pandas()
         pd.testing.assert_frame_equal(back2, pdf, check_dtype=False)
+
+
+def test_json_records_device_orient():
+    """Top-level array of flat objects through the device tokenizer
+    (reference: read_json.cu handles records + lines via one pipeline)."""
+    import io as _io
+
+    s = ('[{"a": 1, "b": "x"}, {"a": 2, "b": null},'
+         ' {"b": "z\\n", "a": 3}, {}]')
+    df = cudf_tpu.read_json(s)
+    pdf = pd.read_json(_io.StringIO(s))
+    out = df.to_pandas()
+    assert out["a"].dropna().tolist() == [1, 2, 3]
+    assert out["b"].tolist()[2] == "z\n"
+    assert list(out.columns) == list(pdf.columns)
+    assert len(out) == 4
+
+
+def test_json_writer_self_contained(tmp_path):
+    """Columnar JSON writer (write_json.cu role): records + lines,
+    escapes, NaN→null; round-trips through pandas AND our reader."""
+    import io as _io
+
+    df = cudf_tpu.DataFrame({
+        "i": [1, 2, 3],
+        "f": [1.5, float("nan"), 0.1],
+        "s": ['q"uote', None, "tab\there"],
+    })
+    js = df.to_json(orient="records")
+    back = pd.read_json(_io.StringIO(js))
+    assert back["i"].tolist() == [1, 2, 3]
+    assert back["s"].tolist()[0] == 'q"uote'
+    assert back["s"].tolist()[2] == "tab\there"
+    assert pd.isna(back["f"].iloc[1]) and back["f"].iloc[2] == 0.1
+    p = str(tmp_path / "x.json")
+    df.to_json(p, orient="records", lines=True)
+    rt = cudf_tpu.read_json(p, lines=True).to_pandas()
+    assert rt["i"].tolist() == [1, 2, 3]
+
+
+def test_json_lines_null_numeric():
+    out = cudf_tpu.read_json(
+        '{"x": 1.5}\n{"x": null}\n{"x": 3.5}', lines=True).to_pandas()
+    assert out["x"].isna().tolist() == [False, True, False]
+    assert out["x"].iloc[2] == 3.5
