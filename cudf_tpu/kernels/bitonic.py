@@ -52,11 +52,31 @@ def _partner_sublane(x, m):
     return jnp.where(take_down, down, up)
 
 
-def bitonic_sort(key, riders=(), ascending: bool = True):
+def _cmpx(arrays, up, d, pos):
+    """One compare-exchange step at distance d with direction mask up."""
+    if d < LANES:
+        partners = [_partner_lane(a, d) for a in arrays]
+    else:
+        partners = [_partner_sublane(a, d // LANES) for a in arrays]
+    is_low = (pos & d) == 0
+    pk = partners[0]
+    kk = arrays[0]
+    # keep the smaller at the low slot when ascending.  Expressed in
+    # i1 arithmetic (Mosaic crashes on selects with boolean
+    # operands): the high slot inverts the decision unless keys
+    # tie, in which case both slots act identically (consistent
+    # pairing keeps riders attached to their keys).
+    a_dec = (kk <= pk) == up
+    take_self = a_dec ^ ((~is_low) & (kk != pk))
+    return [jnp.where(take_self, a, p) for a, p in zip(arrays, partners)]
+
+
+def bitonic_sort(key, riders=(), ascending=True):
     """Sort a row-major [R, 128] int32 tile by ``key``; riders follow.
 
     R must be a power of two.  Returns (key_sorted, riders_sorted...).
     Runs inside a Pallas kernel (pure jnp/pltpu ops on values).
+    ascending may be a traced bool scalar (per-grid-step direction).
     """
     r, l = key.shape
     assert l == LANES and (r & (r - 1)) == 0, key.shape
@@ -67,51 +87,83 @@ def bitonic_sort(key, riders=(), ascending: bool = True):
     rows = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
     pos = rows * LANES + cols
+    flip = None
+    if not isinstance(ascending, bool):
+        flip = jnp.logical_not(ascending)        # traced direction
 
     for k in range(1, logn + 1):
         # ascending iff bit k of position is 0 (standard bitonic schedule)
         if k == logn:
-            up = jnp.full((r, LANES), ascending, jnp.bool_)
+            if flip is None:
+                up = jnp.full((r, LANES), ascending, jnp.bool_)
+            else:
+                up = jnp.broadcast_to(jnp.logical_not(flip), (r, LANES))
         else:
             up = (pos & (1 << k)) == 0
-            if not ascending:
-                up = ~up
-        for j in range(k - 1, -1, -1):
-            d = 1 << j
-            if d < LANES:
-                partners = [_partner_lane(a, d) for a in arrays]
+            if flip is None:
+                if not ascending:
+                    up = ~up
             else:
-                partners = [_partner_sublane(a, d // LANES) for a in arrays]
-            is_low = (pos & d) == 0
-            pk = partners[0]
-            kk = arrays[0]
-            # keep the smaller at the low slot when ascending.  Expressed in
-            # i1 arithmetic (Mosaic crashes on selects with boolean
-            # operands): the high slot inverts the decision unless keys
-            # tie, in which case both slots act identically (consistent
-            # pairing keeps riders attached to their keys).
-            a_dec = (kk <= pk) == up
-            take_self = a_dec ^ ((~is_low) & (kk != pk))
-            arrays = [jnp.where(take_self, a, p)
-                      for a, p in zip(arrays, partners)]
+                up = up ^ flip
+        for j in range(k - 1, -1, -1):
+            arrays = _cmpx(arrays, up, 1 << j, pos)
     return tuple(arrays)
 
 
-def _sort_kernel(n_riders, key_ref, *rest):
+def bitonic_merge(key, riders=(), ascending: bool = True):
+    """Merge a BITONIC row-major [R, 128] sequence (asc half ++ desc
+    half, or the reverse) into sorted order — the final stage of the
+    bitonic network alone (log n steps instead of the full sort's
+    log² n / 2), letting supertiles twice the max-compilable sort size
+    come from two direction-alternated tile sorts."""
+    r, l = key.shape
+    assert l == LANES and (r & (r - 1)) == 0, key.shape
+    n = r * LANES
+    logn = n.bit_length() - 1
+    arrays = [key, *riders]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
+    pos = rows * LANES + cols
+    up = jnp.full((r, LANES), ascending, jnp.bool_)
+    for j in range(logn - 1, -1, -1):
+        arrays = _cmpx(arrays, up, 1 << j, pos)
+    return tuple(arrays)
+
+
+def _sort_kernel(n_riders, alternate, mask_bits, key_ref, *rest):
     rider_refs = rest[:n_riders]
     out_refs = rest[n_riders:]
-    res = bitonic_sort(key_ref[...], [rr[...] for rr in rider_refs])
-    for o, v in zip(out_refs, res):
-        o[...] = v
+    asc = True if not alternate else (pl.program_id(0) % 2) == 0
+    keys = key_ref[...]
+    if mask_bits is None:
+        res = bitonic_sort(keys, [rr[...] for rr in rider_refs],
+                           ascending=asc)
+        for o, v in zip(out_refs, res):
+            o[...] = v
+    else:
+        # sort by the LOW bits only, carrying the original key as the
+        # first rider (the radix pass-2 discipline; SENTINEL stays
+        # extremal so pad rows keep to the tile edge)
+        from cudf_tpu.kernels.radix_partition import SENTINEL
+
+        sk = jnp.where(keys >= 0, keys & ((1 << mask_bits) - 1),
+                       jnp.int32(SENTINEL))
+        res = bitonic_sort(sk, [keys] + [rr[...] for rr in rider_refs],
+                           ascending=asc)
+        for o, v in zip(out_refs, res[1:]):
+            o[...] = v
 
 
-@partial(jax.jit, static_argnames=("tile_rows", "interpret"))
-def tile_sort(key, *riders, tile_rows: int = 512, interpret: bool = False):
+@partial(jax.jit, static_argnames=("tile_rows", "alternate", "mask_bits",
+                                   "interpret"))
+def tile_sort(key, *riders, tile_rows: int = 512, alternate: bool = False,
+              mask_bits=None, interpret: bool = False):
     """Sort each [tile_rows, 128] tile of row-major inputs independently.
 
     key/riders: int32 arrays of shape [R, 128] with R % tile_rows == 0.
-    Used standalone for tests/benchmarks; the radix partition kernel calls
-    ``bitonic_sort`` inline instead.
+    alternate: odd tiles sort DESCENDING so adjacent tile pairs form
+    bitonic sequences for a merge+scatter kernel.  mask_bits: order by
+    key & mask (radix pass 2), outputs keep the full key.
     """
     r, l = key.shape
     assert r % tile_rows == 0 and l == LANES
@@ -121,7 +173,7 @@ def tile_sort(key, *riders, tile_rows: int = 512, interpret: bool = False):
     n_r = len(riders)
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            partial(_sort_kernel, n_r),
+            partial(_sort_kernel, n_r, alternate, mask_bits),
             grid=grid,
             in_specs=[spec] * (1 + n_r),
             out_specs=[spec] * (1 + n_r),

@@ -52,7 +52,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cudf_tpu.kernels.bitonic import bitonic_sort
+from cudf_tpu.kernels.bitonic import bitonic_merge, bitonic_sort, tile_sort
 
 LANES = 128
 HI = 64                      # hi channels per window: span = HI * LANES
@@ -145,6 +145,62 @@ def partition_layout(hist: np.ndarray, tile_rows: int, chunk_rows: int,
 # Phase B: sort tiles + scatter covering rows
 # ----------------------------------------------------------------------
 
+def _scatter_runs(tabs_ref, sc_refs, out_refs, sems, B, tile_rows,
+                  chunk_rows, V):
+    """Issue+wait the per-bucket run DMAs from sorted scratch planes."""
+    def chunk_copy(b, c, plane, rows):
+        src_ref, out_ref = sc_refs[plane], out_refs[plane]
+        w = tabs_ref[b, 2]
+        src0 = tabs_ref[b, 1] // LANES
+        off = jnp.minimum(c * rows, w - rows)
+        src = jnp.clip(src0 + off, 0, tile_rows - rows)
+        dst = tabs_ref[b, 0] + off
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(src, rows), :],
+            out_ref.at[pl.ds(dst, rows), :],
+            sems.at[b % sems.shape[0]],
+        )
+
+    # two-tier chunk cascade: runs >= 2*chunk_rows ship as double-size
+    # DMAs (+ one clamped tail), short runs as 1-2 single-size DMAs —
+    # halves descriptor-issue cost at the modal run width without the
+    # inflation a bigger layout minimum would cost (the clamped chunks
+    # overlap inside the run's own region; src and dst shift together so
+    # overlapping writes carry identical rows)
+    big = 2 * chunk_rows
+
+    def per_bucket(start: bool):
+        def body(b, _):
+            w = tabs_ref[b, 2]
+            n_big = jnp.where(
+                w >= big,
+                w // big + ((w % big) != 0).astype(jnp.int32), 0)
+            n_small = jnp.where(
+                (w > 0) & (w < big),
+                1 + (w > chunk_rows).astype(jnp.int32), 0)
+
+            def chunk_b(c, _):
+                for plane in range(V + 1):
+                    cp = chunk_copy(b, c, plane, big)
+                    (cp.start() if start else cp.wait())
+                return 0
+
+            def chunk_s(c, _):
+                for plane in range(V + 1):
+                    cp = chunk_copy(b, c, plane, chunk_rows)
+                    (cp.start() if start else cp.wait())
+                return 0
+
+            jax.lax.fori_loop(0, n_big, chunk_b, 0)
+            jax.lax.fori_loop(0, n_small, chunk_s, 0)
+            return 0
+
+        jax.lax.fori_loop(0, B, body, 0)
+
+    per_bucket(start=True)
+    per_bucket(start=False)
+
+
 def _partition_kernel(B, tile_rows, chunk_rows, mask_bits, V, *refs):
     # refs layout: tabs, keys, vals*V, init*(V+1) (aliased, unused),
     #              kout, vout*V, scratch*(V+1), sems
@@ -167,38 +223,97 @@ def _partition_kernel(B, tile_rows, chunk_rows, mask_bits, V, *refs):
     sc_refs[0][...] = ks
     for j in range(V):
         sc_refs[1 + j][...] = vs[j]
+    _scatter_runs(tabs_ref, sc_refs, out_refs, sems, B, tile_rows,
+                  chunk_rows, V)
 
-    def chunk_copy(b, c, plane):
-        src_ref, out_ref = sc_refs[plane], out_refs[plane]
-        w = tabs_ref[b, 2]
-        src0 = tabs_ref[b, 1] // LANES
-        src = jnp.minimum(src0 + c * chunk_rows, src0 + w - chunk_rows)
-        src = jnp.clip(src, 0, tile_rows - chunk_rows)
-        dst0 = tabs_ref[b, 0]
-        dst = jnp.minimum(dst0 + c * chunk_rows, dst0 + w - chunk_rows)
-        return pltpu.make_async_copy(
-            src_ref.at[pl.ds(src, chunk_rows), :],
-            out_ref.at[pl.ds(dst, chunk_rows), :],
-            sems.at[b % sems.shape[0]],
-        )
 
-    def per_bucket(start: bool):
-        def body(b, _):
-            nchunks = (tabs_ref[b, 2] + chunk_rows - 1) // chunk_rows
+def _merge_partition_kernel(B, super_rows, tile_rows, chunk_rows,
+                            mask_bits, V, *refs):
+    """Merge direction-alternated sorted tiles into one sorted supertile
+    (log n bitonic-merge stages per level — the full supertile sort
+    exceeds Mosaic's compilable program size) and scatter its runs.
+    Wider supertiles mean proportionally fewer, longer runs: the DMA
+    descriptor-issue cost that dominates the scatter phase drops by the
+    merge factor."""
+    tabs_ref = refs[0]
+    keys_ref = refs[1]
+    vals_refs = refs[2:2 + V]
+    out_refs = refs[3 + 2 * V:4 + 3 * V]
+    sc_refs = refs[4 + 3 * V:5 + 4 * V]
+    sems = refs[5 + 4 * V]
+    keys = keys_ref[...]
+    vals = [v[...] for v in vals_refs]
+    if mask_bits is None:
+        arrays = [keys] + vals
+        drop_sk = False
+    else:
+        sk = jnp.where(keys >= 0, keys & ((1 << mask_bits) - 1),
+                       jnp.int32(SENTINEL))
+        arrays = [sk, keys] + vals
+        drop_sk = True
+    M = super_rows // tile_rows
+    logm = M.bit_length() - 1
+    for level in range(1, logm + 1):
+        seg = (1 << level) * tile_rows
+        nseg = M >> level
+        outs = []
+        for s in range(nseg):
+            segs = [a[s * seg:(s + 1) * seg] for a in arrays]
+            asc = True if level == logm else (s % 2 == 0)
+            outs.append(bitonic_merge(segs[0], segs[1:], ascending=asc))
+        arrays = [jnp.concatenate([o[i] for o in outs], axis=0)
+                  for i in range(len(arrays))]
+    res = arrays[1:] if drop_sk else arrays
+    for j in range(V + 1):
+        sc_refs[j][...] = res[j]
+    _scatter_runs(tabs_ref, sc_refs, out_refs, sems, B, super_rows,
+                  chunk_rows, V)
 
-            def chunk(c, _):
-                for plane in range(V + 1):
-                    cp = chunk_copy(b, c, plane)
-                    (cp.start() if start else cp.wait())
-                return 0
 
-            jax.lax.fori_loop(0, nchunks, chunk, 0)
-            return 0
-
-        jax.lax.fori_loop(0, B, body, 0)
-
-    per_bucket(start=True)
-    per_bucket(start=False)
+@partial(jax.jit,
+         static_argnames=("nbits", "super_rows", "tile_rows", "chunk_rows",
+                          "total_rows", "mask_bits", "interpret"))
+def merge_scatter(keys2, vals2, tabs, nbits: int, super_rows: int,
+                  tile_rows: int, chunk_rows: int, total_rows: int,
+                  mask_bits=None, interpret: bool = False):
+    """Scatter from supertiles of pre-sorted, direction-alternated tiles
+    (tile_sort(alternate=True)).  Same contract as radix_scatter with
+    layout tables computed at super_rows granularity."""
+    single = not isinstance(vals2, (tuple, list))
+    vplanes = (vals2,) if single else tuple(vals2)
+    V = len(vplanes)
+    R = keys2.shape[0]
+    nt = R // super_rows
+    B = 1 << nbits
+    kinit = jnp.full((total_rows, LANES), SENTINEL, jnp.int32)
+    vinits = [jnp.zeros((total_rows, LANES), jnp.int32) for _ in range(V)]
+    blk = pl.BlockSpec((super_rows, LANES), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    tabspec = pl.BlockSpec((B, 128), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    nsem = min(B, 128)
+    kern = partial(_merge_partition_kernel, B, super_rows, tile_rows,
+                   chunk_rows, mask_bits, V)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(nt,),
+            in_specs=[tabspec, blk] + [blk] * V + [anyspec] * (V + 1),
+            out_specs=[anyspec] * (V + 1),
+            scratch_shapes=[
+                pltpu.VMEM((super_rows, LANES), jnp.int32)
+                for _ in range(V + 1)
+            ] + [pltpu.SemaphoreType.DMA((nsem,))],
+            out_shape=[jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32)
+                       for _ in range(V + 1)],
+            input_output_aliases={2 + V + j: j for j in range(V + 1)},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(tabs, keys2, *vplanes, kinit, *vinits)
+    if single:
+        return out[0], out[1]
+    return out[0], tuple(out[1:])
 
 
 @partial(jax.jit,
@@ -563,51 +678,78 @@ def _prep_rows(keys, vals, tile_rows):
     return keys2, planes, nt
 
 
+def _sorted_scatter(keys2, vplanes, tabs, nbits, tile_rows, merge_tiles,
+                    chunk_rows, total_rows, mask_bits=None,
+                    interpret=False):
+    """One partition pass: direct sort+scatter (merge_tiles=1) or the
+    split tile-sort → merge+scatter pipeline (supertile runs are
+    merge_tiles× longer, cutting DMA descriptor issues ~merge_tiles×)."""
+    if merge_tiles == 1:
+        return radix_scatter(keys2, vplanes, tabs, nbits, tile_rows,
+                             chunk_rows, total_rows, mask_bits=mask_bits,
+                             interpret=interpret)
+    single = not isinstance(vplanes, (tuple, list))
+    planes = (vplanes,) if single else tuple(vplanes)
+    srt = tile_sort(keys2, *planes, tile_rows=tile_rows, alternate=True,
+                    mask_bits=mask_bits, interpret=interpret)
+    out_vals = srt[1] if single else tuple(srt[1:])
+    return merge_scatter(srt[0], out_vals, tabs, nbits,
+                         merge_tiles * tile_rows, tile_rows, chunk_rows,
+                         total_rows, mask_bits=mask_bits,
+                         interpret=interpret)
+
+
 def radix_partition(keys, vals, domain_bits: int, tile_rows: int = 512,
                     chunk_rows: int = 4, align_rows: int = 128,
-                    interpret: bool = False):
+                    merge_tiles: int = 2, interpret: bool = False):
     """Partition rows into SPAN-sized key windows: one pass for domains up
     to 20 bits, two for up to 27 (cub runs one pass per digit the same
     way, sort_radix.cu).  vals: one payload array or a list of payloads
     that travel with the keys.  Returns (pkeys[R,128], pvals[R,128] (or
     list), window_base_rows[G+1], G) with G = ceil(domain / SPAN)
     windows; rows between runs hold out-of-window keys (run-edge garbage
-    or SENTINEL).
+    or SENTINEL).  merge_tiles: tiles per scatter supertile (see
+    _sorted_scatter).
     """
     assert domain_bits <= 2 * 7 + WINDOW_BITS, domain_bits
-    keys2, vbits2, nt = _prep_rows(keys, vals, tile_rows)
-    zeros = jnp.zeros((nt,), jnp.int32)
+    st = merge_tiles * tile_rows
+    keys2, vbits2, nt = _prep_rows(keys, vals, st)
+    nt *= merge_tiles                    # _prep_rows counted supertiles
+    nst = nt // merge_tiles
+    zeros = jnp.zeros((nst,), jnp.int32)
     if domain_bits <= WINDOW_BITS + 7:
         nbits = max(domain_bits - WINDOW_BITS, 1)
-        hist = digit_histogram(keys2, nbits, WINDOW_BITS, tile_rows,
+        hist = digit_histogram(keys2, nbits, WINDOW_BITS, st,
                                interpret=interpret)
-        tabs, base = layout_device(hist, zeros, 1, tile_rows, chunk_rows,
+        tabs, base = layout_device(hist, zeros, 1, st, chunk_rows,
                                    align_rows)
         total_rows = int(base[-1])           # the single host sync
-        pk, pv = radix_scatter(keys2, vbits2, tabs, nbits, tile_rows,
-                               chunk_rows, total_rows, interpret=interpret)
+        pk, pv = _sorted_scatter(keys2, vbits2, tabs, nbits, tile_rows,
+                                 merge_tiles, chunk_rows, total_rows,
+                                 interpret=interpret)
         return pk, pv, base, 1 << nbits
     # two passes
     nbits1 = domain_bits - WINDOW_BITS - 7
-    hist1 = digit_histogram(keys2, nbits1, WINDOW_BITS + 7, tile_rows,
+    hist1 = digit_histogram(keys2, nbits1, WINDOW_BITS + 7, st,
                             interpret=interpret)
-    tabs1, base1 = layout_device(hist1, zeros, 1, tile_rows, chunk_rows,
-                                 tile_rows)   # regions tile-aligned
+    tabs1, base1 = layout_device(hist1, zeros, 1, st, chunk_rows,
+                                 st)          # regions supertile-aligned
     rows1 = int(base1[-1])
-    pk1, pv1 = radix_scatter(keys2, vbits2, tabs1, nbits1, tile_rows,
-                             chunk_rows, rows1, interpret=interpret)
-    nt2 = rows1 // tile_rows
+    pk1, pv1 = _sorted_scatter(keys2, vbits2, tabs1, nbits1, tile_rows,
+                               merge_tiles, chunk_rows, rows1,
+                               interpret=interpret)
+    nt2 = rows1 // st
     region_of_tile = (jnp.searchsorted(
-        base1[1:], jnp.arange(nt2) * tile_rows, side="right")
+        base1[1:], jnp.arange(nt2) * st, side="right")
         .astype(jnp.int32))
-    hist2 = digit_histogram(pk1, 7, WINDOW_BITS, tile_rows,
+    hist2 = digit_histogram(pk1, 7, WINDOW_BITS, st,
                             interpret=interpret)
     tabs2, base2 = layout_device(hist2, region_of_tile, 1 << nbits1,
-                                 tile_rows, chunk_rows, align_rows)
+                                 st, chunk_rows, align_rows)
     rows2 = int(base2[-1])
-    pk, pv = radix_scatter(pk1, pv1, tabs2, 7, tile_rows, chunk_rows,
-                           rows2, mask_bits=WINDOW_BITS + 7,
-                           interpret=interpret)
+    pk, pv = _sorted_scatter(pk1, pv1, tabs2, 7, tile_rows, merge_tiles,
+                             chunk_rows, rows2, mask_bits=WINDOW_BITS + 7,
+                             interpret=interpret)
     return pk, pv, base2, 1 << (nbits1 + 7)
 
 
