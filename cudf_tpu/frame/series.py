@@ -349,7 +349,23 @@ class Series:
             mask = key._column.data
             if key._column.validity is not None:
                 mask = mask & key._column.validity
-            self._column = replace_ops.replace_where(self._column, mask, value) if np.isscalar(value) or value is None or _is_null(value) else copying.copy_if_else(mask, as_column(value), self._column)
+            if np.isscalar(value) or value is None or _is_null(value):
+                self._column = replace_ops.replace_where(
+                    self._column, mask, value)
+            elif isinstance(value, Series) and len(value) == len(self):
+                # Series rhs: aligned full-length elementwise replacement
+                self._column = copying.copy_if_else(
+                    mask, as_column(value), self._column)
+            else:
+                # list-like rhs: pandas requires length == mask.sum() and
+                # scatters into the selected positions in order
+                vals = as_column(value)
+                sel = sc.filter_indices(mask)
+                if vals.length != int(sel.shape[0]):
+                    raise ValueError(
+                        "cannot set using a list-like indexer with a "
+                        "different length than the value")
+                self._column = copying.scatter(vals, sel, self._column)
             return
         if isinstance(key, slice):
             start, stop, step = key.indices(len(self))

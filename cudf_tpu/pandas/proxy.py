@@ -274,10 +274,11 @@ class _IndexerProxy:
     domain; mutations fall back to the slow object (pandas semantics for
     upcasts/raises) and invalidate the stale representation."""
 
-    def __init__(self, raw, parent=None, name=None):
+    def __init__(self, raw, parent=None, name=None, raw_is_fast=True):
         self._raw = raw
         self._parent = parent
         self._name = name
+        self._raw_is_fast = raw_is_fast
 
     def _slow_indexer(self):
         if self._parent is None or self._name is None:
@@ -286,7 +287,7 @@ class _IndexerProxy:
 
     def __getitem__(self, key):
         try:
-            return _wrap(self._raw[_unwrap(key, True)])
+            return _wrap(self._raw[_unwrap(key, self._raw_is_fast)])
         except Exception:
             slow = self._slow_indexer()
             if slow is None:
@@ -295,6 +296,15 @@ class _IndexerProxy:
             return _wrap(slow[_unwrap(key, False)])
 
     def __setitem__(self, key, value):
+        if not self._raw_is_fast:
+            # slow-domain indexer: mutate in place with exact pandas
+            # semantics (upcast TypeErrors must surface) and mark the
+            # FAST side stale — wiping slow here would orphan the proxy
+            self._raw[_unwrap(key, False)] = _unwrap(value, False)
+            if self._parent is not None:
+                self._parent._invalidate_fast()
+            _record(self._name or "indexer", False)
+            return
         try:
             self._raw[_unwrap(key, True)] = _unwrap(value, True)
             if self._parent is not None:
@@ -471,7 +481,34 @@ class _FastSlowProxy:
         return self._slow_obj()
 
 
+def _is_object_dtype_req(t) -> bool:
+    import numpy as np
+
+    try:
+        return t is object or t is np.object_ or (
+            isinstance(t, (str, np.dtype)) and t == "object")
+    except Exception:
+        return False
+
+
+def _force_slow_call(name: str, args, kwargs) -> bool:
+    """Calls whose fast-domain semantics legitimately differ from pandas
+    go straight to the slow object.  astype(object): the columnar layer
+    maps object→string (cudf parity, the reference does the same), but
+    proxy users need a genuine object-dtype pandas result."""
+    if name == "astype":
+        return _is_object_dtype_req(args[0] if args else kwargs.get("dtype"))
+    return False
+
+
 def _dispatch_call(proxy: _FastSlowProxy, name: str, args, kwargs):
+    if _force_slow_call(name, args, kwargs):
+        with _entering_fast():
+            slow = proxy._slow_obj()
+        out = getattr(slow, name)(*_unwrap(args, False),
+                                  **_unwrap(kwargs, False))
+        _record(name, False)
+        return _wrap(out)
     try:
         with _entering_fast():
             fast = proxy._fast_obj()
@@ -562,7 +599,8 @@ class _FastSlowAttr:
                 "seriesloc", "seriesiloc", "dataframeloc", "dataframeiloc",
                 "locindexer", "ilocindexer", "atindexer", "iatindexer"):
             _record(name, is_fast)
-            return _IndexerProxy(attr, parent=p, name=name)
+            return _IndexerProxy(attr, parent=p, name=name,
+                                 raw_is_fast=is_fast)
         if name in ("columns", "index"):
             _record(name, is_fast)
             out = _wrap(attr)
@@ -613,6 +651,8 @@ class ProxyDataFrame(_FastSlowProxy, metaclass=_ProxyMeta):
         import cudf_tpu
 
         try:
+            if _is_object_dtype_req(kwargs.get("dtype")):
+                raise TypeError("object dtype — slow construction")
             with _entering_fast():
                 f = cudf_tpu.DataFrame(*_unwrap(args, True), **_unwrap(kwargs, True))
             super().__init__(fast=f)
@@ -642,6 +682,14 @@ def _fast_safe_data(args) -> bool:
               np.generic)
         return all(isinstance(x, ok) or (x != x if isinstance(x, float)
                                          else False) for x in data)
+    # Period/Interval/Sparse containers must construct slow — the fast
+    # library has no equivalent and would silently coerce them to their
+    # integer storage (masked/arrow/string extension dtypes DO have
+    # first-class fast columns and stay on the fast path)
+    dt = getattr(data, "dtype", None)
+    if dt is not None and type(dt).__name__ in (
+            "PeriodDtype", "IntervalDtype", "SparseDtype"):
+        return False
     return True
 
 
@@ -658,7 +706,8 @@ class ProxySeries(_FastSlowProxy, metaclass=_ProxyMeta):
         import cudf_tpu
 
         try:
-            if not _fast_safe_data(args):
+            if not _fast_safe_data(args) or \
+                    _is_object_dtype_req(kwargs.get("dtype")):
                 raise TypeError("object payload — slow construction")
             with _entering_fast():
                 f = cudf_tpu.Series(*_unwrap(args, True), **_unwrap(kwargs, True))
