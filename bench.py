@@ -128,7 +128,8 @@ def bench_join(n, build_rows, iters=3):
         return float(jnp.sum(mval)) + int(jnp.sum(bid >= 0))
 
     run(0)
-    t0 = time.perf_counter()
+    run(1)          # both shape variants compile before timing (the
+    t0 = time.perf_counter()   # value-perturbed total_rows differ)
     for i in range(iters):
         run(i)
     dt = (time.perf_counter() - t0) / iters
@@ -163,6 +164,7 @@ def bench_join_dict(n, n_dict=100_000, iters=3):
         return float(jnp.sum(mval)) + int(jnp.sum(bid >= 0))
 
     run(0)
+    run(1)          # warm both shape variants (see bench_join)
     t0 = time.perf_counter()
     for i in range(iters):
         run(i)
@@ -180,21 +182,38 @@ def bench_tpch(scale=1.0, queries=("q1", "q5", "q6"), iters=2):
     from benchmarks import tpch
     from cudf_tpu.parallel.mesh import make_mesh
 
+    import signal
+
+    class _Timeout(Exception):
+        pass
+
+    def _alarm(sig, frame):
+        raise _Timeout()
+
     tables = tpch.generate(scale)
     mesh = make_mesh(1)
     out = {}
-    for qn in queries:
-        fn = getattr(tpch, qn)
-        try:
-            fn(tables, mesh=mesh)          # compile + warm
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                fn(tables, mesh=mesh)
-            out[f"tpch_sf{scale:g}_{qn}_seconds"] = round(
-                (time.perf_counter() - t0) / iters, 4)
-        except Exception as e:             # keep the bench robust
-            print(f"  tpch {qn} skipped: {type(e).__name__}: {e}",
-                  file=sys.stderr, flush=True)
+    prev = signal.signal(signal.SIGALRM, _alarm)
+    try:
+        for qn in queries:
+            fn = getattr(tpch, qn)
+            try:
+                # hard per-query budget: a hung tunnel compile must not
+                # swallow the whole bench (the headline JSON prints last)
+                signal.alarm(300)
+                fn(tables, mesh=mesh)          # compile + warm
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    fn(tables, mesh=mesh)
+                out[f"tpch_sf{scale:g}_{qn}_seconds"] = round(
+                    (time.perf_counter() - t0) / iters, 4)
+            except (Exception, _Timeout) as e:  # keep the bench robust
+                print(f"  tpch {qn} skipped: {type(e).__name__}: {e}",
+                      file=sys.stderr, flush=True)
+            finally:
+                signal.alarm(0)
+    finally:
+        signal.signal(signal.SIGALRM, prev)
     return out
 
 
