@@ -549,9 +549,11 @@ def _infer_dtype(values: Iterable[Any]) -> DType:
             return dt.decimal_dtype(scale=int(v.as_tuple().exponent))
         tname = type(v).__name__
         if tname == "Timestamp" or isinstance(v, _datetime.datetime):
-            return dt.TIMESTAMP_NS
+            # pandas-3 inference: the scalar's unit (Timestamp.unit),
+            # plain datetime.datetime lists infer microseconds
+            return dt.unit_dtype("M", getattr(v, "unit", "us"))
         if tname == "Timedelta" or isinstance(v, _datetime.timedelta):
-            return dt.DURATION_NS
+            return dt.unit_dtype("m", getattr(v, "unit", "us"))
         if isinstance(v, (bool, np.bool_)):
             has_bool = True
         elif isinstance(v, (int, np.integer)):

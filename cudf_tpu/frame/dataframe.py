@@ -754,11 +754,44 @@ class DataFrame:
         order = sort_ops.sorted_order([self._index._column], [ascending], "last")
         return self.take(order)
 
+    def _nselect(self, n, columns, keep, largest: bool):
+        """pandas n-select semantics: string/object columns raise, ties
+        resolve in original (keep='first') or reversed (keep='last')
+        row order, keep='all' retains every boundary tie."""
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        method = "nlargest" if largest else "nsmallest"
+        for c in cols:
+            d = self._table[c].dtype
+            if d.is_string or d.is_dictionary:
+                raise TypeError(
+                    f"Column {c!r} has dtype str, cannot use method "
+                    f"{method!r} with this dtype")
+        n = max(int(n), 0)
+        keys = [self._table[c] for c in cols]
+        pos = Column.from_numpy(np.arange(len(self), dtype=np.int64))
+        order = sort_ops.sorted_order(
+            keys + [pos], [not largest] * len(cols) + [keep != "last"],
+            "last")
+        out = self.take(order)
+        if keep == "all" and len(out) > n and n > 0:
+            bound = out.iloc[n - 1]
+            eq = None
+            for c in cols:
+                e = (out[c] == bound[c]).to_numpy()
+                eq = e if eq is None else (eq & e)
+            # ties are contiguous after the sort: extend past n while
+            # rows still equal the boundary on every key column
+            ext = n
+            while ext < len(out) and bool(eq[ext]):
+                ext += 1
+            n = ext
+        return out.head(n)
+
     def nlargest(self, n, columns, keep="first"):
-        return self.sort_values(columns, ascending=False).head(max(int(n), 0))
+        return self._nselect(n, columns, keep, largest=True)
 
     def nsmallest(self, n, columns, keep="first"):
-        return self.sort_values(columns, ascending=True).head(max(int(n), 0))
+        return self._nselect(n, columns, keep, largest=False)
 
     def drop_duplicates(self, subset=None, keep="first", ignore_index=False):
         names = [subset] if isinstance(subset, str) else list(subset or self._table.names)

@@ -66,6 +66,19 @@ def column_to_pandas_array(col: Column, pd):
 
 class Series:
     def __init__(self, data=None, index=None, dtype=None, name=None, column=None):
+        if dtype is not None and data is not None:
+            t = dt.dtype(dtype)
+            src = getattr(data, "dtype", None)
+            naive = (isinstance(src, np.dtype) and src.kind == "M") or (
+                isinstance(src, dt.DType) and src.is_timestamp
+                and src.tz is None)
+            if t.is_timestamp and t.tz is not None and naive:
+                # pandas: naive -> aware conversion must go through
+                # tz_localize, construction/astype raise
+                raise TypeError(
+                    "Cannot use .astype to convert from timezone-naive "
+                    "dtype to timezone-aware dtype. "
+                    "Use ser.dt.tz_localize instead.")
         if column is not None:
             self._column = column
         elif isinstance(data, Series):
@@ -905,6 +918,13 @@ class Series:
         dtype_ = dtype
         target = dt.dtype(dtype_)
         col = self._column
+        if (errors == "raise" and target.is_timestamp
+                and getattr(target, "tz", None) is not None
+                and col.dtype.is_timestamp
+                and getattr(col.dtype, "tz", None) is None):
+            raise TypeError(
+                "Cannot use .astype to convert from timezone-naive dtype "
+                "to timezone-aware dtype. Use ser.dt.tz_localize instead.")
         if errors == "raise" and target.is_integer and not target.nullable:
             # pandas astype: lossy NA/inf -> int conversions raise
             bad = col.null_count > 0

@@ -100,4 +100,4 @@ def read_csv(
 
 def write_csv(df: DataFrame, path=None, sep=",", header=True, index=True, **kw):
     pdf = df.to_pandas()
-    return pdf.to_csv(path, sep=sep, header=header, index=index)
+    return pdf.to_csv(path, sep=sep, header=header, index=index, **kw)

@@ -71,6 +71,16 @@ def cast(col: Column, target: dt.DType) -> Column:
         # We match pandas .astype: values cast directly; NaN handling is at the
         # frame layer.  Nulls propagate unchanged.
         pass
+    if (target.nullable or target.arrow) and col.dtype.is_float \
+            and not (col.dtype.nullable or col.dtype.arrow):
+        # pandas-3 nan_is_na: casting plain float to a masked dtype turns
+        # NaN into NA (BaseMaskedArray semantics)
+        nan = jnp.isnan(col.data)
+        if bool(jnp.any(nan)):
+            ok = ~nan
+            validity = ok if validity is None else (validity & ok)
+            if not target.is_float:
+                data = jnp.where(nan, 0, col.data).astype(target.storage)
     return Column(target, col.length, data=data, validity=validity)
 
 

@@ -485,10 +485,22 @@ def _is_object_dtype_req(t) -> bool:
     import numpy as np
 
     try:
-        return t is object or t is np.object_ or (
-            isinstance(t, (str, np.dtype)) and t == "object")
+        if t is object or t is np.object_ or (
+                isinstance(t, (str, np.dtype)) and t == "object"):
+            return True
+        # the NA-variant extension string dtype ('string' / StringDtype
+        # with pd.NA) is distinct from pandas-3's default 'str' (nan);
+        # the fast layer only models the latter
+        if isinstance(t, str) and t in ("string", "string[python]",
+                                        "string[pyarrow]"):
+            return True
+        if type(t).__name__ == "StringDtype":
+            import pandas as pd
+
+            return t.na_value is pd.NA
     except Exception:
         return False
+    return False
 
 
 def _force_slow_call(name: str, args, kwargs) -> bool:
@@ -498,6 +510,11 @@ def _force_slow_call(name: str, args, kwargs) -> bool:
     proxy users need a genuine object-dtype pandas result."""
     if name == "astype":
         return _is_object_dtype_req(args[0] if args else kwargs.get("dtype"))
+    if name == "convert_dtypes":
+        # result dtypes are pandas nullable extension dtypes (Int64,
+        # string[pd.NA], boolean) — exactly the types the fast domain
+        # declines; no compute involved, only dtype bookkeeping
+        return True
     return False
 
 
@@ -541,9 +558,14 @@ def _check_fast_convertible(slow) -> None:
     import pandas as pd
     from pandas.api.types import is_extension_array_dtype
 
+    import numpy as np
+
     def bad(dtype) -> bool:
         if not is_extension_array_dtype(dtype):
-            return False
+            # true object columns hold arbitrary python values; the
+            # columnar layer would stringify them (pandas-3 string data
+            # is 'str' dtype, so genuine object payloads are rare)
+            return isinstance(dtype, np.dtype) and dtype == np.dtype("O")
         if isinstance(dtype, pd.CategoricalDtype):
             return False                      # dictionary-encoded: fast
         if isinstance(dtype, pd.DatetimeTZDtype):
@@ -560,7 +582,8 @@ def _check_fast_convertible(slow) -> None:
 
     dtypes = []
     if isinstance(slow, pd.DataFrame):
-        dtypes = list(slow.dtypes) + [slow.index.dtype]
+        dtypes = list(slow.dtypes) + [slow.index.dtype,
+                                      slow.columns.dtype]
     elif isinstance(slow, pd.Series):
         dtypes = [slow.dtype, slow.index.dtype]
     for d in dtypes:
@@ -651,8 +674,13 @@ class ProxyDataFrame(_FastSlowProxy, metaclass=_ProxyMeta):
         import cudf_tpu
 
         try:
-            if _is_object_dtype_req(kwargs.get("dtype")):
-                raise TypeError("object dtype — slow construction")
+            if _is_object_dtype_req(kwargs.get("dtype")) \
+                    or _unsupported_ext_dtype(kwargs.get("index")) \
+                    or _unsupported_ext_dtype(kwargs.get("columns")) \
+                    or any(_unsupported_ext_dtype(a) for a in args[:3]) \
+                    or (args and isinstance(args[0], dict) and any(
+                        _unsupported_ext_dtype(v) for v in args[0].values())):
+                raise TypeError("unsupported dtype — slow construction")
             with _entering_fast():
                 f = cudf_tpu.DataFrame(*_unwrap(args, True), **_unwrap(kwargs, True))
             super().__init__(fast=f)
@@ -663,10 +691,20 @@ class ProxyDataFrame(_FastSlowProxy, metaclass=_ProxyMeta):
             _record("DataFrame", False)
 
 
-def _fast_safe_data(args) -> bool:
+def _unsupported_ext_dtype(obj) -> bool:
+    dt = getattr(obj, "dtype", None)
+    return dt is not None and type(dt).__name__ in (
+        "PeriodDtype", "IntervalDtype", "SparseDtype")
+
+
+def _fast_safe_data(args, kwargs=None) -> bool:
     """False when the payload holds python objects the fast library would
     silently coerce (np.dtype instances, tuples, sets, …) — those must
     construct on the slow side to keep type fidelity."""
+    if kwargs and _unsupported_ext_dtype(kwargs.get("index")):
+        return False
+    if len(args) > 1 and _unsupported_ext_dtype(args[1]):
+        return False
     if not args:
         return True
     data = args[0]
@@ -686,10 +724,10 @@ def _fast_safe_data(args) -> bool:
     # library has no equivalent and would silently coerce them to their
     # integer storage (masked/arrow/string extension dtypes DO have
     # first-class fast columns and stay on the fast path)
-    dt = getattr(data, "dtype", None)
-    if dt is not None and type(dt).__name__ in (
-            "PeriodDtype", "IntervalDtype", "SparseDtype"):
+    if _unsupported_ext_dtype(data):
         return False
+    if isinstance(data, dict):
+        return not any(_unsupported_ext_dtype(v) for v in data.values())
     return True
 
 
@@ -706,7 +744,7 @@ class ProxySeries(_FastSlowProxy, metaclass=_ProxyMeta):
         import cudf_tpu
 
         try:
-            if not _fast_safe_data(args) or \
+            if not _fast_safe_data(args, kwargs) or \
                     _is_object_dtype_req(kwargs.get("dtype")):
                 raise TypeError("object payload — slow construction")
             with _entering_fast():
