@@ -480,6 +480,16 @@ class Column:
         if not 0 <= i < self.length:
             raise IndexError(i)
         if self.validity is not None and not bool(self.validity[i]):
+            # pandas scalar semantics: plain float columns surface
+            # missing as NaN, datetimes as NaT (None only for types with
+            # a genuine null, e.g. strings / masked dtypes)
+            if self.dtype.is_float and not (self.dtype.nullable
+                                            or self.dtype.arrow):
+                return np.nan
+            if self.dtype.is_timestamp and not self.dtype.arrow:
+                return np.datetime64("NaT")
+            if self.dtype.is_duration and not self.dtype.arrow:
+                return np.timedelta64("NaT")
             return None
         if self.dtype.is_string:
             o0, o1 = int(self.offsets[i]), int(self.offsets[i + 1])

@@ -703,7 +703,12 @@ class DataFrame:
                        s.quantile(0.25), s.quantile(0.5), s.quantile(0.75), s.max()]
         return DataFrame(data, index=Index(rows))
 
-    def quantile(self, q=0.5, numeric_only=True):
+    def quantile(self, q=0.5, numeric_only=True, **kw):
+        if not numeric_only and any(
+                self._table[n].dtype.is_temporal for n in self._table.names):
+            # datetime/timedelta quantiles have pandas-specific NaT and
+            # unit rules — host tier (the proxy falls back)
+            raise NotImplementedError("non-numeric quantile")
         num = [n for n in self._table.names if self._table[n].dtype.is_numeric]
         vals = [self[n].quantile(q) for n in num]
         if np.isscalar(q):

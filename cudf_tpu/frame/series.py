@@ -476,8 +476,11 @@ class Series:
         keep = sc.filter_indices(col.validity)
         return self.take(keep)
 
-    def interpolate(self, method="linear") -> "Series":
+    def interpolate(self, method="linear", **kw) -> "Series":
         # linear interpolation between valid neighbors
+        if method != "linear" or kw.get("limit") is not None or kw:
+            # index/spline/pad variants carry pandas-internal semantics
+            raise NotImplementedError(f"interpolate(method={method!r})")
         col = replace_ops.nans_to_nulls(self._column) if self.dtype.is_float else self._column
         if col.validity is None:
             return self.copy()

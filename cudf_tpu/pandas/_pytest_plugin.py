@@ -6,18 +6,21 @@ upstream pandas suite as its conformance oracle)."""
 
 import jax
 
+# install at PLUGIN IMPORT time: pytest loads -p plugins before the
+# target directory's conftest files, and pandas/conftest.py binds
+# `from pandas import DataFrame, Series` at module level — those must
+# already be the proxy classes (fixture identity checks like
+# `frame_or_series is Series` break otherwise)
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+from cudf_tpu.pandas import install as _install
+
+_install()
+
 
 def pytest_configure(config):
-    # pandas' tests run on host semantics; force the CPU backend so the
-    # axon tunnel latency doesn't turn thousands of tiny ops into hours
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
-    from cudf_tpu.pandas import install
-
-    install()
-
     # pandas' asserters compare type() identity; hand them real pandas
     # objects (the reference's module accelerator does the same unwrap
     # for pandas-internal callers)

@@ -385,8 +385,32 @@ class _FastSlowProxy:
                     slow = slow.copy(deep=True)
                 except Exception:
                     pass
+            at = self.__dict__.get("_proxy_attrs")
+            if at:
+                slow.attrs = dict(at)
             object.__setattr__(self, "_slow", slow)
         return self._slow
+
+    # pandas metadata dict, retained through method calls (__finalize__
+    # semantics); lives on the proxy so fast-path results keep it
+    @property
+    def attrs(self):
+        d = self.__dict__.get("_proxy_attrs")
+        if d is None:
+            slow = self.__dict__.get("_slow")
+            if slow is not None and getattr(slow, "attrs", None):
+                d = dict(slow.attrs)
+            else:
+                d = {}
+            object.__setattr__(self, "_proxy_attrs", d)
+        return d
+
+    @attrs.setter
+    def attrs(self, value):
+        object.__setattr__(self, "_proxy_attrs", dict(value))
+        slow = self.__dict__.get("_slow")
+        if slow is not None:
+            slow.attrs = dict(value)
 
     def _invalidate_fast(self):
         object.__setattr__(self, "_fast", None)
@@ -409,6 +433,9 @@ class _FastSlowProxy:
     def __setattr__(self, name, value):
         if name.startswith("_"):
             object.__setattr__(self, name, value)
+            return
+        if name == "attrs":
+            _FastSlowProxy.attrs.fset(self, value)
             return
         # mutate both domains coherently: apply to the current primary
         try:
@@ -519,6 +546,19 @@ def _force_slow_call(name: str, args, kwargs) -> bool:
 
 
 def _dispatch_call(proxy: _FastSlowProxy, name: str, args, kwargs):
+    if kwargs.get("inplace") is True:
+        # in-place mutation with pandas identity semantics (returns
+        # None, receiver object mutates): run on the slow object and
+        # mark fast stale — a fast call would hand back a new frame
+        with _entering_fast():
+            slow = proxy._slow_obj()
+        out = getattr(slow, name)(*_unwrap(args, False),
+                                  **_unwrap(kwargs, False))
+        proxy._invalidate_fast()
+        _record(name, False)
+        if out is slow:
+            return proxy              # pandas-3 inplace returns self
+        return _wrap(out)
     if _force_slow_call(name, args, kwargs):
         with _entering_fast():
             slow = proxy._slow_obj()
@@ -533,6 +573,9 @@ def _dispatch_call(proxy: _FastSlowProxy, name: str, args, kwargs):
             out = fn(*_unwrap(args, True), **_unwrap(kwargs, True))
         _record(name, True)
         res = _wrap(out)
+        at = proxy.__dict__.get("_proxy_attrs")
+        if at and isinstance(res, _FastSlowProxy):
+            object.__setattr__(res, "_proxy_attrs", dict(at))
         if isinstance(res, _AccessorProxy) and res._slow_factory is None:
             def make_slow(p=proxy, nm=name, a=args, k=kwargs):
                 return getattr(p._slow_obj(), nm)(*_unwrap(a, False),
