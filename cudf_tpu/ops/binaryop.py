@@ -67,6 +67,17 @@ def binary_operation(lhs: ColumnOrScalar, rhs: ColumnOrScalar, op: str) -> Colum
         raise TypeError("at least one operand must be a Column")
     n = lhs.length if lhs_col else rhs.length
 
+    if op in ("truediv", "floordiv", "pow"):
+        def _is_bool(x):
+            return (x.dtype.is_bool if isinstance(x, Column)
+                    else isinstance(x, (bool, np.bool_)))
+
+        if _is_bool(lhs) and _is_bool(rhs):
+            # pandas raises for bool//bool etc. (core/ops/array_ops.py
+            # _BOOL_OP_NOT_ALLOWED)
+            raise NotImplementedError(
+                f"operator '{op}' not implemented for bool dtypes")
+
     # scalar null → all-null result.  Exemption (both operand orders): a
     # float NaN scalar compared against a float column is a real float
     # comparison (pandas: NaN == x is False, not null).
@@ -156,9 +167,30 @@ def binary_operation(lhs: ColumnOrScalar, rhs: ColumnOrScalar, op: str) -> Colum
         elif op in ("floordiv", "mod", "cmod") and out_dtype.is_integer:
             # guard div-by-zero on int (XLA int div by 0 is undefined)
             rz = r_data == 0
-            safe_r = jnp.where(rz, 1, r_data)
-            data = fn(l_data.astype(st), safe_r.astype(st))
-            data = jnp.where(rz, 0, data)
+            has_zero = False
+            if op != "cmod":
+                try:
+                    has_zero = bool(jnp.any(rz))
+                except Exception:
+                    pass              # under jit tracing: keep int guard
+            if has_zero:
+                # pandas: int // 0 → float ±inf (nan for 0//0), x % 0 →
+                # nan — the result dtype becomes float64
+                lf = l_data.astype(jnp.float64)
+                rf = jnp.where(rz, 1.0, r_data.astype(jnp.float64))
+                if op == "floordiv":
+                    data = jnp.where(
+                        rz,
+                        jnp.where(lf > 0, jnp.inf,
+                                  jnp.where(lf < 0, -jnp.inf, jnp.nan)),
+                        jnp.floor_divide(lf, rf))
+                else:
+                    data = jnp.where(rz, jnp.nan, jnp.mod(lf, rf))
+                out_dtype = dt.FLOAT64
+            else:
+                safe_r = jnp.where(rz, 1, r_data)
+                data = fn(l_data.astype(st), safe_r.astype(st))
+                data = jnp.where(rz, 0, data)
         elif op == "pow" and out_dtype.is_integer:
             data = jnp.power(l_data.astype(st), r_data.astype(st))
         else:

@@ -70,9 +70,16 @@ def test_temporal_arith():
 
 
 def test_div_by_zero_int():
-    a = ct.Series([1, 2])
-    b = ct.Series([0, 1])
-    assert (a // b).tolist() == [0, 2]
+    # pandas: int // 0 upcasts to float64 with ±inf (nan for 0//0)
+    a = ct.Series([1, 2, -3, 0])
+    b = ct.Series([0, 1, 0, 0])
+    import numpy as np
+    import pandas as pd
+
+    out = (a // b).to_pandas()
+    exp = pd.Series([1, 2, -3, 0]) // pd.Series([0, 1, 0, 0])
+    assert str(out.dtype) == str(exp.dtype) == "float64"
+    np.testing.assert_array_equal(out.to_numpy(), exp.to_numpy())
 
 
 def test_float_div_by_zero():
