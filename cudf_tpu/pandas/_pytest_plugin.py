@@ -51,3 +51,23 @@ def pytest_configure(config):
                 wrapped = _patched(orig)
                 wrapped._cudf_tpu_patch = True
                 setattr(mod, name, wrapped)
+
+    # box_expected dispatches on `box_cls is Series` against the REAL
+    # classes it bound at import; tests parametrize over the proxy
+    # classes — map them across
+    if not getattr(tm.box_expected, "_cudf_tpu_patch", False):
+        from cudf_tpu.pandas.proxy import (ProxyDataFrame, ProxySeries,
+                                           _slow_pandas)
+
+        _orig_box = tm.box_expected
+        _spd = _slow_pandas()
+
+        def _box(expected, box_cls, transpose=True):
+            if box_cls is ProxySeries:
+                box_cls = _spd.Series
+            elif box_cls is ProxyDataFrame:
+                box_cls = _spd.DataFrame
+            return _orig_box(_unp(expected), box_cls, transpose)
+
+        _box._cudf_tpu_patch = True
+        tm.box_expected = _box
