@@ -1252,9 +1252,15 @@ class _SeriesLoc:
 
     def __setitem__(self, key, value):
         s = self._s
+        _check_setitem_compat(s._column.dtype, value)
         if isinstance(key, Series) and key.dtype.is_bool:
             s[key] = value
             return
+        if isinstance(key, (list, np.ndarray)):
+            arr = np.asarray(key)
+            if arr.dtype == bool:
+                s[Series(arr, index=s._index)] = value
+                return
         pos = s._index.get_indexer_for([key] if np.isscalar(key) else list(key))
         idx = pos[pos >= 0]
         if np.isscalar(value) or value is None:
@@ -1322,8 +1328,19 @@ def _check_setitem_compat(dtype, value):
         if dtype.is_string and not isinstance(v, str):
             raise TypeError(f"Invalid value {v!r} for dtype str")
 
-    if np.isscalar(value) or value is None:
+    if np.isscalar(value) or value is None or _is_null(value) or \
+            isinstance(value, (np.datetime64, np.timedelta64)):
         one(value)
     elif isinstance(value, (list, tuple)) and len(value) <= 64:
         for v in value:
             one(v)
+    elif isinstance(value, np.ndarray) and value.ndim <= 1 and \
+            value.size and value.size <= 64:
+        if (dtype.is_bool and value.dtype.kind != "b") or \
+                (dtype.is_integer and value.dtype.kind in "fcmM") or \
+                ((dtype.is_integer or dtype.is_float)
+                 and value.dtype.kind in "mM"):
+            # lossy ndarray payloads: spot-check elementwise (float
+            # arrays holding integral values are allowed into int)
+            for v in value.tolist():
+                one(v)
