@@ -526,6 +526,10 @@ class Series:
             if self.dtype.nullable or self.dtype.arrow:
                 return pd.NA
             return float("nan")
+        if isinstance(value, np.datetime64):
+            return pd.Timestamp(value)     # pandas boxes temporal scalars
+        if isinstance(value, np.timedelta64):
+            return pd.Timedelta(value)
         return value
 
     def _has_nulls_or_nans(self) -> bool:

@@ -28,8 +28,18 @@ def pytest_configure(config):
 
     def _unp(o):
         if isinstance(o, _FastSlowProxy):
-            return o._slow_obj()
-        return _plain_index(o)
+            o = o._slow_obj()
+        o = _plain_index(o)
+        # write-back index wrappers reassign the class of the index
+        # object held by the frame — reset in place for the class-
+        # identity checks (the hook is moot once we're asserting)
+        for ax in ("index", "columns"):
+            idx = getattr(o, ax, None)
+            base = getattr(type(idx), "_wb_base", None) if idx is not None \
+                else None
+            if base is not None:
+                idx.__class__ = base
+        return o
 
     import pandas._testing as tm
 

@@ -439,6 +439,15 @@ class _FastSlowProxy:
             return
         # mutate both domains coherently: apply to the current primary
         try:
+            if name in ("index", "columns"):
+                import numpy as np
+
+                vdt = getattr(value, "dtype", None)
+                if _unsupported_ext_dtype(value) or (
+                        isinstance(vdt, np.dtype) and vdt == np.dtype("O")):
+                    # object/Period/Interval axes must not enter the
+                    # fast domain (stringification would change dtype)
+                    raise TypeError("extension axis — slow path")
             setattr(self._fast_obj(), name, _unwrap(value, True))
             self._invalidate_slow()
         except Exception:
@@ -754,7 +763,10 @@ def _fast_safe_data(args, kwargs=None) -> bool:
     import numpy as np
 
     if isinstance(data, np.ndarray) and data.dtype == object:
-        data = data.tolist()
+        # object ndarrays keep object dtype in pandas-3; the fast layer
+        # would stringify — stay slow for dtype fidelity (plain python
+        # lists still infer str/numeric and take the fast path)
+        return False
     if isinstance(data, (list, tuple)):
         import datetime
 
