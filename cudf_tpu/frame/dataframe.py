@@ -397,6 +397,11 @@ class DataFrame:
         return self.iloc[:n]
 
     def tail(self, n=5) -> "DataFrame":
+        if n == 0:
+            return self.iloc[0:0]
+        if n < 0:
+            # pandas: tail(-n) = all rows except the first n
+            return self.iloc[-n:]
         return self.iloc[len(self) - min(n, len(self)):]
 
     def _filter(self, mask: Series) -> "DataFrame":

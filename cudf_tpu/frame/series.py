@@ -410,6 +410,11 @@ class Series:
         return self.iloc[:n]
 
     def tail(self, n: int = 5) -> "Series":
+        if n == 0:
+            return self.iloc[0:0]
+        if n < 0:
+            # pandas: tail(-n) = all rows except the first n
+            return self.iloc[-n:]
         return self.iloc[len(self) - min(n, len(self)):]
 
     def reset_index(self, drop=False, name=None):
