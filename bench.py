@@ -172,7 +172,7 @@ def bench_join_dict(n, n_dict=100_000, iters=3):
     return n / dt
 
 
-def bench_tpch(scale=1.0, queries=("q1", "q5", "q6"), iters=2):
+def bench_tpch(scale=1.0, queries=("q1", "q5", "q6", "q9"), iters=2):
     """TPC-H single-chip wall times via the SPMD compiler on a 1-device
     mesh: each query is ONE jitted program, so the axon tunnel is crossed
     once per run (BASELINE.md SF100 trendline; reference
@@ -241,7 +241,7 @@ def main():
           file=sys.stderr, flush=True)
     j_dict = bench_join_dict(N)
     print(f"  dict: {j_dict/1e6:.0f} Mrows/s", file=sys.stderr, flush=True)
-    print("TPC-H SF1 q1/q5/q6 (SPMD-compiled, single chip)...",
+    print("TPC-H SF1 q1/q5/q6/q9 (SPMD-compiled, single chip)...",
           file=sys.stderr, flush=True)
     tpch_times = bench_tpch(1.0)
     print(f"  {tpch_times}", file=sys.stderr, flush=True)
