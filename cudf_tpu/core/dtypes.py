@@ -397,7 +397,7 @@ _STR_ALIASES = {
     "object": STRING,
     "O": STRING,
     "unicode": STRING,
-    "category": dictionary_dtype(STRING),
+    "category": dictionary_dtype(None),   # value type follows the source
     "bool": BOOL8,
     # pandas: the string "boolean" names the NULLABLE extension dtype
     "boolean": DType(TypeId.BOOL8, nullable=True),
@@ -461,7 +461,9 @@ def dtype(obj: Any) -> DType:
     if tname in _NULLABLE_EXT:
         return DType(_NULLABLE_EXT[tname], nullable=True)
     if tname == "CategoricalDtype":
-        return dictionary_dtype(STRING)
+        cats = getattr(obj, "categories", None)
+        vt = dtype(cats.dtype) if cats is not None and len(cats) else None
+        return dictionary_dtype(vt)
     if tname in ("StringDtype", "ArrowDtype") and "string" in str(obj):
         return STRING
     if tname == "ArrowDtype":

@@ -133,7 +133,12 @@ class Table:
     def from_pandas(cls, df) -> "Table":
         import pyarrow as pa
 
-        return cls.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        t = cls.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        # pyarrow stringifies non-string column labels; restore originals
+        orig = list(df.columns)
+        if orig != list(t.names):
+            t = cls.from_pairs(orig, list(t.columns))
+        return t
 
     def __repr__(self) -> str:
         cols = ", ".join(f"{n}: {c.dtype!r}" for n, c in self.items())

@@ -52,7 +52,7 @@ class DataFrame:
             self._table = Table(cols)
         elif isinstance(data, np.ndarray) and data.ndim == 2:
             names = columns if columns is not None else list(range(data.shape[1]))
-            self._table = Table({str(n) if not isinstance(n, str) else n: as_column(data[:, i])
+            self._table = Table({n: as_column(data[:, i])
                                  for i, n in enumerate(names)})
             columns = None
         elif isinstance(data, (list, tuple)):

@@ -807,6 +807,20 @@ def from_column(col: Column) -> Column:
             ["True" if v else "False" for v in vals],
             mask=np.asarray(col.validity) if col.validity is not None else None,
         )
+    if col.dtype.is_timestamp:
+        # pandas DatetimeArray._format_native_types: date-only when every
+        # value is midnight, else trim to the coarsest uniform precision;
+        # ' ' separates date and time (not ISO 'T')
+        import pandas as _pd
+
+        mask = np.asarray(col.validity) if col.validity is not None else None
+        arr = np.asarray(col.data).astype(col.dtype.to_numpy())
+        ts = _pd.DatetimeIndex(arr)
+        if getattr(col.dtype, "tz", None):
+            # ticks are UTC epochs; present in the column's zone
+            ts = ts.tz_localize("UTC").tz_convert(col.dtype.tz)
+        strs = [str(s) for s in ts._data._format_native_types(na_rep="NaT")]
+        return Column.from_strings(strs, mask=mask)
     if col.dtype.is_temporal:
         arr = np.asarray(col.data).astype(col.dtype.to_numpy())
         strs = [str(v) for v in arr]

@@ -629,6 +629,10 @@ def _check_fast_convertible(slow) -> None:
                 return True                   # Int64/Float64/boolean
         except ImportError:
             pass
+        if isinstance(dtype, pd.StringDtype):
+            # 'string' (pd.NA variant) is a distinct extension dtype;
+            # only pandas-3's default 'str' (nan) maps to fast columns
+            return dtype.na_value is pd.NA
         return isinstance(dtype, (pd.ArrowDtype, pd.PeriodDtype,
                                   pd.IntervalDtype, pd.SparseDtype))
 
