@@ -178,6 +178,14 @@ class Column:
             dtype = dt.dtype(dtype)
         if dtype is None:
             dtype = _infer_dtype(nonnull)
+        if dtype.is_temporal:
+            # iNaT integer ticks are NaT (pandas M8/m8 sentinel)
+            inat = np.array([isinstance(v, (int, np.integer))
+                             and int(v) == -(2 ** 63) for v in seq], bool)
+            if inat.any():
+                is_null = is_null | inat
+                seq = [0 if m else v for v, m in zip(seq, inat)]
+                nonnull = [v for v, m in zip(seq, is_null) if not m]
         if dtype.is_string:
             vals = ["" if m else str(v) for v, m in zip(seq, is_null)]
             return cls.from_strings(vals, mask=None if not is_null.any() else ~is_null)

@@ -62,7 +62,17 @@ def cast(col: Column, target: dt.DType) -> Column:
         return Column(target, col.length, data=data, validity=col.validity)
     if target.is_temporal and (col.dtype.is_numeric or col.dtype.is_bool):
         data = col.data.astype(target.storage)
-        return Column(target, col.length, data=data, validity=col.validity)
+        validity = col.validity
+        if col.dtype.is_integer:
+            # iNaT (INT64_MIN) ticks are NaT (pandas M8 sentinel)
+            nat = data == jnp.iinfo(jnp.int64).min
+            try:
+                if bool(jnp.any(nat)):
+                    ok = ~nat
+                    validity = ok if validity is None else (validity & ok)
+            except Exception:
+                pass                     # under jit tracing: keep as-is
+        return Column(target, col.length, data=data, validity=validity)
     # numeric <-> numeric / bool
     data = col.data.astype(target.storage)
     validity = col.validity
