@@ -190,7 +190,9 @@ def bench_tpch(scale=1.0, queries=("q1", "q5", "q6", "q9"), iters=2):
     def _alarm(sig, frame):
         raise _Timeout()
 
-    tables = tpch.generate(scale)
+    # generate ON DEVICE: the host generator's ~600MB device_put at SF1
+    # has wedged the single-chip tunnel (see NEXT_STEPS round-3 outage)
+    tables = tpch.generate_device(scale)
     mesh = make_mesh(1)
     out = {}
     prev = signal.signal(signal.SIGALRM, _alarm)

@@ -100,6 +100,109 @@ def generate(scale: float = 0.01, seed: int = 0):
     }
 
 
+def generate_device(scale: float = 0.01, seed: int = 0):
+    """TPC-H tables generated ON DEVICE with ``jax.random`` — no bulk
+    host→device transfer (at SF1 the host generator ships ~600MB through
+    ``device_put``, which has wedged the single-chip tunnel).  Strings are
+    dictionary-encoded: int32 codes live on device, the (tiny) key sets on
+    host — the layout every query path already handles.  Distributions
+    match :func:`generate`; values differ (different RNG), which is fine
+    for benchmarking and for differential tests that compare against
+    ``to_pandas()`` of these same tables."""
+    import jax
+    import jax.numpy as jnp
+
+    from cudf_tpu.core import dtypes as dt
+    from cudf_tpu.core.column import Column
+
+    n_li = int(6_000_000 * scale)
+    n_ord = int(1_500_000 * scale)
+    n_cust = int(150_000 * scale)
+    n_part = int(200_000 * scale)
+    n_supp = max(int(10_000 * scale), 25)
+    n_nation, n_region = 25, 5
+
+    state = [jax.random.PRNGKey(seed)]
+
+    def _key():
+        state[0], sub = jax.random.split(state[0])
+        return sub
+
+    def ints(lo, hi, n, dtype=jnp.int64):
+        return jax.random.randint(_key(), (n,), lo, hi, dtype=dtype)
+
+    def money(lo, hi, n):
+        u = jax.random.uniform(_key(), (n,), jnp.float64, float(lo), float(hi))
+        return jnp.round(u * 100.0) / 100.0
+
+    def dates(n, start="1992-01-01", end="1998-12-01"):
+        s = int(np.datetime64(start).astype("datetime64[D]").astype(np.int64))
+        e = int(np.datetime64(end).astype("datetime64[D]").astype(np.int64))
+        ticks = ints(s, e, n) * 86_400_000_000_000
+        return Column(dt.dtype("datetime64[ns]"), n, data=ticks)
+
+    def cat(choices, n):
+        codes = ints(0, len(choices), n, dtype=jnp.int32)
+        keys_col = Column.from_strings(list(choices))
+        return Column(dt.dictionary_dtype(dt.STRING), n, data=codes,
+                      children=(keys_col,))
+
+    nation = ct.DataFrame({
+        "n_nationkey": np.arange(n_nation),
+        "n_name": [f"NATION_{i:02d}" for i in range(n_nation)],
+        "n_regionkey": np.arange(n_nation) % n_region,
+    })
+    region = ct.DataFrame({"r_regionkey": np.arange(n_region),
+                           "r_name": _REGIONS})
+    supplier = ct.DataFrame({
+        "s_suppkey": jnp.arange(n_supp),
+        "s_nationkey": ints(0, n_nation, n_supp),
+        "s_acctbal": money(-999, 9999, n_supp),
+    })
+    customer = ct.DataFrame({
+        "c_custkey": jnp.arange(n_cust),
+        "c_name": cat([f"Customer#{i:04d}" for i in range(200)], n_cust),
+        "c_nationkey": ints(0, n_nation, n_cust),
+        "c_mktsegment": cat(_SEGMENTS, n_cust),
+        "c_acctbal": money(-999, 9999, n_cust),
+    })
+    part = ct.DataFrame({
+        "p_partkey": jnp.arange(n_part),
+        "p_name": cat(["green apple", "red truck", "blue sky",
+                       "green forest", "yellow sun"], n_part),
+        "p_type": cat(["ECONOMY ANODIZED STEEL", "STANDARD BRUSHED COPPER",
+                       "PROMO BURNISHED NICKEL"], n_part),
+        "p_retailprice": money(900, 2000, n_part),
+    })
+    orders = ct.DataFrame({
+        "o_orderkey": jnp.arange(n_ord),
+        "o_custkey": ints(0, max(n_cust, 1), n_ord),
+        "o_orderstatus": cat(_STATUS, n_ord),
+        "o_totalprice": money(800, 500000, n_ord),
+        "o_orderdate": dates(n_ord),
+        "o_orderpriority": cat(["1-URGENT", "2-HIGH", "3-MEDIUM"], n_ord),
+    })
+    lineitem = ct.DataFrame({
+        "l_orderkey": ints(0, max(n_ord, 1), n_li),
+        "l_partkey": ints(0, max(n_part, 1), n_li),
+        "l_suppkey": ints(0, n_supp, n_li),
+        "l_quantity": ints(1, 51, n_li).astype(jnp.float64),
+        "l_extendedprice": money(900, 105000, n_li),
+        "l_discount": money(0.0, 0.1, n_li),
+        "l_tax": money(0.0, 0.08, n_li),
+        "l_returnflag": cat(_FLAGS, n_li),
+        "l_shipmode": cat(["MAIL", "SHIP", "AIR", "TRUCK"], n_li),
+        "l_linestatus": cat(_STATUS, n_li),
+        "l_shipdate": dates(n_li),
+        "l_commitdate": dates(n_li),
+        "l_receiptdate": dates(n_li),
+    })
+    return {
+        "lineitem": lineitem, "orders": orders, "customer": customer,
+        "supplier": supplier, "nation": nation, "region": region, "part": part,
+    }
+
+
 # ----------------------------------------------------------------------
 # queries (LazyFrame plans; mesh=N runs the partitioned executor)
 # ----------------------------------------------------------------------

@@ -287,6 +287,19 @@ def _unpack_be(data: bytes, start_bit: int, width: int, count: int) -> np.ndarra
     """Vectorized big-endian bit unpack."""
     if width == 0:
         return np.zeros(count, np.int64)
+    if width > 56:
+        # the sliding 64-bit window below reads width+15..22 bits per
+        # value and overflows for wide values; widths 57..64 are rare
+        # (full-range int64 DIRECT chunks) — decode via python bigint
+        total = start_bit + count * width
+        acc = int.from_bytes(data[:(total + 7) // 8], "big")
+        acc >>= (((total + 7) // 8) * 8 - total)
+        mask = (1 << width) - 1
+        out = np.empty(count, np.uint64)
+        for i in range(count - 1, -1, -1):
+            out[i] = (acc & mask) & 0xFFFFFFFFFFFFFFFF
+            acc >>= width
+        return out.view(np.int64)
     positions = start_bit + np.arange(count, dtype=np.int64) * width
     arr = np.frombuffer(data, np.uint8)
     out = np.zeros(count, np.uint64)
@@ -328,7 +341,11 @@ def decode_int_rle2(data: bytes, count: int, signed: bool) -> np.ndarray:
             vals = _unpack_be(data, pos * 8, width, n)
             pos += (n * width + 7) // 8
             if signed:
-                vals = (vals >> 1) ^ -(vals & 1)
+                # unzigzag on the UNSIGNED view: an arithmetic >> on
+                # int64 corrupts width-64 values with the top bit set
+                u = vals.view(np.uint64)
+                vals = ((u >> np.uint64(1))
+                        ^ (np.uint64(0) - (u & np.uint64(1)))).view(np.int64)
             m = min(n, count - w)
             out[w:w + m] = vals[:m]
             w += m
@@ -353,7 +370,10 @@ def decode_int_rle2(data: bytes, count: int, signed: bool) -> np.ndarray:
                         deltas = _unpack_be(data, pos * 8, width, n - 2)
                         pos += ((n - 2) * width + 7) // 8
                     else:
-                        deltas = np.zeros(n - 2, np.int64)
+                        # width code 0 = FIXED delta run: every step
+                        # advances by delta0 (java RunLengthIntegerReaderV2
+                        # readDeltaValues; spec example 1..10 = c0 09 02 02)
+                        deltas = np.full(n - 2, abs(delta0), np.int64)
                     sign = 1 if delta0 >= 0 else -1
                     vals[2:] = vals[1] + np.cumsum(sign * deltas)
             m = min(n, count - w)

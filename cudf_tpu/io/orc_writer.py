@@ -1,5 +1,6 @@
-"""Self-contained ORC writer: protobuf metadata, RLEv1 integer/length
-streams, bit-packed booleans, PRESENT streams, optional ZLIB framing.
+"""Self-contained ORC writer: protobuf metadata, RLEv2 (DIRECT_V2)
+integer/length streams, bit-packed booleans, PRESENT streams, optional
+ZLIB framing.
 
 TPU-native equivalent of the reference's device ORC writer
 (reference: cpp/src/io/orc/writer_impl.cu:1, stripe_enc.cu, dict_enc.cu)
@@ -10,9 +11,9 @@ io/orc_native.py; pyarrow/ORC-C++ cross-reads the output.
 Layout notes (ORC spec v1 / orc_proto.proto):
 - file = "ORC" + stripes + Footer + PostScript + len(PostScript) byte
 - each stripe = data streams (PRESENT/DATA/LENGTH per column) +
-  StripeFooter; integer DATA uses DIRECT (RLEv1) encoding, strings use
-  DIRECT (DATA bytes + LENGTH RLEv1), booleans bit-pack MSB-first under
-  byte-RLE.
+  StripeFooter; integer DATA uses DIRECT_V2 (RLEv2) encoding, strings
+  use DIRECT_V2 (DATA bytes + LENGTH RLEv2), booleans bit-pack MSB-first
+  under byte-RLE.
 - compression applies per stream with 3-byte (len<<1|is_original)
   chunk framing; the footer/postscript lengths refer to framed bytes.
 """
@@ -30,6 +31,7 @@ _K_DATE, _K_TIMESTAMP = 15, 9
 
 _STREAM_PRESENT, _STREAM_DATA, _STREAM_LENGTH = 0, 1, 2
 _ENC_DIRECT = 0
+_ENC_DIRECT_V2 = 2
 
 
 class ProtoWriter:
@@ -116,6 +118,102 @@ def rle1_encode_ints(vals: np.ndarray, signed: bool) -> bytes:
     return bytes(out)
 
 
+# RLEv2 (DIRECT_V2) — the reference writer's encoding (stripe_enc.cu
+# roles); sub-formats emitted: SHORT_REPEAT, DELTA (fixed-delta runs,
+# width code 0), DIRECT.  PATCHED_BASE is a reader-side-only format here
+# (legal: writers may use any subset).
+_RLE2_WIDTHS = list(range(1, 25)) + [26, 28, 30, 32, 40, 48, 56, 64]
+
+
+def _closest_width(bits: int) -> int:
+    bits = max(bits, 1)
+    return next(w for w in _RLE2_WIDTHS if w >= bits)
+
+
+def _pack_be(vals: np.ndarray, width: int) -> bytes:
+    """Big-endian contiguous bit-pack (inverse of orc_native._unpack_be)."""
+    v = vals.astype(np.uint64)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def _zigzag(vals: np.ndarray) -> np.ndarray:
+    v = vals.astype(np.int64)
+    return ((v.view(np.uint64) << np.uint64(1))
+            ^ (v >> np.int64(63)).view(np.uint64))
+
+
+def rle2_encode_ints(vals: np.ndarray, signed: bool) -> bytes:
+    """ORC RLEv2 encoder.  Fixed-delta runs (>= 6 values, incl. constant
+    runs) become DELTA chunks (SHORT_REPEAT for constant 3..10); the rest
+    bit-packs into DIRECT chunks of <= 512."""
+    vals = np.ascontiguousarray(vals, np.int64)
+    n = len(vals)
+    out = bytearray()
+    if n == 0:
+        return b""
+    uz = _zigzag(vals) if signed else vals.view(np.uint64)
+
+    def emit_direct(lo: int, hi: int):
+        while lo < hi:
+            m = min(512, hi - lo)
+            if hi - lo - m == 1:
+                m -= 1                      # never strand a 1-value tail
+            chunk = uz[lo:lo + m]
+            width = _closest_width(int(chunk.max()).bit_length())
+            code = _RLE2_WIDTHS.index(width)
+            hdr = (1 << 14) | (code << 9) | (m - 1)
+            out.append(hdr >> 8)
+            out.append(hdr & 0xFF)
+            out.extend(_pack_be(chunk, width))
+            lo += m
+
+    def emit_run(lo: int, hi: int):
+        d = int(vals[lo + 1]) - int(vals[lo])
+        if d == 0 and 3 <= hi - lo <= 10:   # SHORT_REPEAT
+            u = int(uz[lo])
+            nb = max((u.bit_length() + 7) // 8, 1)
+            out.append(((nb - 1) << 3) | (hi - lo - 3))
+            out.extend(u.to_bytes(nb, "big"))
+            return
+        while lo < hi:                      # DELTA, fixed delta, width 0
+            m = min(512, hi - lo)
+            if hi - lo - m == 1:
+                m -= 1
+            if m < 2:
+                emit_direct(lo, hi)
+                return
+            hdr = (3 << 14) | (m - 1)
+            out.append(hdr >> 8)
+            out.append(hdr & 0xFF)
+            (_vslong if signed else _vulong)(out, int(vals[lo]))
+            _vslong(out, d)
+            lo += m
+
+    if n == 1:
+        emit_direct(0, 1)
+        return bytes(out)
+    # maximal fixed-delta segments: diff-change positions
+    diffs = np.diff(vals)
+    change = np.flatnonzero(diffs[1:] != diffs[:-1]) + 1
+    seg_start = np.concatenate([[0], change])
+    seg_end = np.concatenate([change, [n - 1]])      # diff index ranges
+    nvals = seg_end - seg_start + 1                  # values per segment
+    cursor = 0
+    for s, e in zip(seg_start[nvals >= 6], seg_end[nvals >= 6]):
+        rs = max(int(s), cursor)
+        if int(e) + 1 - rs < 6:
+            continue
+        if rs > cursor:
+            emit_direct(cursor, rs)
+        emit_run(rs, int(e) + 1)
+        cursor = int(e) + 1
+    if cursor < n:
+        emit_direct(cursor, n)
+    return bytes(out)
+
+
 def byte_rle_encode(vals: np.ndarray) -> bytes:
     """ORC byte RLE: runs of 3..130 identical bytes, literals 1..128."""
     out = bytearray()
@@ -192,8 +290,10 @@ _BLOCK = 262144
 # column encoding
 # ----------------------------------------------------------------------
 
-def _encode_column(col) -> Tuple[int, List[Tuple[int, bytes]]]:
-    """(orc_type_kind, [(stream_kind, raw_bytes)...]) for one column."""
+def _encode_column(col) -> Tuple[int, List[Tuple[int, bytes]], int]:
+    """(orc_type_kind, [(stream_kind, raw_bytes)...], column_encoding)
+    for one column.  Integer-carrying streams use RLEv2 (DIRECT_V2),
+    matching the reference writer (stripe_enc.cu)."""
     from cudf_tpu.ops._utils import materialize_validity
 
     streams: List[Tuple[int, bytes]] = []
@@ -222,22 +322,22 @@ def _encode_column(col) -> Tuple[int, List[Tuple[int, bytes]]]:
             lens.append(len(s))
         streams.append((_STREAM_DATA, b"".join(parts)))
         streams.append((_STREAM_LENGTH,
-                        rle1_encode_ints(np.asarray(lens, np.int64), False)))
-        return _K_STRING, streams
+                        rle2_encode_ints(np.asarray(lens, np.int64), False)))
+        return _K_STRING, streams, _ENC_DIRECT_V2
 
     data = np.asarray(col.data)
     if valid is not None:
         data = data[valid]
     if col.dtype.is_bool:
         streams.append((_STREAM_DATA, bool_rle_encode(data)))
-        return _K_BOOL, streams
+        return _K_BOOL, streams, _ENC_DIRECT
     if col.dtype.is_temporal:
         # date32-style days for date types would need _K_DATE; we emit
         # int64 epoch values as LONG (temporal fidelity via the frame
         # layer's dtype metadata; pyarrow fallback covers true temporal)
         streams.append((_STREAM_DATA,
-                        rle1_encode_ints(data.astype(np.int64), True)))
-        return _K_LONG, streams
+                        rle2_encode_ints(data.astype(np.int64), True)))
+        return _K_LONG, streams, _ENC_DIRECT_V2
     kind = data.dtype.kind
     if kind in "iu":
         if data.dtype.itemsize <= 2:
@@ -247,13 +347,13 @@ def _encode_column(col) -> Tuple[int, List[Tuple[int, bytes]]]:
         else:
             k = _K_LONG
         streams.append((_STREAM_DATA,
-                        rle1_encode_ints(data.astype(np.int64), True)))
-        return k, streams
+                        rle2_encode_ints(data.astype(np.int64), True)))
+        return k, streams, _ENC_DIRECT_V2
     if data.dtype == np.float32:
         streams.append((_STREAM_DATA, data.astype("<f4").tobytes()))
-        return _K_FLOAT, streams
+        return _K_FLOAT, streams, _ENC_DIRECT
     streams.append((_STREAM_DATA, data.astype("<f8").tobytes()))
-    return _K_DOUBLE, streams
+    return _K_DOUBLE, streams, _ENC_DIRECT
 
 
 def write_orc_native(df, path: str, stripe_size: int = 1 << 20,
@@ -274,10 +374,12 @@ def write_orc_native(df, path: str, stripe_size: int = 1 << 20,
             offset = f.tell()
             col_streams: List[List[Tuple[int, bytes]]] = []
             kinds = []
+            encs = []
             for name in names:
                 col = _slice_col(df._table[name], start, stop)
-                k, streams = _encode_column(col)
+                k, streams, enc = _encode_column(col)
                 kinds.append(k)
+                encs.append(enc)
                 col_streams.append(streams)
             if type_kinds is None:
                 type_kinds = kinds
@@ -298,9 +400,9 @@ def write_orc_native(df, path: str, stripe_size: int = 1 << 20,
                 st.field_varint(2, colid)
                 st.field_varint(3, ln)
                 sf.field_bytes(1, st.bytes())
-            for _ in range(len(names) + 1):      # root struct + leaves
+            for e in [_ENC_DIRECT] + encs:       # root struct + leaves
                 enc = ProtoWriter()
-                enc.field_varint(1, _ENC_DIRECT)
+                enc.field_varint(1, e)
                 sf.field_bytes(2, enc.bytes())
             sf_raw = _compress_stream(sf.bytes(), compression, _BLOCK)
             f.write(sf_raw)

@@ -363,3 +363,60 @@ def test_json_lines_null_numeric():
         '{"x": 1.5}\n{"x": null}\n{"x": 3.5}', lines=True).to_pandas()
     assert out["x"].isna().tolist() == [False, True, False]
     assert out["x"].iloc[2] == 3.5
+
+
+def test_orc_rle2_encoder_property():
+    """RLEv2 encoder <-> decoder property test over adversarial patterns
+    (stripe_enc.cu encode roles: SHORT_REPEAT / fixed-delta DELTA /
+    DIRECT sub-formats)."""
+    from cudf_tpu.io.orc_native import decode_int_rle2
+    from cudf_tpu.io.orc_writer import rle2_encode_ints
+
+    rng = np.random.default_rng(11)
+    cases = [
+        np.arange(1000, dtype=np.int64),                 # fixed delta +1
+        np.arange(1000, 0, -1, dtype=np.int64),          # fixed delta -1
+        np.full(7, 42, np.int64),                        # short repeat
+        np.full(600, -3, np.int64),                      # long constant
+        rng.integers(-2**40, 2**40, 2000),               # random wide
+        rng.integers(0, 2, 1500),                        # random narrow
+        np.concatenate([np.arange(50), np.full(300, 9),
+                        rng.integers(-5, 5, 37),
+                        np.arange(0, 5000, 7)]).astype(np.int64),
+        np.array([5], np.int64),                         # single value
+        np.array([2**62, -2**62], np.int64),             # extreme
+    ]
+    for vals in cases:
+        for signed in (True, False):
+            v = np.abs(vals) if not signed else vals
+            enc = rle2_encode_ints(v, signed)
+            got = decode_int_rle2(enc, len(v), signed)
+            np.testing.assert_array_equal(got, v)
+
+
+def test_orc_rle2_fixed_delta_cross_read(tmp_path):
+    """Fixed-delta RLEv2 runs: our writer's DELTA chunks must be readable
+    by pyarrow, and pyarrow's fixed-delta output by our reader (the
+    decoder accumulated delta0 only once before round 3)."""
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from cudf_tpu.io.orc_native import read_orc_native
+    from cudf_tpu.io.orc_writer import write_orc_native
+
+    n = 4000
+    pdf = pd.DataFrame({
+        "inc": np.arange(n, dtype=np.int64),
+        "dec": np.arange(n, 0, -1, dtype=np.int64) * 3,
+        "mix": np.concatenate([np.arange(n // 2), np.full(n // 2, 7)]),
+    })
+    # ours -> pyarrow
+    p1 = str(tmp_path / "ours.orc")
+    write_orc_native(cudf_tpu.DataFrame.from_pandas(pdf), p1)
+    back = po.ORCFile(p1).read().to_pandas()
+    pd.testing.assert_frame_equal(back, pdf, check_dtype=False)
+    # pyarrow -> ours
+    p2 = str(tmp_path / "pa.orc")
+    po.write_table(pa.Table.from_pandas(pdf), p2)
+    back2 = read_orc_native(p2).to_pandas()
+    pd.testing.assert_frame_equal(back2, pdf, check_dtype=False)

@@ -110,6 +110,33 @@ def test_radix_groupby_two_pass(rng):
     np.testing.assert_allclose(np.asarray(s), exp_s, rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.parametrize("merge_tiles", [1, 2, 4])
+def test_radix_partition_merge_tiles(rng, merge_tiles):
+    """Partition correctness at every supertile merge factor (the DMA
+    descriptor-issue lever): per-window multisets of (key, val) pairs in
+    each window's row region must match the input exactly."""
+    from cudf_tpu.kernels.radix_partition import radix_partition, SPAN
+
+    n, dom_bits = 30_000, 17            # one partition pass, 4 windows
+    keys = rng.integers(0, 1 << dom_bits, n).astype(np.int32)
+    vals = np.arange(n, dtype=np.int32)
+    pk, pv, base, G = radix_partition(
+        jnp.asarray(keys), jnp.asarray(vals), dom_bits, tile_rows=8,
+        chunk_rows=2, align_rows=8, merge_tiles=merge_tiles,
+        interpret=True)
+    pk, pv = np.asarray(pk).ravel(), np.asarray(pv).ravel()
+    base = np.asarray(base) * 128        # rows -> elements
+    assert G == (1 << dom_bits) // SPAN
+    for w in range(G):
+        seg_k = pk[base[w]:base[w + 1]]
+        seg_v = pv[base[w]:base[w + 1]]
+        inw = (seg_k >= w * SPAN) & (seg_k < (w + 1) * SPAN)
+        exp = keys[(keys >= w * SPAN) & (keys < (w + 1) * SPAN)]
+        assert sorted(seg_k[inw].tolist()) == sorted(exp.tolist())
+        # riders stay paired
+        assert (keys[seg_v[inw]] == seg_k[inw]).all()
+
+
 def test_radix_groupby_int_exact(rng):
     """int mode: bit-exact int64 sums vs numpy/pandas (BASELINE.md)."""
     n, K = 40_000, 30_000

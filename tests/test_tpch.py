@@ -95,3 +95,25 @@ def test_q14(tables):
     got = tpch.q14(tables)
     expect = tpch.pandas_reference(tables, "q14")
     assert abs(got - expect) < 1e-9
+
+
+@pytest.fixture(scope="module")
+def device_tables():
+    return tpch.generate_device(scale=0.002, seed=7)
+
+
+@pytest.mark.parametrize("qn", ["q1", "q5", "q6", "q9"])
+def test_device_generated(device_tables, qn):
+    """generate_device tables (jax.random on device, dict-encoded strings)
+    run the bench queries and agree with pandas on the same data."""
+    got = getattr(tpch, qn)(device_tables).to_pandas()
+    expect = tpch.pandas_reference(device_tables, qn)
+    if qn == "q6":
+        assert np.isclose(float(got["revenue"].iloc[0]), expect, rtol=1e-9)
+    else:
+        for c in got.columns:
+            if got[c].dtype == object or str(got[c].dtype) == "category":
+                got[c] = got[c].astype(str)
+                expect[c] = expect[c].astype(str)
+        pd.testing.assert_frame_equal(got, expect, check_dtype=False,
+                                      rtol=1e-9, check_categorical=False)
