@@ -158,6 +158,12 @@ class Rolling:
         return self._apply("count")
 
     def apply(self, func, raw=False):
+        # device tier only for raw=True: jax windows have ndarray
+        # semantics (NaN propagates); raw=False hands pandas Series
+        # whose reductions skip NaN
+        dev = self._try_device_apply(func) if raw else None
+        if dev is not None:
+            return dev
         import pandas as pd
 
         pdf = self._obj.to_pandas()
@@ -168,6 +174,59 @@ class Rolling:
         from cudf_tpu.frame.dataframe import DataFrame
 
         return DataFrame.from_pandas(res)
+
+    def _try_device_apply(self, func):
+        """Device rolling UDF: vmap the user function over gathered
+        [n-w+1, w] windows — the JIT-window-UDF capability of the
+        reference (cpp/src/rolling/jit/kernel.cu), with jax.vmap in the
+        NVRTC role.  Requires a jax-traceable scalar-returning func and
+        the default full-window min_periods; anything else (python
+        control flow, np.* host calls, partial windows) falls back to
+        the host tier via the trace exception."""
+        w = self._window
+        if w is None or self._center or self._min_periods != w:
+            return None
+        from cudf_tpu.frame.dataframe import DataFrame
+
+        if isinstance(self._obj, Series):
+            out = self._device_apply_series(self._obj, func, w)
+            return out
+        cols = {}
+        for n in self._obj._table.names:
+            s = self._obj[n]
+            if not (s.dtype.is_numeric or s.dtype.is_bool):
+                continue
+            r = self._device_apply_series(s, func, w)
+            if r is None:
+                return None
+            cols[n] = r._column
+        from cudf_tpu.core.table import Table
+
+        return DataFrame._from(Table(cols), self._obj._index)
+
+    def _device_apply_series(self, s: Series, func, w: int):
+        col = s._column
+        n = col.length
+        if n < w or w < 1:
+            return None
+        x = col.data.astype(jnp.float64)
+        if col.validity is not None:
+            x = jnp.where(col.validity, x, jnp.nan)
+        try:
+            shaped = jax.eval_shape(func, jax.ShapeDtypeStruct((w,), x.dtype))
+            if shaped.shape != ():
+                return None
+            idx = jnp.arange(n - w + 1)[:, None] + jnp.arange(w)[None, :]
+            out = jax.jit(jax.vmap(func))(x[idx]).astype(jnp.float64)
+        except Exception:
+            return None
+        # pandas: a window with fewer than min_periods (== w here)
+        # non-NaN observations is NaN WITHOUT calling func
+        ok = ~jnp.any(jnp.isnan(x[idx]), axis=1)
+        out = jnp.where(ok, out, jnp.nan)
+        head = jnp.full((w - 1,), jnp.nan, jnp.float64)
+        full = jnp.concatenate([head, out])
+        return Series(Column.from_jnp(full), index=s._index, name=s.name)
 
 
 def _window_diff(prefix: jnp.ndarray, w: int) -> jnp.ndarray:

@@ -965,6 +965,61 @@ def build_join_tables(rk, key_domain: int, rv=None, tile_rows: int = 512,
     return tables, unique, G
 
 
+def radix_join_inner_multi(lk, lv, rk, key_domain: int, m_max: int = 4,
+                           tile_rows: int = 512, chunk_rows: int = 4,
+                           agg_rows: int = 128, interpret: bool = False):
+    """Inner join with a BOUNDED-multiplicity build side (fan-out <= m_max).
+
+    The reference's multiset probe retrieves arbitrary multiplicity
+    (inner_join_retrieve.cu); a dense window table can hold one id per
+    key, so bounded fan-out stacks one table per duplicate ordinal:
+    build rows get an ordinal among equal keys (one stable build-side
+    sort), table j indexes the j-th duplicate, and the probe looks up
+    all j.  The caller expands (probe row, [bid_0..bid_{c-1}]) into
+    gather-map pairs with the count-then-allocate shape of
+    inner_join_size.cu.  Returns None-equivalent (max multiplicity) via
+    ``mult`` so callers can fall back when mult > m_max; otherwise
+    (probe_keys, probe_vals, [bid_j planes], mult).
+    """
+    n_r = rk.shape[0]
+    rid = jnp.arange(n_r, dtype=jnp.int32)
+    sk, sperm = jax.lax.sort([rk.astype(jnp.int32), rid], num_keys=1,
+                             is_stable=True)
+    first = jnp.searchsorted(sk, sk, side="left").astype(jnp.int32)
+    ord_sorted = jnp.arange(n_r, dtype=jnp.int32) - first
+    # nulls/masked keys (< 0) never match; exclude them from the fan-out
+    mult = int(jnp.max(jnp.where(sk >= 0, ord_sorted, 0))) + 1 if n_r else 1
+    if mult > m_max:
+        return None, None, None, mult
+    ordinal = jnp.zeros((n_r,), jnp.int32).at[sperm].set(ord_sorted)
+
+    tables = []
+    G = 1
+    for j in range(mult):
+        rk_j = jnp.where((ordinal == j) & (rk >= 0), rk, -1)
+        t_j, uniq, G = build_join_tables(
+            rk_j, key_domain, tile_rows=tile_rows, chunk_rows=chunk_rows,
+            agg_rows=agg_rows, interpret=interpret)
+        assert uniq          # each ordinal slice is unique by construction
+        tables.append(t_j)
+
+    domain_bits = max(int(np.ceil(np.log2(max(key_domain, 2)))), 1)
+    if domain_bits <= WINDOW_BITS:
+        lk2, lv2, _ = _prep_rows(lk, lv, agg_rows)
+        S_l = lk2.shape[0] // agg_rows
+        step_l = jnp.zeros((S_l,), jnp.int32)
+    else:
+        lk2, lv2, base_l, G2 = radix_partition(lk, lv, domain_bits,
+                                               tile_rows, chunk_rows,
+                                               agg_rows, interpret=interpret)
+        assert G2 == G
+        rows_l = int(base_l[-1])
+        step_l = step_table_device(base_l, rows_l, agg_rows)
+    bids = [window_probe(lk2, t_j, step_l, WINDOW_BITS, agg_rows,
+                         interpret=interpret) for t_j in tables]
+    return lk2, lv2, bids, mult
+
+
 def radix_join_inner_unique(lk, lv, rk, key_domain: int, rv=None,
                             tile_rows: int = 512, chunk_rows: int = 4,
                             agg_rows: int = 128, interpret: bool = False):

@@ -272,7 +272,7 @@ def _try_radix_inner(lc: Column, rc: Column, preserve_order: bool = True
     rmin = int(jnp.min(rdata_stat))
     rmax = int(jnp.max(rdata_stat))
     domain = rmax - rmin + 1
-    if domain > (1 << 27) or domain < n_rvalid:   # pigeonhole: dupes certain
+    if domain > (1 << 27):
         return None
     from cudf_tpu.kernels.radix_partition import radix_join_inner_unique
 
@@ -285,16 +285,64 @@ def _try_radix_inner(lc: Column, rc: Column, preserve_order: bool = True
     lcodes = jnp.where(out_of_range, -1, lcodes)
     if lc.validity is not None:
         lcodes = jnp.where(lc.validity, lcodes, -1)
-    _, pvl, bid, unique = radix_join_inner_unique(
-        lcodes, jnp.arange(nl, dtype=jnp.int32), rcodes, domain,
-        interpret=interpret)
-    if not unique:
+    if domain >= n_rvalid:                  # unique build side possible
+        _, pvl, bid, unique = radix_join_inner_unique(
+            lcodes, jnp.arange(nl, dtype=jnp.int32), rcodes, domain,
+            interpret=interpret)
+        if unique:
+            found = (bid >= 0).reshape(-1)
+            keep = filter_indices(found)
+            li = jnp.take(pvl.reshape(-1), keep).astype(jnp.int64)
+            ri = jnp.take(bid.reshape(-1), keep).astype(jnp.int64)
+            if preserve_order:
+                li, ri = jax.lax.sort([li, ri], num_keys=1, is_stable=True)
+            return li, ri
+    return _radix_inner_multi(lcodes, rcodes, nl, domain, n_rvalid,
+                              preserve_order, interpret)
+
+
+def _radix_inner_multi(lcodes, rcodes, nl: int, domain: int, n_rvalid: int,
+                       preserve_order: bool, interpret: bool
+                       ) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Bounded-fan-out kernel-tier inner join: stacked ordinal tables +
+    count-then-allocate pair expansion (inner_join_size.cu shape —
+    one host sync for the pair count, then a static-shape expansion)."""
+    import jax
+
+    from cudf_tpu.kernels.radix_partition import radix_join_inner_multi
+    from cudf_tpu.utils.config import get_option
+
+    m_max = int(get_option("join.multi_fan_out_max"))
+    if m_max < 1:
         return None
-    found = (bid >= 0).reshape(-1)
-    keep = filter_indices(found)
-    li = jnp.take(pvl.reshape(-1), keep).astype(jnp.int64)
-    ri = jnp.take(bid.reshape(-1), keep).astype(jnp.int64)
+    if n_rvalid > m_max * domain:   # pigeonhole: fan-out certainly exceeds
+        return None
+    _, pvl, bids, mult = radix_join_inner_multi(
+        lcodes, jnp.arange(nl, dtype=jnp.int32), rcodes, domain,
+        m_max=m_max, interpret=interpret)
+    if bids is None:                        # fan-out exceeds the bound
+        return None
+    flat_bids = [b.reshape(-1) for b in bids]
+    cnts = flat_bids[0] * 0
+    for b in flat_bids:
+        cnts = cnts + (b >= 0).astype(jnp.int32)
+    M = int(jnp.sum(cnts))
+    z = jnp.zeros((0,), jnp.int64)
+    if M == 0:
+        return z, z
+    pvl_flat = pvl.reshape(-1)
+    li = jnp.repeat(pvl_flat, cnts, total_repeat_length=M).astype(jnp.int64)
+    csum = jnp.cumsum(cnts) - cnts
+    jj = (jnp.arange(M, dtype=jnp.int32)
+          - jnp.repeat(csum, cnts, total_repeat_length=M))
+    ri = jnp.zeros((M,), jnp.int64)
+    for j, b in enumerate(flat_bids):
+        rep = jnp.repeat(b, cnts, total_repeat_length=M)
+        ri = jnp.where(jj == j, rep.astype(jnp.int64), ri)
     if preserve_order:
+        # ordinal j follows build-row order, and pairs for one probe row
+        # are emitted j-ascending — a stable sort by li restores pandas
+        # (left order, right order within) semantics
         li, ri = jax.lax.sort([li, ri], num_keys=1, is_stable=True)
     return li, ri
 
@@ -309,6 +357,22 @@ def _join(left_keys, right_keys, how: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
         fast = _try_radix_inner(left_keys[0], right_keys[0])
         if fast is None:
             fast = _try_dense_inner(left_keys[0], right_keys[0])
+        if fast is None:
+            # swapped orientation: build on the LEFT side when it is the
+            # unique one (dim.merge(fact) shapes) — inner join is
+            # symmetric, so probe from the right and re-sort to pandas
+            # left-row order.  The reference picks its build side the
+            # same way (hash_join.cu builds on the smaller table).
+            fast = _try_radix_inner(right_keys[0], left_keys[0],
+                                    preserve_order=False)
+            if fast is None:
+                fast = _try_dense_inner(right_keys[0], left_keys[0])
+            if fast is not None:
+                ri, li = fast
+                import jax
+
+                li, ri = jax.lax.sort([li, ri], num_keys=2, is_stable=True)
+                return li, ri
         if fast is not None:
             return fast
     if how == "left" and nl == 0:

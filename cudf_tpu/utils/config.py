@@ -130,6 +130,10 @@ _register("join.fast_path_min_rows", 1 << 16,
 _register("join.kernel_interpret", False,
           "run the join kernel tier in Pallas interpret mode on CPU "
           "(testing only)")
+_register("join.multi_fan_out_max", 4,
+          "max build-side duplicates per key served by the stacked-table "
+          "kernel join tier (0 disables; larger fan-out takes the "
+          "sort-merge tier)")
 _register("join.dense_fast_path", True,
           "direct-address inner join when the single-int build side is "
           "unique over a dense domain (exact semantics, left-row order)")

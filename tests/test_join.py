@@ -188,3 +188,75 @@ def test_radix_kernel_tier_through_merge(rng):
     finally:
         set_option("join.kernel_interpret", old[0])
         set_option("join.fast_path_min_rows", old[1])
+
+
+def test_swapped_build_side_through_merge(rng):
+    """dim.merge(fact): the build side is the LEFT (unique) table — the
+    fast tiers must probe from the right and restore pandas left-row
+    order (hash_join.cu builds on the smaller table the same way)."""
+    import cudf_tpu
+    from cudf_tpu.utils.config import get_option, set_option
+
+    old = [get_option("join.kernel_interpret"),
+           get_option("join.fast_path_min_rows")]
+    set_option("join.kernel_interpret", True)
+    set_option("join.fast_path_min_rows", 1000)
+    try:
+        ndim, nfact, dom = 8_000, 30_000, 20_000
+        dk = rng.permutation(dom)[:ndim].astype(np.int64)
+        fk = rng.integers(0, dom, nfact).astype(np.int64)  # duplicates
+        pdim = pd.DataFrame({"k": dk, "dv": rng.normal(size=ndim)})
+        pfact = pd.DataFrame({"k": fk, "fv": np.arange(nfact)})
+        got = ct.DataFrame.from_pandas(pdim).merge(
+            ct.DataFrame.from_pandas(pfact), on="k").to_pandas()
+        exp = pdim.merge(pfact, on="k")
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      exp.reset_index(drop=True))
+    finally:
+        set_option("join.kernel_interpret", old[0])
+        set_option("join.fast_path_min_rows", old[1])
+
+
+def test_swapped_dense_build_side(rng):
+    """Same swap on the dense direct-address tier (CPU path)."""
+    from cudf_tpu.utils.config import option_context
+
+    dk = rng.permutation(600).astype("int64")[:500]
+    fk = rng.integers(-10, 620, 4000)
+    pdim = pd.DataFrame({"k": dk, "dv": np.arange(500)})
+    pfact = pd.DataFrame({"k": fk, "fv": np.arange(4000)})
+    gl, gr = ct.DataFrame.from_pandas(pdim), ct.DataFrame.from_pandas(pfact)
+    with option_context("join.dense_fast_path", True,
+                        "join.radix_fast_path", False):
+        got = gl.merge(gr, on="k").to_pandas()
+    exp = pdim.merge(pfact, on="k")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_multi_fanout_kernel_tier_through_merge(rng):
+    """Bounded build-side fan-out through the public merge: stacked
+    ordinal tables + count-then-allocate expansion, pandas-exact order."""
+    from cudf_tpu.utils.config import get_option, set_option
+
+    old = [get_option("join.kernel_interpret"),
+           get_option("join.fast_path_min_rows")]
+    set_option("join.kernel_interpret", True)
+    set_option("join.fast_path_min_rows", 1000)
+    try:
+        nl, dom = 15_000, 9_000
+        base = rng.permutation(dom)[:3000].astype(np.int64)
+        rk = np.concatenate([base, base[:1200], base[:300], base[:50]])
+        rng.shuffle(rk)
+        lk = rng.integers(0, dom, nl).astype(np.int64)
+        pl_ = pd.DataFrame({"k": lk, "x": rng.normal(size=nl)})
+        pr = pd.DataFrame({"k": rk, "y": np.arange(len(rk))})
+        got = ct.DataFrame.from_pandas(pl_).merge(
+            ct.DataFrame.from_pandas(pr), on="k").to_pandas()
+        exp = pl_.merge(pr, on="k")
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      exp.reset_index(drop=True))
+    finally:
+        set_option("join.kernel_interpret", old[0])
+        set_option("join.fast_path_min_rows", old[1])

@@ -186,3 +186,33 @@ def test_stream_consumer(tmp_path):
     df2 = c.poll()
     assert df2.to_pandas()["a"].tolist() == [3]
     assert c.poll() is None
+
+
+def test_rolling_apply_device_udf():
+    """Device rolling UDF (vmap in the rolling/jit NVRTC role): traceable
+    funcs run on device; python funcs and partial windows fall back —
+    both must match pandas exactly, incl. NaN-window masking."""
+    import numpy as np
+    import pandas as pd
+    import cudf_tpu as ct
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=150)
+    x[[5, 17, 90]] = np.nan
+    s, ps = ct.Series(x), pd.Series(x)
+    for f in [lambda a: (a * a).mean() - a.min(),
+              lambda a: 1.0,                    # NaN-window masking
+              lambda a: float(sorted(a)[1])]:   # untraceable -> host
+        got = s.rolling(7).apply(f, raw=True).to_pandas()
+        exp = ps.rolling(7).apply(f, raw=True)
+        pd.testing.assert_series_equal(got, exp, check_names=False)
+    # min_periods < window -> host tier (raw both ways)
+    f = lambda a: a.sum()
+    got = s.rolling(6, min_periods=2).apply(f, raw=True).to_pandas()
+    exp = ps.rolling(6, min_periods=2).apply(f, raw=True)
+    pd.testing.assert_series_equal(got, exp, check_names=False)
+    # raw=False keeps pandas Series skipna semantics -> host tier
+    g2 = lambda a: a.mean()
+    got = s.rolling(7).apply(g2).to_pandas()
+    exp = ps.rolling(7).apply(g2, raw=False)
+    pd.testing.assert_series_equal(got, exp, check_names=False)

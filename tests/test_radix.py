@@ -222,3 +222,43 @@ def test_radix_join_nonunique_detected(rng):
         jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk), 50,
         agg_rows=8, interpret=True)
     assert not unique
+
+
+def test_radix_join_multi_bounded_fanout(rng):
+    """Stacked ordinal tables: build-side duplicates up to m_max served
+    by the kernel tier (inner_join_retrieve.cu multiset probe role)."""
+    from cudf_tpu.kernels.radix_partition import radix_join_inner_multi
+
+    nl, dom = 12_000, 9_000
+    # build side: each key 1..3 times (max fan-out 3)
+    base = rng.permutation(dom)[:4000].astype(np.int32)
+    rk = np.concatenate([base, base[:1500], base[:500]]).astype(np.int32)
+    rng.shuffle(rk)
+    lk = rng.integers(0, dom, nl).astype(np.int32)
+    lv = np.arange(nl, dtype=np.int32)
+    pkl, pvl, bids, mult = radix_join_inner_multi(
+        jnp.asarray(lk), jnp.asarray(lv), jnp.asarray(rk), dom, m_max=4,
+        tile_rows=32, chunk_rows=2, agg_rows=8, interpret=True)
+    assert mult == 3
+    pvl = np.asarray(pvl).ravel()
+    got_pairs = set()
+    for b in bids:
+        b = np.asarray(b).ravel()
+        f = b >= 0
+        assert (rk[b[f]] == np.asarray(pkl).ravel()[f]).all()
+        got_pairs |= set(zip(pvl[f].tolist(), b[f].tolist()))
+    import pandas as pd
+    exp = pd.merge(pd.DataFrame({"k": lk, "i": np.arange(nl)}),
+                   pd.DataFrame({"k": rk, "j": np.arange(len(rk))}), on="k")
+    assert got_pairs == set(zip(exp["i"], exp["j"]))
+
+
+def test_radix_join_multi_exceeds_bound(rng):
+    from cudf_tpu.kernels.radix_partition import radix_join_inner_multi
+
+    rk = np.array([5] * 9 + [7, 8], np.int32)
+    lk = rng.integers(0, 10, 4000).astype(np.int32)
+    _, _, bids, mult = radix_join_inner_multi(
+        jnp.asarray(lk), jnp.asarray(np.arange(4000, dtype=np.int32)),
+        jnp.asarray(rk), 10, m_max=4, agg_rows=8, interpret=True)
+    assert bids is None and mult == 9
