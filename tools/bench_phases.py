@@ -1,0 +1,86 @@
+"""Radix-partition phase timings on real TPU: hist / tile_sort /
+merge_scatter / aggregate at 1e8 rows, parameterized by merge_tiles.
+
+Usage (hardware only; do NOT co-run with pytest — 1 host CPU):
+    python tools/bench_phases.py [merge_tiles=2] [K=1_000_000]
+
+Round-3 baseline at MT=2 (v5e, idle): sort 57ms + merge_scatter 70ms,
+agg 57ms, inflation 1.127 (memory/radix-partition-design.md).  The MT=4
+run answers NEXT_STEPS lever 2 (another ~2x on scatter DMA issues).
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from cudf_tpu.kernels.bitonic import tile_sort
+from cudf_tpu.kernels.radix_partition import (
+    LANES, SENTINEL, bucket_aggregate, digit_histogram, layout_device,
+    merge_scatter, step_table_device,
+)
+
+MT = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+n = 100_000_000
+tile_rows, nbits, chunk_rows, agg_rows, shift = 512, 7, 4, 128, 13
+st = MT * tile_rows
+B = 1 << nbits
+
+k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+keys = jax.random.randint(k1, (n,), 0, K, dtype=jnp.int32)
+vals = jax.random.normal(k2, (n,), dtype=jnp.float32)
+tile_elems = st * LANES
+nt = -(-n // tile_elems)
+pad = nt * tile_elems - n
+vbits = jax.lax.bitcast_convert_type(vals, jnp.int32)
+if pad:
+    keys = jnp.concatenate([keys, jnp.full((pad,), SENTINEL, jnp.int32)])
+    vbits = jnp.concatenate([vbits, jnp.zeros((pad,), jnp.int32)])
+keys2 = keys.reshape(nt * st, LANES)
+vbits2 = vbits.reshape(nt * st, LANES)
+
+
+def timeit(label, fn, fold, iters=4):
+    out = fn()
+    float(fold(out))
+
+    def chain(k):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(k):
+            o = fn()
+        float(fold(o))
+        return time.perf_counter() - t0
+
+    ts = min(chain(1) for _ in range(3))
+    tl = min(chain(1 + iters) for _ in range(3))
+    dt = max((tl - ts) / iters, 1e-9)
+    print(f"MT={MT} {label}: {dt*1e3:.1f} ms ({n/dt/1e6:.0f} Mrows/s)",
+          flush=True)
+    return out
+
+
+hist = timeit("A hist(st)",
+              lambda: digit_histogram(keys2, nbits, shift, st),
+              lambda h: jnp.sum(h))
+z = jnp.zeros((nt,), jnp.int32)
+tabs, base = layout_device(hist, z, 1, st, chunk_rows, agg_rows)
+total_rows = int(base[-1])
+print(f"MT={MT} total_rows={total_rows} "
+      f"inflation={total_rows*LANES/n:.3f}", flush=True)
+srt = timeit("B1 tile_sort",
+             lambda: tile_sort(keys2, vbits2, tile_rows=tile_rows,
+                               alternate=True),
+             lambda o: jnp.sum(o[0][:8]))
+pk, pv = timeit("B2 merge_scatter",
+                lambda: merge_scatter(srt[0], srt[1], tabs, nbits, st,
+                                      tile_rows, chunk_rows, total_rows),
+                lambda o: jnp.sum(o[0][:8]) + jnp.sum(o[1][:8]))
+step_tab = step_table_device(base, total_rows, agg_rows)
+timeit("C agg",
+       lambda: bucket_aggregate(pk, pv, step_tab, B, shift, agg_rows),
+       lambda a: jnp.sum(a))
