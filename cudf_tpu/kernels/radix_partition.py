@@ -803,11 +803,10 @@ def radix_groupby_sum_count(keys, vals, num_keys: int,
 # Join probe: window tables + matmul lookup
 # ----------------------------------------------------------------------
 
-def _probe_kernel(shift, agg_rows, with_pay,
+def _probe_kernel(shift, agg_rows, with_pay, m,
                   step_tab_ref,                            # scalar prefetch
                   keys_ref, tab_ref,                       # VMEM blocks
                   *out_refs):
-    obid_ref = out_refs[0]
     bucket = step_tab_ref[pl.program_id(0)] & 0xFFFF
     base = bucket << shift
     hi_classes = jax.lax.broadcasted_iota(jnp.int32, (HI, LANES), 0)
@@ -818,8 +817,11 @@ def _probe_kernel(shift, agg_rows, with_pay,
     # Optional payload planes carry a build payload as three exact bf16
     # terms, making the lookup double as the build-side gather
     # (gather-free retrieve of inner_join_retrieve.cu).
-    t_id = [tab_ref[0, j * HI:(j + 1) * HI, :].astype(jnp.bfloat16)
-            for j in range(4)]
+    # m > 1 stacks one table per duplicate ordinal (bounded-fan-out
+    # joins): the expensive one-hot construction is shared, each extra
+    # table costs only its MXU lookups + extraction.
+    t_id = [[tab_ref[0, (4 * t + j) * HI:(4 * t + j + 1) * HI, :]
+             .astype(jnp.bfloat16) for j in range(4)] for t in range(m)]
     t_pay = [tab_ref[0, (4 + j) * HI:(5 + j) * HI, :].astype(jnp.bfloat16)
              for j in range(3)] if with_pay else None
 
@@ -854,22 +856,26 @@ def _probe_kernel(shift, agg_rows, with_pay,
         def extract(u):                                   # [RB*128] lanes
             return jnp.sum(u * B, axis=0)
 
-        u_lo = table_mm(t_id[0]) + 256.0 * table_mm(t_id[1])
-        u_hi = table_mm(t_id[2]) + 256.0 * table_mm(t_id[3])
-        c_lo = extract(u_lo)                              # <= 2^16, exact
-        c_hi = extract(u_hi)
-        found_f = c_lo + c_hi                             # > 0 iff occupied
-        bid_f = (c_lo.astype(jnp.int32)
-                 + (c_hi.astype(jnp.int32) << 16)) - 1
+        founds, bids = [], []
+        for t in range(m):
+            u_lo = table_mm(t_id[t][0]) + 256.0 * table_mm(t_id[t][1])
+            u_hi = table_mm(t_id[t][2]) + 256.0 * table_mm(t_id[t][3])
+            c_lo = extract(u_lo)                          # <= 2^16, exact
+            c_hi = extract(u_hi)
+            founds.append(c_lo + c_hi)                    # > 0 iff occupied
+            bids.append((c_lo.astype(jnp.int32)
+                         + (c_hi.astype(jnp.int32) << 16)) - 1)
         if with_pay:
             pay_f = extract(table_mm(t_pay[0]) + table_mm(t_pay[1])
                             + table_mm(t_pay[2]))
         for k in range(RB):
             sl = slice(k * LANES, (k + 1) * LANES)
-            found = (found_f[sl] > 0) & win_parts[k]
-            row = jnp.where(found, bid_f[sl], -1)
-            obid_ref[pl.ds(i * RB + k, 1), :] = row[None, :]
+            for t in range(m):
+                found = (founds[t][sl] > 0) & win_parts[k]
+                row = jnp.where(found, bids[t][sl], -1)
+                out_refs[t][pl.ds(i * RB + k, 1), :] = row[None, :]
             if with_pay:
+                found = (founds[0][sl] > 0) & win_parts[k]
                 prow = jnp.where(found, pay_f[sl], 0.0)
                 out_refs[1][pl.ds(i * RB + k, 1), :] = prow[None, :]
         return 0
@@ -884,15 +890,20 @@ def window_probe(pkeys, tables, step_tab, shift: int, agg_rows: int,
 
     pkeys: probe keys from radix_partition; tables: [G, 4*HI, 128] f32 —
     four 8-bit chunk planes of (build_row_id+1) — or [G, 7*HI, 128] with
-    three payload-term planes (see probe_tables).  Returns
+    three payload-term planes (see probe_tables), or [G, m*4*HI, 128]
+    with one table per duplicate ordinal (bounded-fan-out joins; the
+    one-hot construction is shared across the m lookups).  Returns
     bid int32 [total_rows, 128]: the matched build row id, or -1 (no
     match / out-of-window garbage) — plus the matched payload f32 plane
-    when present — the cuco probe + gather-map retrieve of
-    hash_join.cu:123-125, inner_join_retrieve.cu as MXU lookups.
+    when present, or a list of m bid planes — the cuco probe +
+    gather-map retrieve of hash_join.cu:123-125, inner_join_retrieve.cu
+    as MXU lookups.
     """
     total_rows = pkeys.shape[0]
     S = total_rows // agg_rows
     with_pay = tables.shape[1] == 7 * HI
+    m = 1 if with_pay else tables.shape[1] // (4 * HI)
+    assert with_pay or tables.shape[1] == m * 4 * HI
     blk = pl.BlockSpec((agg_rows, LANES), lambda i, *_: (i, 0),
                        memory_space=pltpu.VMEM)
 
@@ -901,14 +912,16 @@ def window_probe(pkeys, tables, step_tab, shift: int, agg_rows: int,
 
     tabspec = pl.BlockSpec((1, tables.shape[1], LANES), tab_map,
                            memory_space=pltpu.VMEM)
-    out_specs = [blk, blk] if with_pay else [blk]
-    out_shape = [jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32)]
+    nbid = 2 if with_pay else m
+    out_specs = [blk] * nbid
+    out_shape = [jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32)
+                 for _ in range(m)]
     if with_pay:
         out_shape.append(jax.ShapeDtypeStruct((total_rows, LANES),
                                               jnp.float32))
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            partial(_probe_kernel, shift, agg_rows, with_pay),
+            partial(_probe_kernel, shift, agg_rows, with_pay, m),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(S,),
@@ -918,7 +931,9 @@ def window_probe(pkeys, tables, step_tab, shift: int, agg_rows: int,
             out_shape=out_shape,
             interpret=interpret,
         )(step_tab, pkeys, tables)
-    return out[0] if not with_pay else tuple(out)
+    if with_pay:
+        return tuple(out)
+    return out[0] if m == 1 else list(out)
 
 
 def probe_tables(acc):
@@ -1002,6 +1017,7 @@ def radix_join_inner_multi(lk, lv, rk, key_domain: int, m_max: int = 4,
             agg_rows=agg_rows, interpret=interpret)
         assert uniq          # each ordinal slice is unique by construction
         tables.append(t_j)
+    stacked = jnp.concatenate(tables, axis=1)   # [G, mult*4*HI, 128]
 
     domain_bits = max(int(np.ceil(np.log2(max(key_domain, 2)))), 1)
     if domain_bits <= WINDOW_BITS:
@@ -1015,8 +1031,10 @@ def radix_join_inner_multi(lk, lv, rk, key_domain: int, m_max: int = 4,
         assert G2 == G
         rows_l = int(base_l[-1])
         step_l = step_table_device(base_l, rows_l, agg_rows)
-    bids = [window_probe(lk2, t_j, step_l, WINDOW_BITS, agg_rows,
-                         interpret=interpret) for t_j in tables]
+    bids = window_probe(lk2, stacked, step_l, WINDOW_BITS, agg_rows,
+                        interpret=interpret)
+    if mult == 1:
+        bids = [bids]
     return lk2, lv2, bids, mult
 
 
