@@ -295,6 +295,12 @@ def merge_scatter(keys2, vals2, tabs, nbits: int, super_rows: int,
     nsem = min(B, 128)
     kern = partial(_merge_partition_kernel, B, super_rows, tile_rows,
                    chunk_rows, mask_bits, V)
+    # merge factor >= 4 materializes full-supertile merge intermediates on
+    # the Mosaic stack and blows the default 16MiB scoped-vmem cap
+    # (measured: 27.9MiB at [2048, 128]); v5e cores carry 128MiB VMEM, so
+    # raise the cap for wide supertiles only.
+    vmem_cap = (96 * 1024 * 1024
+                if super_rows // tile_rows >= 4 else None)
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
@@ -308,7 +314,8 @@ def merge_scatter(keys2, vals2, tabs, nbits: int, super_rows: int,
             out_shape=[jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32)
                        for _ in range(V + 1)],
             input_output_aliases={2 + V + j: j for j in range(V + 1)},
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, vmem_limit_bytes=vmem_cap),
             interpret=interpret,
         )(tabs, keys2, *vplanes, kinit, *vinits)
     if single:
@@ -701,7 +708,7 @@ def _sorted_scatter(keys2, vplanes, tabs, nbits, tile_rows, merge_tiles,
 
 def radix_partition(keys, vals, domain_bits: int, tile_rows: int = 512,
                     chunk_rows: int = 4, align_rows: int = 128,
-                    merge_tiles: int = 2, interpret: bool = False):
+                    merge_tiles: int = 4, interpret: bool = False):
     """Partition rows into SPAN-sized key windows: one pass for domains up
     to 20 bits, two for up to 27 (cub runs one pass per digit the same
     way, sort_radix.cu).  vals: one payload array or a list of payloads

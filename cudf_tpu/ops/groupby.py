@@ -197,8 +197,9 @@ def group_sum(col: Column, grouper: Grouper) -> Column:
     if v is not None:
         acc = jnp.where(v, acc, 0)
     out = _run_sum(_sorted_values(acc, grouper), grouper.group_offsets)
-    validity = _any_valid(v, grouper)
-    return Column(out_dtype, grouper.num_groups, data=out.astype(out_dtype.storage), validity=validity)
+    # pandas min_count=0 semantics: all-null / empty groups sum to the
+    # identity (0), NOT null (groupby.sum() of a NaN-only group is 0.0)
+    return Column(out_dtype, grouper.num_groups, data=out.astype(out_dtype.storage))
 
 
 def _any_valid(v: Optional[jnp.ndarray], grouper: Grouper) -> Optional[jnp.ndarray]:
@@ -322,7 +323,8 @@ def group_prod(col: Column, grouper: Grouper) -> Column:
     if v is not None:
         acc = jnp.where(v, acc, jnp.ones_like(acc))
     out = _run_monoid(_sorted_values(acc, grouper), grouper, jnp.multiply)
-    return Column(out_dtype, grouper.num_groups, data=out, validity=_any_valid(v, grouper))
+    # pandas min_count=0: all-null / empty groups yield the identity (1)
+    return Column(out_dtype, grouper.num_groups, data=out)
 
 
 def group_any(col: Column, grouper: Grouper) -> Column:

@@ -251,3 +251,18 @@ def test_groupby_external_series_key_and_nan_keys(rng):
     got2 = ct.DataFrame.from_pandas(pdf2).groupby("k").sum().to_pandas()
     pd.testing.assert_frame_equal(got2, pdf2.groupby("k").sum(),
                                   check_dtype=False)
+
+
+def test_groupby_allnull_group_sum_prod_identity():
+    """pandas min_count=0 semantics: sum of an all-NaN group is 0.0 and
+    prod is 1.0 (NOT null); mean/min/max of the same group stay NaN."""
+    pdf = pd.DataFrame({"k": [1, 2, 1, 2, 3],
+                        "v": [1.0, np.nan, 3.0, np.nan, np.nan]})
+    df = ct.DataFrame.from_pandas(pdf)
+    for agg in ("sum", "prod", "mean", "min", "max"):
+        got = getattr(df.groupby("k")["v"], agg)().to_pandas()
+        exp = getattr(pdf.groupby("k")["v"], agg)()
+        pd.testing.assert_series_equal(got, exp, check_dtype=False,
+                                       check_names=False)
+    got = df.groupby("k").agg({"v": "sum"}).to_pandas()["v"].tolist()
+    assert got == [4.0, 0.0, 0.0]

@@ -5,8 +5,10 @@ Usage (hardware only; do NOT co-run with pytest — 1 host CPU):
     python tools/bench_phases.py [merge_tiles=2] [K=1_000_000]
 
 Round-3 baseline at MT=2 (v5e, idle): sort 57ms + merge_scatter 70ms,
-agg 57ms, inflation 1.127 (memory/radix-partition-design.md).  The MT=4
-run answers NEXT_STEPS lever 2 (another ~2x on scatter DMA issues).
+agg 57ms, inflation 1.127.  MT=4 measured 2026-08-18 (v5e, light CPU
+contention): hist 8.4ms, sort 57.1ms, merge_scatter 52.4ms, agg 53.9ms,
+inflation 1.067 — merge_tiles default is now 4 (needs the raised
+scoped-vmem cap in merge_scatter; default 16MiB cap OOMs at 27.9MiB).
 """
 import sys
 import time
