@@ -148,18 +148,21 @@ def bench_join_dict(n, n_dict=100_000, iters=3):
     # build dictionary = n_dict distinct strings; probe dictionary is a
     # permutation of the same value set (worst-case full recode)
     perm = jax.random.permutation(k1, n_dict).astype(jnp.int32)
-    inv_perm = jnp.zeros((n_dict,), jnp.int32).at[perm].set(
-        jnp.arange(n_dict, dtype=jnp.int32))
     rk = jax.random.permutation(k2, n_dict).astype(jnp.int32)
     rv = jax.random.normal(k1, (n_dict,), jnp.float32)
     lk_codes = jax.random.randint(k3, (n,), 0, n_dict, dtype=jnp.int32)
 
     def run(i):
-        # match_dictionaries: recode probe codes onto the build dictionary
-        # (device gather through the n_dict-sized remap table)
-        lk = jnp.take(inv_perm, lk_codes ^ (i & 1))
+        # match_dictionaries, small-side direction (the product path,
+        # ops/join.py _dict_code_pair): the DIM side's codes gather
+        # through the dictionary remap (n_dict rows), the 1e8 fact codes
+        # are untouched — the reference recodes per-row on both columns
+        # (join.cu:37) but on a TPU the fact-sized gather is the
+        # expensive move, so the recode lands on the smaller column
+        rk2 = jnp.take(perm, rk ^ (i & 1))
         pkl, pvl, bid, mval, unique = radix_join_inner_unique(
-            lk, jnp.arange(n, dtype=jnp.int32), rk ^ (i & 1), n_dict, rv=rv)
+            lk_codes ^ (i & 1), jnp.arange(n, dtype=jnp.int32), rk2,
+            n_dict, rv=rv)
         assert unique
         return float(jnp.sum(mval)) + int(jnp.sum(bid >= 0))
 

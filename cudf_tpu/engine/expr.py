@@ -330,12 +330,62 @@ class IsIn(Expr):
         self._name = child.output_name
 
     def evaluate(self, table: Table) -> Column:
+        import jax.numpy as jnp
+
         from cudf_tpu.core.column import as_column
         from cudf_tpu.ops.search import contains
 
         v = self.children[0].evaluate(table)
+        km = self._dict_key_mask(v)
+        if km is not None:
+            # membership once per DICTIONARY entry (pure numpy — inside
+            # the SPMD shard_map trace every jnp value is a tracer, so
+            # the key-set decision must stay off-device), then integer
+            # code compares on device — never a row-wise decode.  The
+            # reference evaluates dictionary predicates over the key set
+            # the same way (cpp/src/search/contains_column.cu).
+            codes = v.data.astype(jnp.int32)
+            matched = np.flatnonzero(km)
+            if matched.size == 0:
+                mask = jnp.zeros((v.length,), jnp.bool_)
+            elif matched.size <= 16:
+                mask = jnp.zeros((v.length,), jnp.bool_)
+                for c in matched.tolist():
+                    mask = mask | (codes == c)
+            else:
+                mask = jnp.take(jnp.asarray(km), jnp.clip(codes, 0, None))
+            if v.validity is not None:
+                mask = mask & v.validity
+            return Column(dt.BOOL8, v.length, data=mask)
         mask = contains(as_column(self.values), v)
         return Column(dt.BOOL8, v.length, data=mask)
+
+    def _dict_key_mask(self, v: Column):
+        """bool[n_keys] numpy membership of each dictionary entry in
+        self.values, or None when v is not a dictionary column with
+        host-readable key buffers / plain literal values."""
+        if not (v.dtype.is_dictionary and v.children):
+            return None
+        if any(x is None or (isinstance(x, float) and x != x)
+               for x in self.values):
+            return None                      # null semantics: generic path
+        keys = v.children[0]
+        try:
+            if keys.dtype.is_string:
+                offs = np.asarray(keys.offsets)
+                buf = (np.asarray(keys.data) if keys.data is not None
+                       and keys.data.shape[0] else np.zeros(0, np.uint8))
+                vals = {str(x) for x in self.values}
+                return np.array([
+                    bytes(buf[offs[i]:offs[i + 1]].tolist())
+                    .decode("utf-8", "surrogateescape") in vals
+                    for i in range(keys.length)], dtype=bool)
+            if keys.dtype.is_numeric:
+                return np.isin(np.asarray(keys.data),
+                               np.asarray(list(self.values)))
+        except Exception:
+            return None                      # traced buffers: generic path
+        return None
 
     def __repr__(self):
         return f"{self.children[0]!r}.is_in({self.values!r})"

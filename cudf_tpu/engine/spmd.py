@@ -46,11 +46,21 @@ _MERGE_OP = {"sum": "sum", "count": "sum", "size": "sum",
 
 class _Stream:
     """Shard-local value flowing between lowered nodes inside the traced
-    program: named arrays + a row-validity mask (padded static shapes)."""
+    program: named arrays + a row-validity mask (padded static shapes).
 
-    def __init__(self, cols: Dict[str, "jnp.ndarray"], valid):
+    ``over`` is an int64[1] per-shard count of rows dropped by any static
+    output budget upstream (join expansion, shuffle capacity, sort
+    capacity).  evaluate_spmd checks it after the run and re-lowers with
+    a larger budget factor — the count-then-allocate discipline of
+    inner_join_size.cu amortized to the rare-overflow case, with NO
+    silent truncation."""
+
+    def __init__(self, cols: Dict[str, "jnp.ndarray"], valid, over=None):
+        import jax.numpy as jnp
+
         self.cols = cols
         self.valid = valid
+        self.over = over if over is not None else jnp.zeros((1,), jnp.int64)
 
     def table(self, dtypes: Dict[str, dt.DType], dicts=None) -> Table:
         n = next(iter(self.cols.values())).shape[0]
@@ -72,11 +82,12 @@ class _Lowering:
     registers their sharded arrays, and builds the composed shard-local
     program (a closure tree over _Stream)."""
 
-    def __init__(self, mesh, axis: str = "x"):
+    def __init__(self, mesh, axis: str = "x", out_factor: int = 1):
         import jax
 
         self.mesh = mesh
         self.axis = axis
+        self.out_factor = int(out_factor)   # static-budget growth on retry
         self.num_parts = int(mesh.shape[axis])
         self.sources: List = []      # flat list of sharded source arrays
         self.dicts: Dict[str, Column] = {}   # output name -> dictionary
@@ -174,7 +185,7 @@ class _Lowering:
 
                 def fn(srcs, _cfn=cfn, _names=names):
                     s = _cfn(srcs)
-                    return _Stream({n: s.cols[n] for n in _names}, s.valid)
+                    return _Stream({n: s.cols[n] for n in _names}, s.valid, s.over)
 
                 return fn, {n: cdt[n] for n in names}
             if isinstance(node, IRs.Filter):
@@ -183,7 +194,7 @@ class _Lowering:
                 def fn(srcs, _cfn=cfn, _cdt=cdt, _pred=node.predicate):
                     s = _cfn(srcs)
                     data, valid, _ = self._eval_expr(_pred, s, _cdt)
-                    return _Stream(s.cols, valid & data.astype(jnp.bool_))
+                    return _Stream(s.cols, valid & data.astype(jnp.bool_), s.over)
 
                 return fn, dict(cdt)
             # Select / HStack: dtypes need a host-side probe (zero-row eval)
@@ -215,7 +226,7 @@ class _Lowering:
                 for e in _exprs:
                     data, valid, _ = self._eval_expr(e, s, _cdt)
                     cols[e.output_name] = data
-                return _Stream(cols, valid)
+                return _Stream(cols, valid, s.over)
 
             return fn, out_dt
 
@@ -236,7 +247,10 @@ class _Lowering:
                 cols = {n: jnp.concatenate([s.cols[n] for s in streams])
                         for n in _names}
                 valid = jnp.concatenate([s.valid for s in streams])
-                return _Stream(cols, valid)
+                over = streams[0].over
+                for st in streams[1:]:
+                    over = over + st.over
+                return _Stream(cols, valid, over)
 
             return fn, dict(cdt)
         if isinstance(node, IRs.Reduce):
@@ -305,7 +319,8 @@ class _Lowering:
                 vals_ops.append((data, op))
             m_keys, outs, cnt, m_valid, dropped = dist_groupby_agg_shard(
                 keys, vals_ops, s.valid,
-                num_parts=self.num_parts, capacity=n, axis=self.axis)
+                num_parts=self.num_parts, capacity=n * self.out_factor,
+                axis=self.axis)
             cols = {k: m_keys[i] for i, k in enumerate(_keys)}
             fcnt = cnt.astype(jnp.float64)
             for name, how, pidx, kind in _finals:
@@ -322,7 +337,7 @@ class _Lowering:
                     num = ssq - s_ * s_ / jnp.maximum(fcnt, 1.0)
                     v = num / jnp.maximum(fcnt - 1.0, 1.0)
                     cols[name] = jnp.sqrt(v) if how == "std" else v
-            return _Stream(cols, m_valid)
+            return _Stream(cols, m_valid, s.over + dropped)
 
         return fn, out_dt
 
@@ -361,17 +376,19 @@ class _Lowering:
                     rkeys, [rs.cols[n] for n in _rp], rs.valid,
                     how=_how, num_parts=self.num_parts,
                     cap_l=nl, cap_r=nr,
-                    max_out=self.num_parts * nl * 2, axis=self.axis)
+                    max_out=self.num_parts * (nl + nr) * 2
+                    * self.out_factor, axis=self.axis)
+            over = ls.over + rs.over + dropped
             if _how in ("semi", "anti"):
                 cols = {k: out_keys[i] for i, k in enumerate(_lon)}
                 cols.update({n: out_l[i] for i, n in enumerate(_lp)})
-                return _Stream(cols, ovalid)
+                return _Stream(cols, ovalid, over)
             cols = {k: out_keys[i] for i, k in enumerate(_lon)}
             cols.update({n: out_l[i] for i, n in enumerate(_lp)})
             taken = set(cols)
             for i, n in enumerate(_rp):
                 cols[n + _suffix if n in taken else n] = out_r[i]
-            return _Stream(cols, ovalid)
+            return _Stream(cols, ovalid, over)
 
         return fn, out_dt
 
@@ -407,13 +424,13 @@ class _Lowering:
                     key = key * sz + c
                 n = key.shape[0]
                 pays = [s.cols[n_] for n_ in _names]
-                capacity = max(int(n * 2.0), 16)
+                capacity = max(int(n * 2.0) * self.out_factor, 16)
                 k_out, pays_out, mask_out, dropped = _dist_sort_shard(
                     key, pays, s.valid, num_parts=self.num_parts,
                     capacity=capacity, descending=False, axis=self.axis)
                 return _Stream(
                     {n_: pays_out[i] for i, n_ in enumerate(_names)},
-                    mask_out)
+                    mask_out, s.over + dropped)
 
             return fn, dict(cdt)
         by = node.by[0]
@@ -424,12 +441,12 @@ class _Lowering:
             key = _order_encode(s.cols[_by], _desc)
             n = key.shape[0]
             pays = [s.cols[n_] for n_ in _names]
-            capacity = max(int(n * 2.0), 16)
+            capacity = max(int(n * 2.0) * self.out_factor, 16)
             k_out, pays_out, mask_out, dropped = _dist_sort_shard(
                 key, pays, s.valid, num_parts=self.num_parts,
                 capacity=capacity, descending=False, axis=self.axis)
             cols = {n_: pays_out[i] for i, n_ in enumerate(_names)}
-            return _Stream(cols, mask_out)
+            return _Stream(cols, mask_out, s.over + dropped)
 
         return fn, dict(cdt)
 
@@ -451,10 +468,10 @@ class _Lowering:
             keys = [s.cols[n].astype(jnp.int64) for n in _names]
             n = keys[0].shape[0]
             m_keys, m_valid, dropped = _dist_distinct_shard(
-                keys, s.valid, num_parts=self.num_parts, capacity=n,
-                axis=self.axis)
+                keys, s.valid, num_parts=self.num_parts,
+                capacity=n * self.out_factor, axis=self.axis)
             return _Stream({n_: m_keys[i] for i, n_ in enumerate(_names)},
-                           m_valid)
+                           m_valid, s.over + dropped)
 
         return fn, dict(cdt)
 
@@ -499,7 +516,7 @@ class _Lowering:
                 cols[name] = jnp.broadcast_to(tot, (n,))
             shard0 = jax.lax.axis_index(self.axis) == 0
             valid = (jnp.arange(n) == 0) & shard0
-            return _Stream(cols, valid)
+            return _Stream(cols, valid, s.over)
 
         return fn, out_dt
 
@@ -514,17 +531,29 @@ def _col_ref(e) -> Optional[str]:
 
 
 def _order_encode(arr, descending: bool):
-    """Order-preserving int64 encoding of a numeric sort key (the IEEE
-    total-order bit flip for floats: key = b ^ ((b >> 63) | signbit)),
-    with descending folded in as a bitwise NOT so _dist_sort_shard never
-    needs its negation path (which would overflow at INT64_MIN)."""
+    """Order-preserving int64 encoding of a numeric sort key, with
+    descending folded in as a bitwise NOT so _dist_sort_shard never needs
+    its negation path (which would overflow at INT64_MIN).
+
+    Floats are encoded ARITHMETICALLY via frexp — key = e*2^52 + mantissa
+    bits, mirrored for negatives — because the TPU X64-rewrite pass
+    cannot compile a 64-bit bitcast_convert_type (measured: both
+    f64->s64 and f64->u32-pairs fail to compile), while emulated f64
+    arithmetic is supported.  The encoding is exact: (|m|-0.5)*2^53 is an
+    integer < 2^52, and e in [-1073, 1024] keeps |key| < 2^63."""
     import jax
     import jax.numpy as jnp
 
     if jnp.issubdtype(arr.dtype, jnp.floating):
-        b = jax.lax.bitcast_convert_type(arr.astype(jnp.float64), jnp.int64)
-        signbit = jnp.int64(-(2**63))
-        key = b ^ ((b >> 63) | signbit)
+        x = arr.astype(jnp.float64)
+        m, e = jnp.frexp(x)
+        mb = ((jnp.abs(m) - 0.5) * jnp.float64(2.0**53)).astype(jnp.int64)
+        mag = e.astype(jnp.int64) * jnp.int64(2**52) + mb
+        pos_inf = jnp.int64(1025) * jnp.int64(2**52)
+        mag = jnp.where(jnp.isinf(x), pos_inf, mag)
+        mag = jnp.where(x == 0, jnp.int64(-1074) * jnp.int64(2**52), mag)
+        key = jnp.where(x < 0, -mag - 1, mag)
+        key = jnp.where(jnp.isnan(x), pos_inf + 1, key)  # NaN > +inf
     else:
         key = arr.astype(jnp.int64)
     if descending:
@@ -551,23 +580,33 @@ def evaluate_spmd(node, mesh, axis: str = "x") -> Table:
         head = (node.offset, node.length)
         node = node.children[0]
 
-    low = _Lowering(mesh, axis)
-    prog, out_dt = low.lower(node)
-    names = list(out_dt)
-
     from jax import shard_map
 
-    def run(srcs):
-        s = prog(srcs)
-        return [s.cols[n] for n in names], s.valid
-
     spec = P(axis)
-    sharded = shard_map(
-        run, mesh=mesh,
-        in_specs=([spec] * len(low.sources),),
-        out_specs=([spec] * len(names), spec),
-    )
-    (arrs, valid) = jax.jit(sharded)(low.sources)
+    # static-budget retry: joins/sorts/shuffles run with fixed output
+    # buffers; `over` counts rows a budget dropped.  Rare skewed plans
+    # re-lower at a larger factor (the count-then-allocate shape of
+    # inner_join_size.cu, amortized to the overflow case) — never a
+    # silent truncation.
+    for out_factor in (1, 8, 64):
+        low = _Lowering(mesh, axis, out_factor=out_factor)
+        prog, out_dt = low.lower(node)
+        names = list(out_dt)
+
+        def run(srcs):
+            s = prog(srcs)
+            return [s.cols[n] for n in names], s.valid, s.over
+
+        sharded = shard_map(
+            run, mesh=mesh,
+            in_specs=([spec] * len(low.sources),),
+            out_specs=([spec] * len(names), spec, spec),
+        )
+        (arrs, valid, over) = jax.jit(sharded)(low.sources)
+        if int(np.asarray(over).sum()) == 0:
+            break
+    else:
+        raise Unlowerable("static output budget exceeded at factor 64")
     mask = np.asarray(valid)
     cols = {}
     for n, a in zip(names, arrs):

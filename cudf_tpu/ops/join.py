@@ -52,7 +52,48 @@ def _aligned_keys(
     return l_ops, r_ops
 
 
+def _dict_code_pair(a: Column, b: Column) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Shared-code-space int32 codes for two dictionary columns, or None.
+
+    The reference recodes BOTH columns onto the union dictionary before a
+    join (cpp/src/dictionary/ match_dictionaries, join.cu:37).  On a TPU
+    the per-row gather is the expensive move, so the recode lands on the
+    SMALLER column only: its dictionary is matched against the larger
+    side's (a dictionary-sized sort+search), and its codes gather through
+    the resulting remap.  Values absent from the large dictionary become
+    -1 — a single sentinel is safe for join equality because the large
+    side's codes are all >= 0, and same-side equality is never consumed.
+    Returns (a_codes, b_codes) int32; null rows keep their column validity
+    (callers mask them as usual).
+    """
+    if not (a.dtype.is_dictionary and b.dtype.is_dictionary):
+        return None
+    if (a.dtype.value_type or dt.STRING) != (b.dtype.value_type or dt.STRING):
+        return None
+    ak, bk = a.children[0], b.children[0]
+    acodes = a.data.astype(jnp.int32)
+    bcodes = b.data.astype(jnp.int32)
+    if ak is bk or (ak.length == bk.length and ak.data is bk.data):
+        return acodes, bcodes
+    swap = a.length < b.length
+    big, small = (b, a) if swap else (a, b)
+    big_ops = equality_keys(big.children[0].with_validity(None))
+    small_ops = equality_keys(small.children[0].with_validity(None))
+    order, lo, hi = _probe_ranges(small_ops, big_ops)
+    matched = hi > lo
+    remap = jnp.where(
+        matched, jnp.take(order, jnp.clip(lo, 0, None)), -1
+    ).astype(jnp.int32)
+    sc = small.data.astype(jnp.int32)
+    small_codes = jnp.take(remap, jnp.clip(sc, 0, remap.shape[0] - 1))
+    big_codes = (bcodes if swap else acodes)
+    return (small_codes, big_codes) if swap else (big_codes, small_codes)
+
+
 def _align_pair(a: Column, b: Column) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    codes = _dict_code_pair(a, b)
+    if codes is not None:
+        return [codes[0]], [codes[1]]
     # promote to common dtype first
     if a.dtype != b.dtype:
         if a.dtype.is_dictionary:
@@ -353,6 +394,16 @@ def _join(left_keys, right_keys, how: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
     z = jnp.zeros((0,), jnp.int64)
     if how == "inner" and (nl == 0 or nr == 0):
         return z, z
+    if len(left_keys) == 1 and len(right_keys) == 1:
+        # dictionary keys join as shared-space int32 codes (the recode
+        # lands on the smaller side, see _dict_code_pair) — this also
+        # qualifies them for the radix/dense kernel tiers below
+        codes = _dict_code_pair(left_keys[0], right_keys[0])
+        if codes is not None:
+            left_keys = [Column(dt.INT32, nl, data=codes[0],
+                                validity=left_keys[0].validity)]
+            right_keys = [Column(dt.INT32, nr, data=codes[1],
+                                 validity=right_keys[0].validity)]
     if how == "inner" and len(left_keys) == 1 and len(right_keys) == 1:
         fast = _try_radix_inner(left_keys[0], right_keys[0])
         if fast is None:

@@ -383,12 +383,19 @@ def _dist_join_shard(lkeys, lpay, lvalid, rkeys, rpay, rvalid, *, how,
                     for lk, rk in zip(lk2, rk2)]
         out_l = [jnp.where(lpres, jnp.take(p, li), 0) for p in lpay2]
         out_r = [jnp.where(rpres, jnp.take(p, ri), 0) for p in rpay2]
+        # expansion past the static budget is DROPPED output — report it
+        # (callers re-lower with a bigger budget or fall back; no silent
+        # truncation)
+        dropped = dropped + jnp.maximum(
+            total - max_out, 0).astype(dropped.dtype).reshape(1)
         return out_keys, out_l, out_r, ovalid, lpres, rpres, dropped
     li, ri, ovalid, rmatch, total = local_join_padded(
         lk2, lmask, rk2, rmask, max_out, how)
     out_keys = [jnp.where(ovalid, jnp.take(k, li), 0) for k in lk2]
     out_l = [jnp.where(ovalid, jnp.take(p, li), 0) for p in lpay2]
     out_r = [jnp.where(rmatch, jnp.take(p, ri), 0) for p in rpay2]
+    dropped = dropped + jnp.maximum(
+        total - max_out, 0).astype(dropped.dtype).reshape(1)
     return out_keys, out_l, out_r, ovalid, rmatch, dropped
 
 

@@ -260,3 +260,38 @@ def test_multi_fanout_kernel_tier_through_merge(rng):
     finally:
         set_option("join.kernel_interpret", old[0])
         set_option("join.fast_path_min_rows", old[1])
+
+
+def test_dict_code_pair_joins(rng):
+    """Dictionary/categorical keys join through shared-space int32 codes
+    (ops/join.py _dict_code_pair): the smaller side's dictionary is
+    remapped, values absent from the large dictionary never match."""
+    lv = rng.choice(["apple", "pear", "fig", "kiwi", "plum"], 400)
+    rv = ["pear", "kiwi", "mango", "fig"]  # mango absent on the left
+    pl = pd.DataFrame({"k": pd.Categorical(lv), "x": np.arange(400)})
+    pr = pd.DataFrame({"k": pd.Categorical(rv), "y": [1, 2, 3, 4]})
+    gl, gr = ct.DataFrame.from_pandas(pl), ct.DataFrame.from_pandas(pr)
+    for how in ("inner", "left"):
+        got = ct.merge(gl, gr, on="k", how=how).to_pandas()
+        expect = pd.merge(pl.assign(k=pl.k.astype(str)),
+                          pr.assign(k=pr.k.astype(str)), on="k", how=how)
+        got = got.sort_values(["x", "y"]).reset_index(drop=True)
+        expect = expect.sort_values(["x", "y"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)].astype({"k": str}),
+            expect[sorted(expect.columns)], check_dtype=False)
+
+
+def test_dict_code_pair_null_and_unmatched(rng):
+    """Null categorical rows never match; two distinct left-only values
+    sharing the -1 sentinel do not cross-match anything."""
+    pl = pd.DataFrame({"k": pd.Categorical(["a", None, "zz", "qq", "b"]),
+                       "x": [0, 1, 2, 3, 4]})
+    pr = pd.DataFrame({"k": pd.Categorical(["b", "a", None]),
+                       "y": [10, 20, 30]})
+    gl, gr = ct.DataFrame.from_pandas(pl), ct.DataFrame.from_pandas(pr)
+    got = ct.merge(gl, gr, on="k", how="inner").to_pandas()
+    expect = pd.merge(pl.assign(k=pl.k.astype(object)),
+                      pr.assign(k=pr.k.astype(object)), on="k", how="inner")
+    assert sorted(got["x"].tolist()) == sorted(expect["x"].tolist())
+    assert sorted(got["y"].tolist()) == sorted(expect["y"].tolist())
