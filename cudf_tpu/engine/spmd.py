@@ -535,25 +535,61 @@ def _order_encode(arr, descending: bool):
     descending folded in as a bitwise NOT so _dist_sort_shard never needs
     its negation path (which would overflow at INT64_MIN).
 
-    Floats are encoded ARITHMETICALLY via frexp — key = e*2^52 + mantissa
-    bits, mirrored for negatives — because the TPU X64-rewrite pass
-    cannot compile a 64-bit bitcast_convert_type (measured: both
-    f64->s64 and f64->u32-pairs fail to compile), while emulated f64
-    arithmetic is supported.  The encoding is exact: (|m|-0.5)*2^53 is an
-    integer < 2^52, and e in [-1073, 1024] keeps |key| < 2^63."""
+    Floats: the TPU X64-rewrite pass cannot compile a 64-bit
+    bitcast_convert_type (measured: f64->s64, f64->u32-pairs, AND
+    jnp.frexp — whose lowering bitcasts f64->s64 — all fail to
+    compile).  On CPU (real f64) the IEEE magnitude is rebuilt
+    ARITHMETICALLY from frexp: mag = (e+1022)*2^52 + fraction bits —
+    exactly the biased-exponent/mantissa split of the f64 bit pattern —
+    then sign-mirrored (key = -mag for negatives), i.e. the classic
+    radix-sortable float transform without the bitcast.  On TPU the
+    emulated f64 is a double-float (hi, lo) f32 pair, so the key packs
+    the pair with 32-bit bitcasts: key = (u32(hi)-2^31)*2^32 + u32(lo),
+    where u32 maps f32 bits onto [0, 2^32) in value order.  (hi, lo) is
+    lexicographically monotone in x because f64->f32 rounding is
+    monotone and lo orders ties exactly.  Subnormals: XLA flushes
+    f64 subnormals to zero in arithmetic (DAZ), so they key as 0 —
+    consistent with how every other compiled op here treats them."""
     import jax
     import jax.numpy as jnp
 
     if jnp.issubdtype(arr.dtype, jnp.floating):
         x = arr.astype(jnp.float64)
-        m, e = jnp.frexp(x)
-        mb = ((jnp.abs(m) - 0.5) * jnp.float64(2.0**53)).astype(jnp.int64)
-        mag = e.astype(jnp.int64) * jnp.int64(2**52) + mb
-        pos_inf = jnp.int64(1025) * jnp.int64(2**52)
-        mag = jnp.where(jnp.isinf(x), pos_inf, mag)
-        mag = jnp.where(x == 0, jnp.int64(-1074) * jnp.int64(2**52), mag)
-        key = jnp.where(x < 0, -mag - 1, mag)
-        key = jnp.where(jnp.isnan(x), pos_inf + 1, key)  # NaN > +inf
+        if jax.default_backend() in ("cpu",):
+            m, e = jnp.frexp(x)
+            # normals: biased exponent (e+1022 in [1, 2046]) * 2^52 +
+            # fraction ((|m|-0.5)*2^53 in [0, 2^52)); max < 2047*2^52
+            frac = ((jnp.abs(m) - 0.5) * jnp.float64(2.0**53)).astype(
+                jnp.int64)
+            mag = (e.astype(jnp.int64) + 1022) * jnp.int64(2**52) + frac
+            # subnormals (|x| < 2^-1022): mag = |x|*2^1074 exact (two
+            # half-scalings avoid f64 overflow); DAZ may flush to 0
+            sub = jnp.abs(x) < jnp.float64(2.0**-1022)
+            mag_s = (jnp.abs(x) * jnp.float64(2.0**537)
+                     * jnp.float64(2.0**537)).astype(jnp.int64)
+            mag = jnp.where(sub, mag_s, mag)
+            mag = jnp.where(jnp.isinf(x), jnp.int64(2047) * jnp.int64(2**52),
+                            mag)
+            mag = jnp.where(x == 0, jnp.int64(0), mag)
+            key = jnp.where(x < 0, -mag, mag)
+            key = jnp.where(jnp.isnan(x),
+                            jnp.int64(2047) * jnp.int64(2**52) + 1, key)
+        else:
+            def u32(f):
+                # f32 bits -> [0, 2^32) in value order (int64 math)
+                b = jax.lax.bitcast_convert_type(
+                    f, jnp.int32).astype(jnp.int64)
+                return jnp.where(b >= 0, b + jnp.int64(2**31), -b - 1)
+
+            hi = x.astype(jnp.float32)
+            resid = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+            resid = jnp.where(jnp.isfinite(x), resid, jnp.float32(0))
+            key = ((u32(hi) - jnp.int64(2**31)) * jnp.int64(2**32)
+                   + u32(resid))
+            key = jnp.where(x == 0, jnp.int64(2**31), key)  # -0.0 == +0.0
+            # (2^31 is +0.0's natural key: hi bucket 0, resid +0.0)
+            key = jnp.where(jnp.isnan(x),
+                            jnp.int64(2**63 - 1), key)  # NaN > +inf
     else:
         key = arr.astype(jnp.int64)
     if descending:
