@@ -541,60 +541,160 @@ def _order_encode(arr, descending: bool):
     compile).  On CPU (real f64) the IEEE magnitude is rebuilt
     ARITHMETICALLY from frexp: mag = (e+1022)*2^52 + fraction bits —
     exactly the biased-exponent/mantissa split of the f64 bit pattern —
-    then sign-mirrored (key = -mag for negatives), i.e. the classic
-    radix-sortable float transform without the bitcast.  On TPU the
-    emulated f64 is a double-float (hi, lo) f32 pair, so the key packs
-    the pair with 32-bit bitcasts: key = (u32(hi)-2^31)*2^32 + u32(lo),
-    where u32 maps f32 bits onto [0, 2^32) in value order.  (hi, lo) is
-    lexicographically monotone in x because f64->f32 rounding is
-    monotone and lo orders ties exactly.  Subnormals: XLA flushes
-    f64 subnormals to zero in arithmetic (DAZ), so they key as 0 —
-    consistent with how every other compiled op here treats them."""
+    then sign-mirrored (key = -mag for negatives) — the classic
+    radix-sortable float transform.  Every backend with real f64 uses
+    the exact 64-bit bitcast form (`_order_encode_exact`; arithmetic
+    reconstructions like frexp are NOT viable here — this XLA CPU
+    build both DAZ-flushes subnormal arithmetic and mis-lowers
+    jnp.frexp on subnormal inputs, measured constant (0.5, -1074)).
+    Only the TPU backend — where the emulated f64 is a double-float
+    (hi, lo) f32 pair and 64-bit bitcast lowerings fail to compile —
+    packs the pair with 32-bit bitcasts (`_order_encode_pair`):
+    key = (u32(hi)-2^31)*2^32 + u32(lo), where u32 maps f32 bits onto
+    [0, 2^32) in value order.  (hi, lo) is lexicographically monotone
+    in x because f64->f32 rounding is monotone and lo orders ties
+    exactly (double-float precision; f64 values beyond f32 range
+    saturate to the +/-inf key)."""
+    import jax
+
+    return _order_encode_pair(arr, descending) \
+        if jax.default_backend() == "tpu" \
+        else _order_encode_exact(arr, descending)
+
+
+def _order_encode_exact(arr, descending: bool):
+    """Exact IEEE-754 total-order key via 64-bit bitcast (non-TPU
+    backends).  mag IS the f64 bit pattern's low 63 bits — exact for
+    normals, subnormals, zeros and infs by construction; sign-mirroring
+    gives the total order with -0.0 == +0.0 (both key as 0)."""
     import jax
     import jax.numpy as jnp
 
     if jnp.issubdtype(arr.dtype, jnp.floating):
         x = arr.astype(jnp.float64)
-        if jax.default_backend() in ("cpu",):
-            m, e = jnp.frexp(x)
-            # normals: biased exponent (e+1022 in [1, 2046]) * 2^52 +
-            # fraction ((|m|-0.5)*2^53 in [0, 2^52)); max < 2047*2^52
-            frac = ((jnp.abs(m) - 0.5) * jnp.float64(2.0**53)).astype(
-                jnp.int64)
-            mag = (e.astype(jnp.int64) + 1022) * jnp.int64(2**52) + frac
-            # subnormals (|x| < 2^-1022): mag = |x|*2^1074 exact (two
-            # half-scalings avoid f64 overflow); DAZ may flush to 0
-            sub = jnp.abs(x) < jnp.float64(2.0**-1022)
-            mag_s = (jnp.abs(x) * jnp.float64(2.0**537)
-                     * jnp.float64(2.0**537)).astype(jnp.int64)
-            mag = jnp.where(sub, mag_s, mag)
-            mag = jnp.where(jnp.isinf(x), jnp.int64(2047) * jnp.int64(2**52),
-                            mag)
-            mag = jnp.where(x == 0, jnp.int64(0), mag)
-            key = jnp.where(x < 0, -mag, mag)
-            key = jnp.where(jnp.isnan(x),
-                            jnp.int64(2047) * jnp.int64(2**52) + 1, key)
-        else:
-            def u32(f):
-                # f32 bits -> [0, 2^32) in value order (int64 math)
-                b = jax.lax.bitcast_convert_type(
-                    f, jnp.int32).astype(jnp.int64)
-                return jnp.where(b >= 0, b + jnp.int64(2**31), -b - 1)
-
-            hi = x.astype(jnp.float32)
-            resid = (x - hi.astype(jnp.float64)).astype(jnp.float32)
-            resid = jnp.where(jnp.isfinite(x), resid, jnp.float32(0))
-            key = ((u32(hi) - jnp.int64(2**31)) * jnp.int64(2**32)
-                   + u32(resid))
-            key = jnp.where(x == 0, jnp.int64(2**31), key)  # -0.0 == +0.0
-            # (2^31 is +0.0's natural key: hi bucket 0, resid +0.0)
-            key = jnp.where(jnp.isnan(x),
-                            jnp.int64(2**63 - 1), key)  # NaN > +inf
+        b = jax.lax.bitcast_convert_type(x, jnp.int64)
+        mag = b & jnp.int64(0x7FFFFFFFFFFFFFFF)
+        key = jnp.where(b < 0, -mag, mag)
+        # all NaNs (either sign, any payload) key just above +inf
+        key = jnp.where(jnp.isnan(x),
+                        jnp.int64(2047) * jnp.int64(2**52) + 1, key)
     else:
         key = arr.astype(jnp.int64)
     if descending:
         key = jnp.int64(-1) - key
     return key
+
+
+def _order_encode_pair(arr, descending: bool):
+    """Double-float (hi, lo) f32-pair key — the TPU f64-emulation path."""
+    import jax
+    import jax.numpy as jnp
+
+    if jnp.issubdtype(arr.dtype, jnp.floating):
+        x = arr.astype(jnp.float64)
+
+        def u32(f):
+            # f32 bits -> [0, 2^32) in value order (int64 math)
+            b = jax.lax.bitcast_convert_type(
+                f, jnp.int32).astype(jnp.int64)
+            return jnp.where(b >= 0, b + jnp.int64(2**31), -b - 1)
+
+        hi = x.astype(jnp.float32)
+        resid = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+        resid = jnp.where(jnp.isfinite(x), resid, jnp.float32(0))
+        key = ((u32(hi) - jnp.int64(2**31)) * jnp.int64(2**32)
+               + u32(resid))
+        key = jnp.where(x == 0, jnp.int64(2**31), key)  # -0.0 == +0.0
+        # (2^31 is +0.0's natural key: hi bucket 0, resid +0.0)
+        # NaN key sits strictly above key(+inf) but BELOW 2^63-1, which
+        # _dist_sort_shard uses as its invalid-row padding sentinel —
+        # valid keys must never collide with it (dist.py sentinel).
+        key = jnp.where(jnp.isnan(x),
+                        jnp.int64(2**63 - 2), key)  # NaN > +inf
+    else:
+        key = arr.astype(jnp.int64)
+    if descending:
+        key = jnp.int64(-1) - key
+    return key
+
+
+# ----------------------------------------------------------------------
+# compiled-program cache
+# ----------------------------------------------------------------------
+# jax.jit caches on the identity of the python callable; evaluate_spmd
+# builds a fresh closure per call, so without this cache every collect()
+# of the same plan re-traces and re-compiles the whole SPMD program
+# (measured 62 s/call for TPC-H q1 at SF1).  The reference has the same
+# need and answers it with build-once hash_join objects and polars' plan
+# caching; the JAX-native answer is one compiled executable per
+# (plan structure, source schema, mesh, out_factor).
+#
+# Correctness: everything the lowering BAKES into the traced program
+# must be in the key —
+#   * IR topology + per-node statics + full expr trees incl. literal
+#     values (_plan_key walks them),
+#   * source column names/dtypes/padded lengths (shapes are static),
+#   * dictionary contents (captured as numpy constants): keyed by
+#     BUFFER IDENTITY, with the buffer objects pinned in the cache
+#     entry so their id()s cannot be recycled while the entry lives,
+#   * mesh shape/devices, axis name, out_factor.
+# Non-dictionary source VALUES are jit arguments, not baked, so value
+# changes hit the cache (that is the point).
+_PROGRAM_CACHE: "dict" = {}
+_PROGRAM_CACHE_CAP = 32
+
+
+def _source_key(table: Table, pins: list):
+    toks = []
+    for name in table.names:
+        col = table[name]
+        tok = [name, str(col.dtype), table.num_rows]
+        if col.dtype.is_string or col.dtype.is_dictionary:
+            # dictionary contents get baked as numpy constants; pin the
+            # UNDERLYING buffers so id() stays unambiguous.  A string
+            # column re-encodes deterministically from the same buffers.
+            for buf in (col.data, col.offsets,
+                        *(c.data for c in col.children or ()),
+                        *(c.offsets for c in col.children or ())):
+                if buf is not None:
+                    pins.append(buf)
+                    tok.append(id(buf))
+        toks.append(tuple(tok))
+    return tuple(toks)
+
+
+def _plan_key(node, pins: list):
+    if isinstance(node, IRs.DataFrameScan):
+        return ("dfscan", _source_key(node.do_evaluate(), pins))
+    if isinstance(node, IRs.Scan):
+        import os as _os
+
+        # file sources: key on path + mtime/size so a rewritten file
+        # recompiles (the baked dictionary would otherwise go stale)
+        sig = []
+        for p in node.paths:
+            try:
+                st = _os.stat(p)
+                sig.append((p, st.st_mtime_ns, st.st_size))
+            except OSError:
+                sig.append((p, 0, 0))
+        return ("scan", node.fmt, tuple(sig),
+                tuple(node.projection or ()), repr(node.predicate))
+    cls = type(node).__name__
+    statics = []
+    for attr in ("exprs", "predicate", "aggs", "keys", "by", "descending",
+                 "left_on", "right_on", "how", "suffix", "subset", "keep",
+                 "columns", "offset", "length", "name"):
+        if hasattr(node, attr):
+            v = getattr(node, attr)
+            statics.append((attr, repr(v) if not isinstance(
+                v, (list, tuple)) else tuple(repr(x) for x in v)))
+    return (cls, tuple(statics),
+            tuple(_plan_key(c, pins) for c in node.children))
+
+
+def spmd_cache_clear():
+    _PROGRAM_CACHE.clear()
 
 
 def evaluate_spmd(node, mesh, axis: str = "x") -> Table:
@@ -624,21 +724,52 @@ def evaluate_spmd(node, mesh, axis: str = "x") -> Table:
     # re-lower at a larger factor (the count-then-allocate shape of
     # inner_join_size.cu, amortized to the overflow case) — never a
     # silent truncation.
+    import os
+    import time as _time
+
+    dbg = os.environ.get("CUDF_TPU_SPMD_DEBUG")
+    pins: list = []
+    base_key = (_plan_key(node, pins), axis,
+                tuple(sorted(mesh.shape.items())),
+                tuple(str(d) for d in mesh.devices.flat))
     for out_factor in (1, 8, 64):
+        t0 = _time.perf_counter()
         low = _Lowering(mesh, axis, out_factor=out_factor)
         prog, out_dt = low.lower(node)
         names = list(out_dt)
+        key = (base_key, out_factor)
+        hit = _PROGRAM_CACHE.pop(key, None)
+        if hit is not None:
+            jitted = hit[0]
+            _PROGRAM_CACHE[key] = hit  # reinsert at the fresh end (LRU)
+        else:
+            def run(srcs):
+                s = prog(srcs)
+                return [s.cols[n] for n in names], s.valid, s.over
 
-        def run(srcs):
-            s = prog(srcs)
-            return [s.cols[n] for n in names], s.valid, s.over
-
-        sharded = shard_map(
-            run, mesh=mesh,
-            in_specs=([spec] * len(low.sources),),
-            out_specs=([spec] * len(names), spec, spec),
-        )
-        (arrs, valid, over) = jax.jit(sharded)(low.sources)
+            sharded = shard_map(
+                run, mesh=mesh,
+                in_specs=([spec] * len(low.sources),),
+                out_specs=([spec] * len(names), spec, spec),
+            )
+            jitted = jax.jit(sharded)
+            while len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_CAP:
+                _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
+            _PROGRAM_CACHE[key] = (jitted, pins)
+        if dbg:
+            t1 = _time.perf_counter()
+            lowered = jitted.lower(low.sources)
+            t2 = _time.perf_counter()
+            compiled = lowered.compile()
+            t3 = _time.perf_counter()
+            (arrs, valid, over) = compiled(low.sources)
+            jax.block_until_ready(valid)
+            t4 = _time.perf_counter()
+            print(f"[spmd f={out_factor} hit={hit is not None}] "
+                  f"lower_py={t1-t0:.2f}s trace={t2-t1:.2f}s "
+                  f"compile={t3-t2:.2f}s exec={t4-t3:.2f}s", flush=True)
+        else:
+            (arrs, valid, over) = jitted(low.sources)
         if int(np.asarray(over).sum()) == 0:
             break
     else:

@@ -514,6 +514,10 @@ def _dist_sort_shard(key, pays, valid, *, num_parts, capacity, descending,
     k64 = key.astype(jnp.int64)
     if descending:
         k64 = -k64  # caller guarantees keys > INT64_MIN
+    # NOTE: `big` is only a PADDING value, not an in-band sentinel —
+    # validity always flows through counts/masks, never inferred from
+    # key == big.  A valid row MAY key as big (e.g. spmd._order_encode's
+    # descending fold of INT64_MIN); do not add key-based validity checks.
     ks = jnp.where(valid, k64, big)  # invalid rows last everywhere
     # splitter selection: evenly-spaced local samples → all_gather → the
     # P-1 global quantiles (the sample-sort of streaming/sort.py)
