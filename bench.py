@@ -175,11 +175,14 @@ def bench_join_dict(n, n_dict=100_000, iters=3):
     return n / dt
 
 
-def bench_tpch(scale=1.0, queries=("q1", "q5", "q6", "q9"), iters=2):
+def bench_tpch(scale=1.0, queries=("q1", "q5", "q6", "q9"), iters=2,
+               budget=600.0):
     """TPC-H single-chip wall times via the SPMD compiler on a 1-device
     mesh: each query is ONE jitted program, so the axon tunnel is crossed
     once per run (BASELINE.md SF100 trendline; reference
-    cpp/benchmarks/ndsh/q01.cpp)."""
+    cpp/benchmarks/ndsh/q01.cpp).  ``budget`` bounds the WHOLE segment:
+    each query gets an alarm of min(150s, time left) and queries that no
+    longer fit are skipped outright."""
     import sys
 
     from benchmarks import tpch
@@ -193,6 +196,7 @@ def bench_tpch(scale=1.0, queries=("q1", "q5", "q6", "q9"), iters=2):
     def _alarm(sig, frame):
         raise _Timeout()
 
+    t0_seg = time.perf_counter()
     # generate ON DEVICE: the host generator's ~600MB device_put at SF1
     # has wedged the single-chip tunnel (see NEXT_STEPS round-3 outage)
     tables = tpch.generate_device(scale)
@@ -201,11 +205,16 @@ def bench_tpch(scale=1.0, queries=("q1", "q5", "q6", "q9"), iters=2):
     prev = signal.signal(signal.SIGALRM, _alarm)
     try:
         for qn in queries:
+            left = budget - (time.perf_counter() - t0_seg)
+            if left < 20:
+                print(f"  tpch {qn} skipped: segment budget exhausted",
+                      file=sys.stderr, flush=True)
+                continue
             fn = getattr(tpch, qn)
             try:
                 # hard per-query budget: a hung tunnel compile must not
                 # swallow the whole bench (the headline JSON prints last)
-                signal.alarm(300)
+                signal.alarm(int(min(150, left)))
                 fn(tables, mesh=mesh)          # compile + warm
                 t0 = time.perf_counter()
                 for _ in range(iters):
@@ -223,51 +232,138 @@ def bench_tpch(scale=1.0, queries=("q1", "q5", "q6", "q9"), iters=2):
 
 
 def main():
+    """Segmented driver with a HARD emit guarantee.
+
+    Round-3 postmortem: the driver's outer `timeout` killed the process
+    mid-TPC-H (rc 124) and BENCH_r03 recorded ``parsed: null`` — a full
+    bench run with no headline number.  Three defenses now:
+    - SIGTERM/SIGINT (what `timeout` sends first) emit the JSON line
+      from whatever has been measured, then exit 0;
+    - a global wall-clock budget (CUDF_TPU_BENCH_BUDGET, default 1080 s)
+      skips any segment whose historical cost no longer fits;
+    - each segment is individually exception-guarded.
+    """
+    import os
+    import signal
     import sys
 
-    print("G1 low cardinality (K=100, one-hot MXU, 1e8 rows)...",
-          file=sys.stderr, flush=True)
-    low = bench_low(N)
-    print(f"  low: {low/1e6:.0f} Mrows/s", file=sys.stderr, flush=True)
-    print("G1 high cardinality (K=1e6, radix partition, 1e8 rows)...",
-          file=sys.stderr, flush=True)
-    high = bench_high(N)
-    print(f"  high: {high/1e6:.0f} Mrows/s", file=sys.stderr, flush=True)
-    print("J1 small join (1e8 x 1e2 dim)...", file=sys.stderr, flush=True)
-    j_small = bench_join(N, 100)
-    print(f"  small: {j_small/1e6:.0f} Mrows/s", file=sys.stderr, flush=True)
-    print("J1 medium join (1e8 x 1e5 dim)...", file=sys.stderr, flush=True)
-    j_med = bench_join(N, 100_000)
-    print(f"  medium: {j_med/1e6:.0f} Mrows/s", file=sys.stderr, flush=True)
-    print("J1 big join (1e8 x 1e8 unique build)...", file=sys.stderr, flush=True)
-    j_big = bench_join(N, N, iters=2)
-    print(f"  big: {j_big/1e6:.0f} Mrows/s", file=sys.stderr, flush=True)
-    print("J1 dict-string-key join (1e8 x 1e5, incl. dictionary match)...",
-          file=sys.stderr, flush=True)
-    j_dict = bench_join_dict(N)
-    print(f"  dict: {j_dict/1e6:.0f} Mrows/s", file=sys.stderr, flush=True)
-    print("TPC-H SF1 q1/q5/q6/q9 (SPMD-compiled, single chip)...",
-          file=sys.stderr, flush=True)
-    tpch_times = bench_tpch(1.0)
-    print(f"  {tpch_times}", file=sys.stderr, flush=True)
-    join_rps = float((j_small * j_med * j_big) ** (1 / 3))
-    rows_per_sec = float(np.sqrt(low * high))
-    detail = {"low_card_rows_per_sec": round(low),
-              "high_card_rows_per_sec": round(high),
-              "j1_join_geomean_rows_per_sec": round(join_rps),
-              "j1_small_rows_per_sec": round(j_small),
-              "j1_medium_rows_per_sec": round(j_med),
-              "j1_big_rows_per_sec": round(j_big),
-              "j1_dict_string_key_rows_per_sec": round(j_dict)}
-    detail.update(tpch_times)
-    print(json.dumps({
-        "metric": "db-benchmark G1 groupby rows/sec/chip (geomean low/high cardinality, 1e8 rows)",
-        "value": round(rows_per_sec),
-        "unit": "rows/s",
-        "vs_baseline": round(rows_per_sec / A100_CUDF_G1_ROWS_PER_SEC, 4),
-        "detail": detail,
-    }))
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("CUDF_TPU_BENCH_BUDGET", "1080"))
+    detail = {}
+    emitted = False
+
+    def emit():
+        nonlocal emitted
+        if emitted:
+            return
+        emitted = True
+        low = detail.get("low_card_rows_per_sec", 0)
+        high = detail.get("high_card_rows_per_sec", 0)
+        rows_per_sec = float(np.sqrt(low * high)) if low and high \
+            else float(low or high)
+        js = (j := [detail.get(f"j1_{k}_rows_per_sec", 0)
+                    for k in ("small", "medium", "big")])
+        if all(js):
+            detail["j1_join_geomean_rows_per_sec"] = round(
+                float((js[0] * js[1] * js[2]) ** (1 / 3)))
+        print(json.dumps({
+            "metric": "db-benchmark G1 groupby rows/sec/chip (geomean low/high cardinality, 1e8 rows)",
+            "value": round(rows_per_sec),
+            "unit": "rows/s",
+            "vs_baseline": round(rows_per_sec / A100_CUDF_G1_ROWS_PER_SEC, 4),
+            "detail": detail,
+        }), flush=True)
+
+    def _die(sig, frame):
+        print(f"bench: signal {sig} — emitting partial results",
+              file=sys.stderr, flush=True)
+        emit()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _die)
+    signal.signal(signal.SIGINT, _die)
+
+    def seg(label, cost_s, fn):
+        """Run one segment if it fits in the remaining budget."""
+        left = budget - (time.perf_counter() - t_start)
+        if left < cost_s:
+            print(f"skip {label}: needs ~{cost_s:.0f}s, {left:.0f}s left",
+                  file=sys.stderr, flush=True)
+            return
+        print(f"{label}...", file=sys.stderr, flush=True)
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — the JSON line must print
+            print(f"  {label} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
+    def _low():
+        v = bench_low(N)
+        detail["low_card_rows_per_sec"] = round(v)
+        print(f"  low: {v/1e6:.0f} Mrows/s", file=sys.stderr, flush=True)
+
+    def _high():
+        v = bench_high(N)
+        detail["high_card_rows_per_sec"] = round(v)
+        print(f"  high: {v/1e6:.0f} Mrows/s", file=sys.stderr, flush=True)
+
+    def _join(name, rows, iters=3):
+        def run():
+            v = bench_join(N, rows, iters=iters)
+            detail[f"j1_{name}_rows_per_sec"] = round(v)
+            print(f"  {name}: {v/1e6:.0f} Mrows/s", file=sys.stderr,
+                  flush=True)
+        return run
+
+    def _dict():
+        v = bench_join_dict(N)
+        detail["j1_dict_string_key_rows_per_sec"] = round(v)
+        print(f"  dict: {v/1e6:.0f} Mrows/s", file=sys.stderr, flush=True)
+
+    def _tpch():
+        # SUBPROCESS, not in-process: a wedged XLA compile blocks the
+        # main thread inside a C call where neither SIGALRM nor SIGTERM
+        # Python handlers can run (observed: q5 compile ignored its 150s
+        # alarm for 500+s).  A child process can always be SIGKILLed.
+        import subprocess
+
+        left = budget - (time.perf_counter() - t_start)
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--tpch-child", "1.0",
+                 str(max(left - 20, 30))],
+                capture_output=True, text=True,
+                timeout=max(left - 10, 35))
+        except subprocess.TimeoutExpired as e:
+            print(f"  tpch child killed at deadline"
+                  f" ({(e.stderr or b'').decode(errors='replace')[-200:]})",
+                  file=sys.stderr, flush=True)
+            return
+        print(r.stderr[-2000:], file=sys.stderr, flush=True)
+        for line in reversed(r.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                detail.update(json.loads(line))
+                break
+
+    # historical costs (round-3 hardware, warm cache) + safety margin
+    seg("G1 low cardinality (K=100, one-hot MXU, 1e8 rows)", 90, _low)
+    seg("G1 high cardinality (K=1e6, radix partition, 1e8 rows)", 120, _high)
+    seg("J1 small join (1e8 x 1e2 dim)", 90, _join("small", 100))
+    seg("J1 medium join (1e8 x 1e5 dim)", 90, _join("medium", 100_000))
+    seg("J1 big join (1e8 x 1e8 unique build)", 150,
+        _join("big", N, iters=2))
+    seg("J1 dict-string-key join (1e8 x 1e5, incl. dictionary match)", 90,
+        _dict)
+    seg("TPC-H SF1 (SPMD-compiled, single chip)", 60, _tpch)
+    emit()
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if len(_sys.argv) > 1 and _sys.argv[1] == "--tpch-child":
+        _times = bench_tpch(float(_sys.argv[2]), budget=float(_sys.argv[3]))
+        print(json.dumps(_times), flush=True)
+    else:
+        main()

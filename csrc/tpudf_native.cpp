@@ -322,6 +322,216 @@ PyObject* snappy_compress(PyObject*, PyObject* args) {
                                    static_cast<Py_ssize_t>(out.size()));
 }
 
+// ---------------------------------------------------------------------
+// avro_decode_block: decode one Avro container block (already
+// decompressed) of `count` records into columnar buffers — the host-tier
+// role of the reference's avro_gpu.cu (rows are varint-delimited and
+// inherently sequential; blocks are the parallel unit there and the
+// contiguous-DMA staging unit here).
+//
+// desc: int32 triples per field (kind, null_branch, extra):
+//   kind: 0 boolean, 1 int, 2 long, 3 float, 4 double, 5 bytes,
+//         6 string, 7 enum(int index), 8 null-typed field,
+//         9 fixed (extra = byte size)
+//   null_branch: union [null,T]/[T,null] null index, or -1 (required)
+// Returns a tuple per field:
+//   fixed-width kinds -> (values_bytes, validity_bytes)
+//   bytes/string/fixed -> (offsets_int64_bytes, chars_bytes, validity_bytes)
+// ---------------------------------------------------------------------
+namespace avro {
+
+struct Cursor {
+  const uint8_t* p;
+  size_t n;
+  size_t pos = 0;
+  bool ok = true;
+
+  uint64_t raw_varint() {
+    uint64_t v = 0;
+    int shift = 0;
+    while (pos < n) {
+      uint8_t b = p[pos++];
+      v |= static_cast<uint64_t>(b & 0x7F) << shift;
+      if (!(b & 0x80)) return v;
+      shift += 7;
+      if (shift > 63) break;
+    }
+    ok = false;
+    return 0;
+  }
+
+  int64_t zigzag() {
+    uint64_t u = raw_varint();
+    return static_cast<int64_t>((u >> 1) ^ (~(u & 1) + 1));
+  }
+
+  bool take(size_t len, const uint8_t** out) {
+    if (pos + len > n) {
+      ok = false;
+      return false;
+    }
+    *out = p + pos;
+    pos += len;
+    return true;
+  }
+};
+
+struct FieldOut {
+  int kind, null_branch, extra;
+  std::vector<uint8_t> values;   // fixed-width payload (elem-size packed)
+  std::vector<int64_t> offsets;  // bytes/string/fixed
+  std::vector<uint8_t> chars;
+  std::vector<uint8_t> valid;
+};
+
+}  // namespace avro
+
+PyObject* avro_decode_block(PyObject*, PyObject* args) {
+  const char* buf;
+  Py_ssize_t n;
+  long long count;
+  const char* descb;
+  Py_ssize_t desclen;
+  if (!PyArg_ParseTuple(args, "y#Ly#", &buf, &n, &count, &descb, &desclen))
+    return nullptr;
+  if (desclen % 12 != 0) {
+    PyErr_SetString(PyExc_ValueError, "avro: desc must be int32 triples");
+    return nullptr;
+  }
+  const int nf = static_cast<int>(desclen / 12);
+  const int32_t* d = reinterpret_cast<const int32_t*>(descb);
+  std::vector<avro::FieldOut> fields(static_cast<size_t>(nf));
+  for (int f = 0; f < nf; ++f) {
+    auto& fo = fields[static_cast<size_t>(f)];
+    fo.kind = d[3 * f];
+    fo.null_branch = d[3 * f + 1];
+    fo.extra = d[3 * f + 2];
+    fo.valid.reserve(static_cast<size_t>(count));
+    if (fo.kind == 5 || fo.kind == 6 || fo.kind == 9) {
+      fo.offsets.reserve(static_cast<size_t>(count) + 1);
+      fo.offsets.push_back(0);
+    } else {
+      const int esz = (fo.kind == 0) ? 1 : (fo.kind == 1 || fo.kind == 7 || fo.kind == 3) ? 4 : 8;
+      fo.values.reserve(static_cast<size_t>(count) * static_cast<size_t>(esz));
+    }
+  }
+  avro::Cursor cur{reinterpret_cast<const uint8_t*>(buf),
+                   static_cast<size_t>(n)};
+  auto push = [](std::vector<uint8_t>& v, const void* src, size_t len) {
+    const uint8_t* s = static_cast<const uint8_t*>(src);
+    v.insert(v.end(), s, s + len);
+  };
+  for (long long row = 0; row < count && cur.ok; ++row) {
+    for (int f = 0; f < nf && cur.ok; ++f) {
+      auto& fo = fields[static_cast<size_t>(f)];
+      bool isnull = (fo.kind == 8);
+      if (fo.null_branch >= 0) {
+        int64_t br = cur.zigzag();
+        if (br == fo.null_branch) isnull = true;
+        else if (br != (fo.null_branch ^ 1)) { cur.ok = false; break; }
+      }
+      fo.valid.push_back(isnull ? 0 : 1);
+      switch (fo.kind) {
+        case 0: {  // boolean: one byte 0/1
+          uint8_t v = 0;
+          if (!isnull) {
+            const uint8_t* s;
+            if (cur.take(1, &s)) v = *s;
+          }
+          fo.values.push_back(v);
+          break;
+        }
+        case 1:
+        case 7: {  // int / enum index
+          int32_t v = isnull ? 0 : static_cast<int32_t>(cur.zigzag());
+          push(fo.values, &v, 4);
+          break;
+        }
+        case 2: {  // long
+          int64_t v = isnull ? 0 : cur.zigzag();
+          push(fo.values, &v, 8);
+          break;
+        }
+        case 3: {  // float (4 bytes LE)
+          const uint8_t* s = nullptr;
+          uint8_t zero[4] = {0, 0, 0, 0};
+          if (!isnull) cur.take(4, &s);
+          push(fo.values, s ? s : zero, 4);
+          break;
+        }
+        case 4: {  // double (8 bytes LE)
+          const uint8_t* s = nullptr;
+          uint8_t zero[8] = {0};
+          if (!isnull) cur.take(8, &s);
+          push(fo.values, s ? s : zero, 8);
+          break;
+        }
+        case 5:
+        case 6: {  // bytes / string: zigzag length + payload
+          if (!isnull) {
+            int64_t len = cur.zigzag();
+            const uint8_t* s;
+            if (len < 0 || !cur.take(static_cast<size_t>(len), &s)) {
+              cur.ok = false;
+              break;
+            }
+            push(fo.chars, s, static_cast<size_t>(len));
+          }
+          fo.offsets.push_back(static_cast<int64_t>(fo.chars.size()));
+          break;
+        }
+        case 8:  // null-typed field: zero bytes on the wire
+          break;
+        case 9: {  // fixed(extra)
+          if (!isnull) {
+            const uint8_t* s;
+            if (!cur.take(static_cast<size_t>(fo.extra), &s)) break;
+            push(fo.chars, s, static_cast<size_t>(fo.extra));
+          }
+          fo.offsets.push_back(static_cast<int64_t>(fo.chars.size()));
+          break;
+        }
+        default:
+          cur.ok = false;
+      }
+    }
+  }
+  if (!cur.ok) {
+    PyErr_SetString(PyExc_ValueError, "avro: malformed block data");
+    return nullptr;
+  }
+  PyObject* out = PyTuple_New(nf);
+  if (!out) return nullptr;
+  for (int f = 0; f < nf; ++f) {
+    auto& fo = fields[static_cast<size_t>(f)];
+    PyObject* vb = PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(fo.valid.data()),
+        static_cast<Py_ssize_t>(fo.valid.size()));
+    PyObject* entry;
+    if (fo.kind == 5 || fo.kind == 6 || fo.kind == 9) {
+      // "N" steals the new references (no leak, unlike PyTuple_Pack)
+      entry = Py_BuildValue(
+          "(NNN)",
+          PyBytes_FromStringAndSize(
+              reinterpret_cast<const char*>(fo.offsets.data()),
+              static_cast<Py_ssize_t>(fo.offsets.size() * 8)),
+          PyBytes_FromStringAndSize(
+              reinterpret_cast<const char*>(fo.chars.data()),
+              static_cast<Py_ssize_t>(fo.chars.size())),
+          vb);
+    } else {
+      entry = Py_BuildValue(
+          "(NN)",
+          PyBytes_FromStringAndSize(
+              reinterpret_cast<const char*>(fo.values.data()),
+              static_cast<Py_ssize_t>(fo.values.size())),
+          vb);
+    }
+    PyTuple_SET_ITEM(out, f, entry);
+  }
+  return out;
+}
+
 PyMethodDef methods[] = {
     {"multibyte_split", multibyte_split, METH_VARARGS,
      "split buffer by delimiter -> int64 record offsets (as bytes)"},
@@ -333,6 +543,8 @@ PyMethodDef methods[] = {
      "decompress raw snappy block -> bytes"},
     {"snappy_compress", snappy_compress, METH_VARARGS,
      "compress bytes -> raw snappy block"},
+    {"avro_decode_block", avro_decode_block, METH_VARARGS,
+     "decode an avro block -> per-field columnar buffers"},
     {nullptr, nullptr, 0, nullptr},
 };
 

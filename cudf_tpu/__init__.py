@@ -63,6 +63,7 @@ from cudf_tpu.io.parquet import read_parquet  # noqa: E402
 from cudf_tpu.io.json import read_json  # noqa: E402
 from cudf_tpu.io.feather import read_feather  # noqa: E402
 from cudf_tpu.io.orc import read_orc  # noqa: E402
+from cudf_tpu.io.avro import read_avro  # noqa: E402
 from cudf_tpu.io.tpudf_file import read_tpudf  # noqa: E402
 from cudf_tpu.io.text import read_text  # noqa: E402
 from cudf_tpu.utils.config import get_option, set_option, describe_option, option_context  # noqa: E402
@@ -106,6 +107,7 @@ __all__ = [
     "read_json",
     "read_feather",
     "read_orc",
+    "read_avro",
     "read_tpudf",
     "read_text",
     "get_option",
