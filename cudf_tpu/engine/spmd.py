@@ -55,12 +55,17 @@ class _Stream:
     inner_join_size.cu amortized to the rare-overflow case, with NO
     silent truncation."""
 
-    def __init__(self, cols: Dict[str, "jnp.ndarray"], valid, over=None):
+    def __init__(self, cols: Dict[str, "jnp.ndarray"], valid, over=None,
+                 tok=None):
         import jax.numpy as jnp
 
         self.cols = cols
         self.valid = valid
         self.over = over if over is not None else jnp.zeros((1,), jnp.int64)
+        # collective-ordering token (see _Lowering._after): None except on
+        # the CPU backend, where it chains otherwise-independent
+        # collectives into program order
+        self.tok = tok
 
     def table(self, dtypes: Dict[str, dt.DType], dicts=None) -> Table:
         n = next(iter(self.cols.values())).shape[0]
@@ -91,6 +96,15 @@ class _Lowering:
         self.num_parts = int(mesh.shape[axis])
         self.sources: List = []      # flat list of sharded source arrays
         self.dicts: Dict[str, Column] = {}   # output name -> dictionary
+        # XLA's CPU thunk executor deadlocks when per-device threads reach
+        # INDEPENDENT collectives of one module in different orders (each
+        # blocks at a different rendezvous; observed on q5/q9/q10 at the
+        # 8-virtual-device mesh).  On the CPU backend every collective
+        # node threads an ordering token (lax.optimization_barrier) so
+        # the module's collectives form one chain.  TPU keeps collective
+        # overlap (its runtime orders collectives itself).
+        self.serialize_collectives = (
+            mesh.devices.flat[0].platform == "cpu")
 
     # -- source registration (host side) ------------------------------
     def _register_source(self, table: Table) -> Tuple[callable, Dict[str, dt.DType]]:
@@ -104,6 +118,7 @@ class _Lowering:
         sharding = NamedSharding(self.mesh, P(self.axis))
         idxs: Dict[str, int] = {}
         dtypes: Dict[str, dt.DType] = {}
+        raw: List = []
         for name in table.names:
             col = table[name]
             if col.validity is not None:
@@ -132,22 +147,44 @@ class _Lowering:
             elif not (col.dtype.is_numeric or col.dtype.is_bool
                       or col.dtype.is_temporal):
                 raise Unlowerable(f"source column {name!r}: {col.dtype}")
-            data = col.data
-            if total - n:
-                data = jnp.concatenate(
-                    [data, jnp.zeros((total - n,), data.dtype)])
-            idxs[name] = len(self.sources)
-            self.sources.append(jax.device_put(data, sharding))
+            idxs[name] = len(self.sources) + len(raw)
+            raw.append(col.data)
             dtypes[name] = col.dtype
+        # ONE jitted pad+shard dispatch for the whole table: the tunnel
+        # charges a host round-trip per dispatch, so per-column
+        # concatenate+device_put registration measured 2.2 s/column on
+        # TPC-H q1 (lower_py 120 s) — batching makes it one RPC.
+        shapes = tuple((x.shape, np.dtype(x.dtype).str) for x in raw)
+        placed = _pad_shard(self.mesh, self.axis, shapes, n, total)(*raw)
+        self.sources.extend(placed[:-1])
         vidx = len(self.sources)
-        self.sources.append(jax.device_put(
-            jnp.arange(total, dtype=jnp.int64) < n, sharding))
+        self.sources.append(placed[-1])
 
-        def fn(srcs):
+        def fn(srcs, tok=None):
             return _Stream({name: srcs[i] for name, i in idxs.items()},
-                           srcs[vidx])
+                           srcs[vidx], tok=tok)
 
         return fn, dtypes
+
+    # -- collective ordering (CPU backend only; see __init__) -----------
+    def _after(self, x, tok):
+        """x, data-dependent on tok (so x's consumer collective schedules
+        after tok's producer collective)."""
+        if tok is None or not self.serialize_collectives:
+            return x
+        import jax
+
+        return jax.lax.optimization_barrier((x, tok))[0]
+
+    def _mark(self, x, tok):
+        """Fresh ordering token derived from a collective output ``x``."""
+        if not self.serialize_collectives:
+            return None
+        import jax
+
+        t = x.reshape(-1)[:1]
+        return t if tok is None else jax.lax.optimization_barrier(
+            (t, tok))[0]
 
     # -- expression helpers (run inside the trace) ---------------------
     @staticmethod
@@ -183,18 +220,21 @@ class _Lowering:
             if isinstance(node, IRs.Projection):
                 names = list(node.schema())
 
-                def fn(srcs, _cfn=cfn, _names=names):
-                    s = _cfn(srcs)
-                    return _Stream({n: s.cols[n] for n in _names}, s.valid, s.over)
+                def fn(srcs, tok=None, _cfn=cfn, _names=names):
+                    s = _cfn(srcs, tok)
+                    return _Stream({n: s.cols[n] for n in _names}, s.valid,
+                                   s.over, tok=s.tok)
 
                 return fn, {n: cdt[n] for n in names}
             if isinstance(node, IRs.Filter):
                 self._check_exprs([node.predicate])
 
-                def fn(srcs, _cfn=cfn, _cdt=cdt, _pred=node.predicate):
-                    s = _cfn(srcs)
+                def fn(srcs, tok=None, _cfn=cfn, _cdt=cdt,
+                       _pred=node.predicate):
+                    s = _cfn(srcs, tok)
                     data, valid, _ = self._eval_expr(_pred, s, _cdt)
-                    return _Stream(s.cols, valid & data.astype(jnp.bool_), s.over)
+                    return _Stream(s.cols, valid & data.astype(jnp.bool_),
+                                   s.over, tok=s.tok)
 
                 return fn, dict(cdt)
             # Select / HStack: dtypes need a host-side probe (zero-row eval)
@@ -218,15 +258,15 @@ class _Lowering:
 
             hstack = isinstance(node, IRs.HStack)
 
-            def fn(srcs, _cfn=cfn, _cdt=cdt, _exprs=list(node.exprs),
-                   _hstack=hstack):
-                s = _cfn(srcs)
+            def fn(srcs, tok=None, _cfn=cfn, _cdt=cdt,
+                   _exprs=list(node.exprs), _hstack=hstack):
+                s = _cfn(srcs, tok)
                 cols = dict(s.cols) if _hstack else {}
                 valid = s.valid
                 for e in _exprs:
                     data, valid, _ = self._eval_expr(e, s, _cdt)
                     cols[e.output_name] = data
-                return _Stream(cols, valid, s.over)
+                return _Stream(cols, valid, s.over, tok=s.tok)
 
             return fn, out_dt
 
@@ -242,15 +282,19 @@ class _Lowering:
             kids = [self.lower(c) for c in node.children]
             cdt = kids[0][1]
 
-            def fn(srcs, _kids=kids, _names=list(cdt)):
-                streams = [k[0](srcs) for k in _kids]
+            def fn(srcs, tok=None, _kids=kids, _names=list(cdt)):
+                streams = []
+                for k in _kids:       # children chained through the token
+                    st = k[0](srcs, tok)
+                    tok = st.tok
+                    streams.append(st)
                 cols = {n: jnp.concatenate([s.cols[n] for s in streams])
                         for n in _names}
                 valid = jnp.concatenate([s.valid for s in streams])
                 over = streams[0].over
                 for st in streams[1:]:
                     over = over + st.over
-                return _Stream(cols, valid, over)
+                return _Stream(cols, valid, over, tok=tok)
 
             return fn, dict(cdt)
         if isinstance(node, IRs.Reduce):
@@ -308,10 +352,11 @@ class _Lowering:
                 out_dt[name] = dt.FLOAT64
         cap = None  # computed at run time from shard length
 
-        def fn(srcs, _cfn=cfn, _cdt=cdt, _keys=list(node.keys),
+        def fn(srcs, tok=None, _cfn=cfn, _cdt=cdt, _keys=list(node.keys),
                _partials=partials, _finals=finals):
-            s = _cfn(srcs)
+            s = _cfn(srcs, tok)
             keys = [s.cols[k].astype(jnp.int64) for k in _keys]
+            keys[0] = self._after(keys[0], s.tok)
             n = keys[0].shape[0]
             vals_ops = []
             for inner, op in _partials:
@@ -337,16 +382,20 @@ class _Lowering:
                     num = ssq - s_ * s_ / jnp.maximum(fcnt, 1.0)
                     v = num / jnp.maximum(fcnt - 1.0, 1.0)
                     cols[name] = jnp.sqrt(v) if how == "std" else v
-            return _Stream(cols, m_valid, s.over + dropped)
+            return _Stream(cols, m_valid, s.over + dropped,
+                           tok=self._mark(m_valid, s.tok))
 
         return fn, out_dt
 
     def _lower_join(self, node):
         import jax.numpy as jnp
-        from cudf_tpu.parallel.dist import _dist_join_shard
+        from cudf_tpu.parallel.dist import (_bcast_join_shard_multi,
+                                            _dist_join_shard)
+        from cudf_tpu.utils.config import get_option
 
         if node.how not in ("inner", "semi", "anti"):
             raise Unlowerable(f"join how={node.how}")
+        bcast_limit = int(get_option("executor.broadcast_limit"))
         lfn, ldt = self.lower(node.children[0])
         rfn, rdt = self.lower(node.children[1])
         lpay_names = [n for n in ldt if n not in node.left_on]
@@ -361,34 +410,61 @@ class _Lowering:
                     self.dicts[oname] = self.dicts[n]
         how = node.how
 
-        def fn(srcs, _lfn=lfn, _rfn=rfn, _lon=list(node.left_on),
+        def fn(srcs, tok=None, _lfn=lfn, _rfn=rfn, _lon=list(node.left_on),
                _ron=list(node.right_on), _lp=lpay_names, _rp=rpay_names,
                _how=how, _suffix=node.suffix):
-            ls = _lfn(srcs)
-            rs = _rfn(srcs)
+            ls = _lfn(srcs, tok)
+            rs = _rfn(srcs, ls.tok)      # right subtree after the left's
             lkeys = [ls.cols[k].astype(jnp.int64) for k in _lon]
+            lkeys[0] = self._after(lkeys[0], rs.tok)
             rkeys = [rs.cols[k].astype(jnp.int64) for k in _ron]
             nl = lkeys[0].shape[0]
             nr = rkeys[0].shape[0]
-            out_keys, out_l, out_r, ovalid, rmatch, dropped = \
-                _dist_join_shard(
-                    lkeys, [ls.cols[n] for n in _lp], ls.valid,
-                    rkeys, [rs.cols[n] for n in _rp], rs.valid,
-                    how=_how, num_parts=self.num_parts,
-                    cap_l=nl, cap_r=nr,
-                    max_out=self.num_parts * (nl + nr) * 2
-                    * self.out_factor, axis=self.axis)
+            lpays = [ls.cols[n] for n in _lp]
+            rpays = [rs.cols[n] for n in _rp]
+            # broadcast-vs-shuffle (streaming/join.py:95 role), decided
+            # STATICALLY from the padded shard shapes: all_gather a small
+            # side and join locally — no shuffle of the big side, far
+            # smaller static output budgets, and 2 fewer all-to-alls.
+            bytes_l = self.num_parts * nl * 8 * (len(_lon) + len(_lp) + 1)
+            bytes_r = self.num_parts * nr * 8 * (len(_ron) + len(_rp) + 1)
+            if (_how == "inner" and bytes_l <= bcast_limit
+                    and bytes_l <= bytes_r):
+                # broadcast the LEFT side (inner is symmetric: swap)
+                out_keys, out_r, out_l, ovalid, rmatch, dropped = \
+                    _bcast_join_shard_multi(
+                        rkeys, rpays, rs.valid, lkeys, lpays, ls.valid,
+                        how="inner",
+                        max_out=(nr + self.num_parts * nl) * 2
+                        * self.out_factor, axis=self.axis)
+            elif bytes_r <= bcast_limit:
+                out_keys, out_l, out_r, ovalid, rmatch, dropped = \
+                    _bcast_join_shard_multi(
+                        lkeys, lpays, ls.valid, rkeys, rpays, rs.valid,
+                        how=_how,
+                        max_out=(nl + self.num_parts * nr) * 2
+                        * self.out_factor, axis=self.axis)
+            else:
+                out_keys, out_l, out_r, ovalid, rmatch, dropped = \
+                    _dist_join_shard(
+                        lkeys, lpays, ls.valid,
+                        rkeys, rpays, rs.valid,
+                        how=_how, num_parts=self.num_parts,
+                        cap_l=nl, cap_r=nr,
+                        max_out=self.num_parts * (nl + nr) * 2
+                        * self.out_factor, axis=self.axis)
             over = ls.over + rs.over + dropped
+            otok = self._mark(ovalid, rs.tok)
             if _how in ("semi", "anti"):
                 cols = {k: out_keys[i] for i, k in enumerate(_lon)}
                 cols.update({n: out_l[i] for i, n in enumerate(_lp)})
-                return _Stream(cols, ovalid, over)
+                return _Stream(cols, ovalid, over, tok=otok)
             cols = {k: out_keys[i] for i, k in enumerate(_lon)}
             cols.update({n: out_l[i] for i, n in enumerate(_lp)})
             taken = set(cols)
             for i, n in enumerate(_rp):
                 cols[n + _suffix if n in taken else n] = out_r[i]
-            return _Stream(cols, ovalid, over)
+            return _Stream(cols, ovalid, over, tok=otok)
 
         return fn, out_dt
 
@@ -413,9 +489,9 @@ class _Lowering:
             by_cols = list(node.by)
             descs = list(node.descending)
 
-            def fn(srcs, _cfn=cfn, _by=by_cols, _sizes=sizes, _descs=descs,
-                   _names=names):
-                s = _cfn(srcs)
+            def fn(srcs, tok=None, _cfn=cfn, _by=by_cols, _sizes=sizes,
+                   _descs=descs, _names=names):
+                s = _cfn(srcs, tok)
                 key = jnp.zeros(s.valid.shape, jnp.int64)
                 for b, sz, d in zip(_by, _sizes, _descs):
                     c = s.cols[b].astype(jnp.int64)
@@ -425,20 +501,22 @@ class _Lowering:
                 n = key.shape[0]
                 pays = [s.cols[n_] for n_ in _names]
                 capacity = max(int(n * 2.0) * self.out_factor, 16)
+                key = self._after(key, s.tok)
                 k_out, pays_out, mask_out, dropped = _dist_sort_shard(
                     key, pays, s.valid, num_parts=self.num_parts,
                     capacity=capacity, descending=False, axis=self.axis)
                 return _Stream(
                     {n_: pays_out[i] for i, n_ in enumerate(_names)},
-                    mask_out, s.over + dropped)
+                    mask_out, s.over + dropped,
+                    tok=self._mark(mask_out, s.tok))
 
             return fn, dict(cdt)
         by = node.by[0]
         desc = bool(node.descending[0])
 
-        def fn(srcs, _cfn=cfn, _by=by, _desc=desc, _names=names):
-            s = _cfn(srcs)
-            key = _order_encode(s.cols[_by], _desc)
+        def fn(srcs, tok=None, _cfn=cfn, _by=by, _desc=desc, _names=names):
+            s = _cfn(srcs, tok)
+            key = self._after(_order_encode(s.cols[_by], _desc), s.tok)
             n = key.shape[0]
             pays = [s.cols[n_] for n_ in _names]
             capacity = max(int(n * 2.0) * self.out_factor, 16)
@@ -446,7 +524,8 @@ class _Lowering:
                 key, pays, s.valid, num_parts=self.num_parts,
                 capacity=capacity, descending=False, axis=self.axis)
             cols = {n_: pays_out[i] for i, n_ in enumerate(_names)}
-            return _Stream(cols, mask_out, s.over + dropped)
+            return _Stream(cols, mask_out, s.over + dropped,
+                           tok=self._mark(mask_out, s.tok))
 
         return fn, dict(cdt)
 
@@ -463,15 +542,17 @@ class _Lowering:
                     or cdt[n].is_bool or cdt[n].is_temporal):
                 raise Unlowerable(f"distinct column {n}: {cdt[n]}")
 
-        def fn(srcs, _cfn=cfn, _names=names):
-            s = _cfn(srcs)
+        def fn(srcs, tok=None, _cfn=cfn, _names=names):
+            s = _cfn(srcs, tok)
             keys = [s.cols[n].astype(jnp.int64) for n in _names]
+            keys[0] = self._after(keys[0], s.tok)
             n = keys[0].shape[0]
             m_keys, m_valid, dropped = _dist_distinct_shard(
                 keys, s.valid, num_parts=self.num_parts,
                 capacity=n * self.out_factor, axis=self.axis)
             return _Stream({n_: m_keys[i] for i, n_ in enumerate(_names)},
-                           m_valid, s.over + dropped)
+                           m_valid, s.over + dropped,
+                           tok=self._mark(m_valid, s.tok))
 
         return fn, dict(cdt)
 
@@ -489,34 +570,42 @@ class _Lowering:
             out_dt[name] = dt.FLOAT64 if kind == "mean" else dt.INT64 \
                 if kind in ("count", "size") else dt.FLOAT64
 
-        def fn(srcs, _cfn=cfn, _cdt=cdt, _specs=specs):
-            s = _cfn(srcs)
+        def fn(srcs, tok=None, _cfn=cfn, _cdt=cdt, _specs=specs):
+            s = _cfn(srcs, tok)
+            tok = s.tok
             n = s.valid.shape[0]
+
+            def chained(op, loc):
+                nonlocal tok
+                tot = op(self._after(loc, tok), self.axis)
+                tok = self._mark(jnp.reshape(tot, (1,)), tok)
+                return tot
+
             cols = {}
             for name, inner, kind in _specs:
                 if kind in ("count", "size"):
                     loc = jnp.sum(s.valid.astype(jnp.int64))
-                    tot = jax.lax.psum(loc, self.axis)
+                    tot = chained(jax.lax.psum, loc)
                 else:
                     data, _, _ = self._eval_expr(inner, s, _cdt)
                     x = data.astype(jnp.float64)
                     if kind in ("sum", "mean"):
                         loc = jnp.sum(jnp.where(s.valid, x, 0.0))
-                        tot = jax.lax.psum(loc, self.axis)
+                        tot = chained(jax.lax.psum, loc)
                         if kind == "mean":
-                            c = jax.lax.psum(
-                                jnp.sum(s.valid.astype(jnp.int64)), self.axis)
+                            c = chained(jax.lax.psum,
+                                        jnp.sum(s.valid.astype(jnp.int64)))
                             tot = tot / jnp.maximum(c, 1).astype(jnp.float64)
                     elif kind == "min":
                         loc = jnp.min(jnp.where(s.valid, x, jnp.inf))
-                        tot = jax.lax.pmin(loc, self.axis)
+                        tot = chained(jax.lax.pmin, loc)
                     else:
                         loc = jnp.max(jnp.where(s.valid, x, -jnp.inf))
-                        tot = jax.lax.pmax(loc, self.axis)
+                        tot = chained(jax.lax.pmax, loc)
                 cols[name] = jnp.broadcast_to(tot, (n,))
             shard0 = jax.lax.axis_index(self.axis) == 0
             valid = (jnp.arange(n) == 0) & shard0
-            return _Stream(cols, valid, s.over)
+            return _Stream(cols, valid, s.over, tok=tok)
 
         return fn, out_dt
 
@@ -695,6 +784,88 @@ def _plan_key(node, pins: list):
 
 def spmd_cache_clear():
     _PROGRAM_CACHE.clear()
+    _PAD_SHARD_CACHE.clear()
+    _COMPACT_CACHE.clear()
+
+
+_PAD_SHARD_CACHE: dict = {}
+_COMPACT_CACHE: dict = {}
+_AUX_CACHE_CAP = 64
+
+
+def _pad_shard(mesh, axis, shapes, n, total):
+    """One jitted pad+shard dispatch for a whole source table (keyed on
+    mesh/geometry).  Returns fn(*cols) -> (*padded_cols, validity)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key = (mesh, axis, shapes, n, total)
+    fn = _PAD_SHARD_CACHE.get(key)
+    if fn is None:
+        sharding = NamedSharding(mesh, P(axis))
+
+        def pad(*xs):
+            outs = []
+            for x in xs:
+                if total > x.shape[0]:
+                    x = jnp.concatenate(
+                        [x, jnp.zeros((total - x.shape[0],), x.dtype)])
+                outs.append(x)
+            outs.append(jnp.arange(total, dtype=jnp.int64) < n)
+            return tuple(outs)
+
+        fn = jax.jit(pad, out_shardings=(sharding,) * (len(shapes) + 1))
+        while len(_PAD_SHARD_CACHE) >= _AUX_CACHE_CAP:
+            _PAD_SHARD_CACHE.pop(next(iter(_PAD_SHARD_CACHE)))
+        _PAD_SHARD_CACHE[key] = fn
+    return fn
+
+
+def _pull_compacted(arrs, cnts):
+    """Pull only the VALID prefix of every shard to host.
+
+    The SPMD program compacts each shard's valid rows to the shard front
+    (stable, so global row order is preserved) and returns per-shard
+    counts; here each shard's prefix is sliced ON ITS OWN DEVICE (one
+    cached jit per pow-2 length bucket) and only those rows transfer.
+    Replaces np.asarray(full)[mask] — at ~12 MB/s tunnel throughput the
+    full-capacity pull dominated query wall time (q1 SF1: 25 s).
+
+    Device-side note: this must NOT be a global jitted gather — XLA
+    lowers nonzero/gather on GSPMD-sharded operands through cross-module
+    collectives that deadlock on the forced-host-platform CPU mesh
+    (observed rendezvous stall); per-shard slicing needs no collectives.
+    """
+    import jax
+
+    cnts = np.asarray(cnts)
+    parts: List[list] = [[] for _ in arrs]
+    shards = [sorted(a.addressable_shards, key=lambda s: s.index[0].start
+                     if s.index and s.index[0].start is not None else 0)
+              for a in arrs]
+    n_shards = len(shards[0]) if arrs else 0
+    for i in range(n_shards):
+        k_i = int(cnts[i]) if i < len(cnts) else 0
+        if k_i == 0:
+            continue
+        rows = shards[0][i].data.shape[0]
+        kp = min(1 << (k_i - 1).bit_length(), rows)
+        sig = (kp, rows, tuple(np.dtype(a.dtype).str for a in arrs))
+        fn = _COMPACT_CACHE.get(sig)
+        if fn is None:
+            def slicer(*xs, _kp=kp):
+                return tuple(x[:_kp] for x in xs)
+
+            fn = jax.jit(slicer)
+            while len(_COMPACT_CACHE) >= _AUX_CACHE_CAP:
+                _COMPACT_CACHE.pop(next(iter(_COMPACT_CACHE)))
+            _COMPACT_CACHE[sig] = fn
+        outs = fn(*[sh[i].data for sh in shards])
+        for p, o in zip(parts, outs):
+            p.append(np.asarray(o)[:k_i])
+    return [np.concatenate(p) if p else np.zeros((0,), np.dtype(a.dtype))
+            for p, a in zip(parts, arrs)]
 
 
 def evaluate_spmd(node, mesh, axis: str = "x") -> Table:
@@ -729,9 +900,12 @@ def evaluate_spmd(node, mesh, axis: str = "x") -> Table:
 
     dbg = os.environ.get("CUDF_TPU_SPMD_DEBUG")
     pins: list = []
+    from cudf_tpu.utils.config import get_option as _get_opt
+
     base_key = (_plan_key(node, pins), axis,
                 tuple(sorted(mesh.shape.items())),
-                tuple(str(d) for d in mesh.devices.flat))
+                tuple(str(d) for d in mesh.devices.flat),
+                int(_get_opt("executor.broadcast_limit")))
     for out_factor in (1, 8, 64):
         t0 = _time.perf_counter()
         low = _Lowering(mesh, axis, out_factor=out_factor)
@@ -745,7 +919,13 @@ def evaluate_spmd(node, mesh, axis: str = "x") -> Table:
         else:
             def run(srcs):
                 s = prog(srcs)
-                return [s.cols[n] for n in names], s.valid, s.over
+                # per-shard stable compaction: valid rows to the shard
+                # front (original order kept), so the host pulls only
+                # each shard's prefix (_pull_compacted).  Runs INSIDE
+                # shard_map — no GSPMD collectives (see _pull_compacted).
+                order = jnp.argsort(~s.valid, stable=True)
+                cnt = jnp.sum(s.valid.astype(jnp.int64))[None]
+                return ([s.cols[n][order] for n in names], cnt, s.over)
 
             sharded = shard_map(
                 run, mesh=mesh,
@@ -762,22 +942,21 @@ def evaluate_spmd(node, mesh, axis: str = "x") -> Table:
             t2 = _time.perf_counter()
             compiled = lowered.compile()
             t3 = _time.perf_counter()
-            (arrs, valid, over) = compiled(low.sources)
-            jax.block_until_ready(valid)
+            (arrs, cnts, over) = compiled(low.sources)
+            jax.block_until_ready(cnts)
             t4 = _time.perf_counter()
             print(f"[spmd f={out_factor} hit={hit is not None}] "
                   f"lower_py={t1-t0:.2f}s trace={t2-t1:.2f}s "
                   f"compile={t3-t2:.2f}s exec={t4-t3:.2f}s", flush=True)
         else:
-            (arrs, valid, over) = jitted(low.sources)
+            (arrs, cnts, over) = jitted(low.sources)
         if int(np.asarray(over).sum()) == 0:
             break
     else:
         raise Unlowerable("static output budget exceeded at factor 64")
-    mask = np.asarray(valid)
+    pulled = _pull_compacted(arrs, cnts)
     cols = {}
-    for n, a in zip(names, arrs):
-        vals = np.asarray(a)[mask]
+    for n, vals in zip(names, pulled):
         d = out_dt[n]
         if n in low.dicts and (d.is_string or d.is_dictionary):
             dict_col = low.dicts[n]

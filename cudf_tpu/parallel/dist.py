@@ -366,9 +366,17 @@ def local_semi_mask(lkeys, lvalid, rkeys, rvalid, anti: bool = False):
 
 def _dist_join_shard(lkeys, lpay, lvalid, rkeys, rpay, rvalid, *, how,
                      num_parts, cap_l, cap_r, max_out, axis):
+    import jax
+
     # shuffle both sides by key hash → co-located matching keys
     lk2, lpay2, lmask, drop_l = shuffle_by_keys(
         lkeys, list(lpay), lvalid, num_parts, cap_l, axis)
+    if jax.default_backend() == "cpu":
+        # order the right shuffle after the left: XLA's CPU thunk
+        # executor deadlocks when device threads block at DIFFERENT
+        # independent collectives (see engine/spmd.py _Lowering.__init__)
+        rkeys = [jax.lax.optimization_barrier((rkeys[0], drop_l))[0],
+                 *rkeys[1:]]
     rk2, rpay2, rmask, drop_r = shuffle_by_keys(
         rkeys, list(rpay), rvalid, num_parts, cap_r, axis)
     dropped = (drop_l + drop_r).reshape(1)
@@ -465,6 +473,50 @@ def dist_inner_join(
         [right_key], right_payload, right_valid,
         how="inner", max_out_per_shard=max_out_per_shard, axis=axis)
     return keys[0], out_l, out_r, ovalid
+
+
+def _chain_cpu(x, prev):
+    """On the CPU backend, order x's producing collective after prev's
+    (independent collectives in one module cross-deadlock the CPU thunk
+    executor — see engine/spmd.py _Lowering.__init__)."""
+    if prev is None or jax.default_backend() != "cpu":
+        return x
+    return jax.lax.optimization_barrier((x, prev))[0]
+
+
+def _bcast_join_shard_multi(lkeys, lpay, lvalid, rkeys, rpay, rvalid, *,
+                            how, max_out, axis):
+    """Broadcast-join shard body: all_gather the (small) RIGHT side and
+    join locally against the left shard — no shuffle of either side, the
+    output stays left-sharded.  Multi-key, inner/semi/anti, with the
+    same dropped-rows overflow contract as _dist_join_shard.  The
+    broadcast half of the reference's broadcast-vs-shuffle decision
+    (streaming/join.py:95 _should_bcast_join)."""
+    rk_all, prev = [], None
+    for k in rkeys:
+        g = jax.lax.all_gather(_chain_cpu(k, prev), axis, tiled=True)
+        rk_all.append(g)
+        prev = g
+    rvalid_all = jax.lax.all_gather(_chain_cpu(rvalid, prev), axis,
+                                    tiled=True)
+    prev = rvalid_all
+    if how in ("semi", "anti"):
+        sel = local_semi_mask(lkeys, lvalid, rk_all, rvalid_all,
+                              anti=(how == "anti"))
+        return (lkeys, list(lpay), [], sel, jnp.ones_like(sel),
+                jnp.zeros((1,), jnp.int64))
+    rpay_all = []
+    for p in rpay:
+        g = jax.lax.all_gather(_chain_cpu(p, prev), axis, tiled=True)
+        rpay_all.append(g)
+        prev = g
+    li, ri, ovalid, rmatch, total = local_join_padded(
+        lkeys, lvalid, rk_all, rvalid_all, max_out, how)
+    out_keys = [jnp.where(ovalid, jnp.take(k, li), 0) for k in lkeys]
+    out_l = [jnp.where(ovalid, jnp.take(p, li), 0) for p in lpay]
+    out_r = [jnp.where(rmatch, jnp.take(p, ri), 0) for p in rpay_all]
+    dropped = jnp.maximum(total - max_out, 0).astype(jnp.int64).reshape(1)
+    return out_keys, out_l, out_r, ovalid, rmatch, dropped
 
 
 def _bcast_join_shard(lk, lpay, lvalid, rk, rpay, rvalid, *, max_out, axis):
