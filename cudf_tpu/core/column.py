@@ -394,6 +394,13 @@ class Column:
         arr = self.to_numpy()
         return [None if _is_null(v) else v.item() if hasattr(v, "item") else v for v in arr]
 
+    def __arrow_c_array__(self, requested_schema=None):
+        """Arrow PyCapsule protocol — zero-copy C-Data export
+        (reference: cpp/include/cudf/interop.hpp:477-533)."""
+        from cudf_tpu import arrow_cdata
+
+        return arrow_cdata.column_capsules(self, requested_schema=requested_schema)
+
     def to_arrow(self):
         import pyarrow as pa
 

@@ -117,6 +117,18 @@ class Table:
         return dict(self.items())
 
     # interop --------------------------------------------------------
+    def __arrow_c_array__(self, requested_schema=None):
+        """Arrow PyCapsule protocol — the table as one struct-typed
+        record batch (C-Data, no pyarrow on the path)."""
+        from cudf_tpu import arrow_cdata
+
+        return arrow_cdata.table_capsules(self, requested_schema=requested_schema)
+
+    def __arrow_c_stream__(self, requested_schema=None):
+        from cudf_tpu import arrow_cdata
+
+        return arrow_cdata.table_stream_capsule(self, requested_schema=requested_schema)
+
     def to_arrow(self):
         import pyarrow as pa
 

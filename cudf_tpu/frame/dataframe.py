@@ -12,6 +12,7 @@ from typing import Any, Dict, List, Optional, Sequence, Union
 
 import jax.numpy as jnp
 import numpy as np
+import pandas as pd
 
 from cudf_tpu.core import dtypes as dt
 from cudf_tpu.core.column import Column, as_column, _is_null
@@ -30,6 +31,16 @@ class DataFrame:
             index = index if index is not None else data._index
         elif isinstance(data, Table):
             self._table = data
+        elif isinstance(data, pd.DataFrame):
+            other = DataFrame.from_pandas(data)
+            self._table = other._table
+            if index is None:
+                index = other._index
+        elif isinstance(data, Series):
+            name = data.name if data.name is not None else 0
+            self._table = Table({name: data._column})
+            if index is None and not isinstance(data._index, RangeIndex):
+                index = data._index
         elif data is None:
             self._table = Table({})
         elif isinstance(data, dict):
@@ -197,6 +208,12 @@ class DataFrame:
 
     def to_arrow(self):
         return self._table.to_arrow()
+
+    def __arrow_c_array__(self, requested_schema=None):
+        return self._table.__arrow_c_array__(requested_schema)
+
+    def __arrow_c_stream__(self, requested_schema=None):
+        return self._table.__arrow_c_stream__(requested_schema)
 
     def to_numpy(self):
         return self.values

@@ -209,6 +209,13 @@ class Series:
     def to_arrow(self):
         return self._column.to_arrow()
 
+    def __arrow_c_array__(self, requested_schema=None):
+        from cudf_tpu import arrow_cdata
+
+        return arrow_cdata.column_capsules(
+            self._column, name=str(self.name) if self.name is not None else "",
+            requested_schema=requested_schema)
+
     def tolist(self):
         return self._column.to_pylist()
 
