@@ -213,8 +213,11 @@ def bench_tpch(scale=1.0, queries=("q1", "q5", "q6", "q9"), iters=2,
             fn = getattr(tpch, qn)
             try:
                 # hard per-query budget: a hung tunnel compile must not
-                # swallow the whole bench (the headline JSON prints last)
-                signal.alarm(int(min(150, left)))
+                # swallow the whole bench (the headline JSON prints last).
+                # 420 s admits one cold TPU compile; warm runs (persistent
+                # jax cache in .jax_cache, pre-warmed in-round) take
+                # seconds.
+                signal.alarm(int(min(420, left)))
                 fn(tables, mesh=mesh)          # compile + warm
                 t0 = time.perf_counter()
                 for _ in range(iters):

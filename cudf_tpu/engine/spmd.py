@@ -186,6 +186,28 @@ class _Lowering:
         return t if tok is None else jax.lax.optimization_barrier(
             (t, tok))[0]
 
+    def _group_cap(self, n: int) -> int:
+        """Static group-cardinality budget for groupby/distinct outputs.
+
+        Group streams are usually far smaller than their inputs; packing
+        partials to this cap (dist.pack_valid) makes every post-agg stage
+        run at group scale.  The out_factor retry ladder (1, 8, 64)
+        widens it to the lossless n on skewed/high-cardinality plans —
+        overflow is counted in-band, never silent."""
+        return int(min(max(n, 16),
+                       max(1 << 16, n >> 4) * self.out_factor))
+
+    @staticmethod
+    def _key_cast(arr):
+        """Group/join keys sort in their own width: int32 lanes are the
+        TPU's native word — only genuinely 64-bit keys (temporal ticks,
+        int64 data) pay for emulated 64-bit compares."""
+        import jax.numpy as jnp
+
+        if arr.dtype.itemsize <= 4:
+            return arr.astype(jnp.int32)
+        return arr.astype(jnp.int64)
+
     # -- expression helpers (run inside the trace) ---------------------
     @staticmethod
     def _check_exprs(exprs):
@@ -355,7 +377,7 @@ class _Lowering:
         def fn(srcs, tok=None, _cfn=cfn, _cdt=cdt, _keys=list(node.keys),
                _partials=partials, _finals=finals):
             s = _cfn(srcs, tok)
-            keys = [s.cols[k].astype(jnp.int64) for k in _keys]
+            keys = [self._key_cast(s.cols[k]) for k in _keys]
             keys[0] = self._after(keys[0], s.tok)
             n = keys[0].shape[0]
             vals_ops = []
@@ -364,7 +386,7 @@ class _Lowering:
                 vals_ops.append((data, op))
             m_keys, outs, cnt, m_valid, dropped = dist_groupby_agg_shard(
                 keys, vals_ops, s.valid,
-                num_parts=self.num_parts, capacity=n * self.out_factor,
+                num_parts=self.num_parts, capacity=self._group_cap(n),
                 axis=self.axis)
             cols = {k: m_keys[i] for i, k in enumerate(_keys)}
             fcnt = cnt.astype(jnp.float64)
@@ -415,9 +437,9 @@ class _Lowering:
                _how=how, _suffix=node.suffix):
             ls = _lfn(srcs, tok)
             rs = _rfn(srcs, ls.tok)      # right subtree after the left's
-            lkeys = [ls.cols[k].astype(jnp.int64) for k in _lon]
+            lkeys = [self._key_cast(ls.cols[k]) for k in _lon]
             lkeys[0] = self._after(lkeys[0], rs.tok)
-            rkeys = [rs.cols[k].astype(jnp.int64) for k in _ron]
+            rkeys = [self._key_cast(rs.cols[k]) for k in _ron]
             nl = lkeys[0].shape[0]
             nr = rkeys[0].shape[0]
             lpays = [ls.cols[n] for n in _lp]
@@ -544,12 +566,12 @@ class _Lowering:
 
         def fn(srcs, tok=None, _cfn=cfn, _names=names):
             s = _cfn(srcs, tok)
-            keys = [s.cols[n].astype(jnp.int64) for n in _names]
+            keys = [self._key_cast(s.cols[n]) for n in _names]
             keys[0] = self._after(keys[0], s.tok)
             n = keys[0].shape[0]
             m_keys, m_valid, dropped = _dist_distinct_shard(
                 keys, s.valid, num_parts=self.num_parts,
-                capacity=n * self.out_factor, axis=self.axis)
+                capacity=self._group_cap(n), axis=self.axis)
             return _Stream({n_: m_keys[i] for i, n_ in enumerate(_names)},
                            m_valid, s.over + dropped,
                            tok=self._mark(m_valid, s.tok))
@@ -923,9 +945,17 @@ def evaluate_spmd(node, mesh, axis: str = "x") -> Table:
                 # front (original order kept), so the host pulls only
                 # each shard's prefix (_pull_compacted).  Runs INSIDE
                 # shard_map — no GSPMD collectives (see _pull_compacted).
-                order = jnp.argsort(~s.valid, stable=True)
+                # int32 sort operands: argsort over int64 pays emulated
+                # 64-bit compares on TPU for no benefit.
+                nrow = s.valid.shape[0]
+                it = jnp.int32 if nrow < 2**31 else jnp.int64
+                _, order = jax.lax.sort(
+                    [(~s.valid).astype(jnp.int32),
+                     jnp.arange(nrow, dtype=it)],
+                    num_keys=1, is_stable=True)
                 cnt = jnp.sum(s.valid.astype(jnp.int64))[None]
-                return ([s.cols[n][order] for n in names], cnt, s.over)
+                return ([jnp.take(s.cols[n], order) for n in names],
+                        cnt, s.over)
 
             sharded = shard_map(
                 run, mesh=mesh,

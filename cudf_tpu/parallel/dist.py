@@ -32,6 +32,37 @@ from cudf_tpu.parallel.shuffle import (bucketize, exchange, key_hash,
 # shard-local static-shape groupby (the jit-safe core)
 # ----------------------------------------------------------------------
 
+def _idx_dtype(n: int):
+    return jnp.int32 if n < 2**31 else jnp.int64
+
+
+def pack_valid(arrays, valid, cap: int):
+    """Stable-pack valid rows to the front and truncate to ``cap`` rows.
+
+    The static-shape analogue of cudf's stream compaction between
+    pipeline stages (apply_boolean_mask.cu role): group/distinct partials
+    are usually FAR smaller than their input rows, so packing them to a
+    small static capacity lets every downstream stage (bucketize scatter,
+    all_to_all, merge sort, order-by) run at group scale instead of row
+    scale.  Returns (packed_arrays, packed_valid, dropped) where
+    ``dropped`` counts valid rows beyond cap — callers feed it into the
+    engine's overflow-retry ladder, so truncation is never silent.
+    """
+    n = valid.shape[0]
+    if cap >= n:
+        return list(arrays), valid, jnp.zeros((), jnp.int64)
+    it = _idx_dtype(n)
+    inv = (~valid).astype(jnp.int32)
+    idx = jnp.arange(n, dtype=it)
+    _, order = jax.lax.sort([inv, idx], num_keys=1, is_stable=True)
+    order = order[:cap]
+    packed = [jnp.take(a, order) for a in arrays]
+    pvalid = jnp.take(valid, order)
+    dropped = jnp.maximum(
+        jnp.sum(valid.astype(jnp.int64)) - jnp.int64(cap), 0)
+    return packed, pvalid, dropped
+
+
 def local_groupby_sum_multi(keys, vals, valid):
     """Shard-local multi-key groupby-sum, static shapes, scatter-free.
 
@@ -43,10 +74,14 @@ def local_groupby_sum_multi(keys, vals, valid):
     from prefix-sum differences.
     """
     n = keys[0].shape[0]
-    inv = (~valid).astype(jnp.int64)  # invalid rows last
-    idx = jnp.arange(n, dtype=jnp.int64)
+    it = _idx_dtype(n)
+    inv = (~valid).astype(jnp.int32)  # invalid rows last
+    idx = jnp.arange(n, dtype=it)
+    # keys sort in their own width — int32 codes stay int32 (the TPU has
+    # no native 64-bit lanes; every avoided int64 operand halves the
+    # sort's vector work)
     sorted_ = jax.lax.sort(
-        [inv, *[k.astype(jnp.int64) for k in keys], idx],
+        [inv, *keys, idx],
         num_keys=1 + len(keys), is_stable=True)
     inv_s, ks_list, order = sorted_[0], sorted_[1:-1], sorted_[-1]
     diff = inv_s[1:] != inv_s[:-1]
@@ -55,9 +90,9 @@ def local_groupby_sum_multi(keys, vals, valid):
     neq = jnp.concatenate([jnp.ones((1,), jnp.bool_), diff])
     is_end = jnp.concatenate([neq[1:], jnp.ones((1,), jnp.bool_)])
     valid_s = inv_s == 0
-    pos = jnp.arange(n, dtype=jnp.int64)
+    pos = jnp.arange(n, dtype=it)
     # start of MY run via forward cummax (reverse scans compile poorly)
-    run_start = jax.lax.cummax(jnp.where(neq, pos, jnp.int64(0)))
+    run_start = jax.lax.cummax(jnp.where(neq, pos, jnp.zeros((), it)))
 
     def per_run_sum(x_sorted):
         cs = jnp.cumsum(x_sorted)
@@ -73,7 +108,8 @@ def local_groupby_sum_multi(keys, vals, valid):
         vs = jnp.where(valid_s, vs, 0)
         sums.append(jnp.where(is_end, per_run_sum(vs), 0))
     cnt = jnp.where(is_end, per_run_sum(valid_s.astype(jnp.int64)), 0)
-    gkeys = [jnp.where(is_end & valid_s, ks, jnp.int64(0)) for ks in ks_list]
+    gkeys = [jnp.where(is_end & valid_s, ks, jnp.zeros((), ks.dtype))
+             for ks in ks_list]
     gvalid = is_end & valid_s & (cnt > 0)
     return gkeys, sums, cnt, gvalid
 
@@ -94,10 +130,11 @@ def local_groupby_agg_multi(keys, vals_ops, valid):
     roles); sums stay on the prefix-diff path.
     """
     n = keys[0].shape[0]
-    inv = (~valid).astype(jnp.int64)
-    idx = jnp.arange(n, dtype=jnp.int64)
+    it = _idx_dtype(n)
+    inv = (~valid).astype(jnp.int32)
+    idx = jnp.arange(n, dtype=it)
     sorted_ = jax.lax.sort(
-        [inv, *[k.astype(jnp.int64) for k in keys], idx],
+        [inv, *keys, idx],
         num_keys=1 + len(keys), is_stable=True)
     inv_s, ks_list, order = sorted_[0], sorted_[1:-1], sorted_[-1]
     diff = inv_s[1:] != inv_s[:-1]
@@ -106,9 +143,9 @@ def local_groupby_agg_multi(keys, vals_ops, valid):
     neq = jnp.concatenate([jnp.ones((1,), jnp.bool_), diff])
     is_end = jnp.concatenate([neq[1:], jnp.ones((1,), jnp.bool_)])
     valid_s = inv_s == 0
-    pos = jnp.arange(n, dtype=jnp.int64)
-    run_start = jax.lax.cummax(jnp.where(neq, pos, jnp.int64(0)))
-    run_id = jnp.cumsum(neq.astype(jnp.int64)) - 1
+    pos = jnp.arange(n, dtype=it)
+    run_start = jax.lax.cummax(jnp.where(neq, pos, jnp.zeros((), it)))
+    run_id = jnp.cumsum(neq.astype(it)) - 1
 
     def per_run_sum(x_sorted):
         cs = jnp.cumsum(x_sorted)
@@ -139,7 +176,8 @@ def local_groupby_agg_multi(keys, vals_ops, valid):
         else:
             raise ValueError(op)
     cnt = jnp.where(is_end, per_run_sum(valid_s.astype(jnp.int64)), 0)
-    gkeys = [jnp.where(is_end & valid_s, ks, jnp.int64(0)) for ks in ks_list]
+    gkeys = [jnp.where(is_end & valid_s, ks, jnp.zeros((), ks.dtype))
+             for ks in ks_list]
     gvalid = is_end & valid_s & (cnt > 0)
     return gkeys, outs, cnt, gvalid
 
@@ -151,13 +189,19 @@ def dist_groupby_agg_shard(keys, vals_ops, valid, *, num_parts, capacity,
     enclosing shard_map (the engine's SPMD lowering composes several of
     these into ONE program — lower_ir_graph's role)."""
     gkeys, outs, cnt, gvalid = local_groupby_agg_multi(keys, vals_ops, valid)
+    # pack partials to the group-cardinality budget BEFORE the shuffle:
+    # the scatter/all_to_all/merge stages then run at group scale
+    nk = len(gkeys)
+    packed, pvalid, pdrop = pack_valid([*gkeys, *outs, cnt], gvalid,
+                                       capacity)
     k_recv, payload_recv, mask, dropped = shuffle_by_keys(
-        gkeys, [*outs, cnt], gvalid, num_parts, capacity, axis)
+        packed[:nk], packed[nk:], pvalid, num_parts, capacity, axis)
     merge_ops = [(payload_recv[i], op) for i, (_, op) in enumerate(vals_ops)]
     merge_ops.append((payload_recv[-1], "sum"))        # counts merge by sum
     m_keys, m_all, _, m_valid = local_groupby_agg_multi(k_recv, merge_ops,
                                                         mask)
-    return m_keys, m_all[:-1], m_all[-1], m_valid, dropped.reshape(1)
+    return (m_keys, m_all[:-1], m_all[-1], m_valid,
+            (dropped.astype(jnp.int64) + pdrop).reshape(1))
 
 
 def _dist_groupby_sum_shard(keys, vals, valid, *, num_parts: int, capacity: int, axis: str):
@@ -165,13 +209,17 @@ def _dist_groupby_sum_shard(keys, vals, valid, *, num_parts: int, capacity: int,
     # local partial aggregation (shrinks shuffle traffic — the 'partial agg
     # tree' optimization of streaming/groupby.py)
     gkeys, sums, cnt, gvalid = local_groupby_sum_multi(keys, vals, valid)
+    nk = len(gkeys)
+    packed, pvalid, pdrop = pack_valid([*gkeys, *sums, cnt], gvalid,
+                                       capacity)
     # shuffle partials to owner shard by key hash
     k_recv, payload_recv, mask, dropped = shuffle_by_keys(
-        gkeys, [*sums, cnt], gvalid, num_parts, capacity, axis
+        packed[:nk], packed[nk:], pvalid, num_parts, capacity, axis
     )
     # merge: second local groupby over received partials (counts merge by sum)
     m_keys, m_all, _, m_valid = local_groupby_sum_multi(k_recv, payload_recv, mask)
-    return m_keys, m_all[:-1], m_all[-1], m_valid, dropped.reshape(1)
+    return (m_keys, m_all[:-1], m_all[-1], m_valid,
+            (dropped.astype(jnp.int64) + pdrop).reshape(1))
 
 
 def dist_groupby_sum_multi(
@@ -227,15 +275,60 @@ def dist_groupby_sum(
 # distributed joins
 # ----------------------------------------------------------------------
 
+def _pack_join_keys(lkeys, rkeys):
+    """Pack ≤2 narrow (≤32-bit) key columns into ONE int64 key pair, or
+    None when not packable.  Packed values live in (-2^63, 2^63-1)
+    exclusive, so INT64_MAX stays free as an unreachable right-side
+    padding value for the searchsorted fast path."""
+    if len(lkeys) > 2:
+        return None
+    if any(k.dtype.itemsize > 4 for k in (*lkeys, *rkeys)):
+        return None
+    if len(lkeys) == 1:
+        return lkeys[0].astype(jnp.int64), rkeys[0].astype(jnp.int64)
+
+    def pack(k1, k2):
+        return (k1.astype(jnp.int64) << 32) | (
+            k2.astype(jnp.int64) & jnp.int64(0xFFFFFFFF))
+
+    return pack(*lkeys), pack(*rkeys)
+
+
+def _match_ranges_searchsorted(lk, lvalid, rk, rvalid):
+    """Fast match ranges for one packed int64 key (values < INT64_MAX):
+    stable-sort ONLY the right side, then two vectorized binary searches
+    give every left row its (count, lo) — the left side is never sorted.
+    This is the sorted-build + binary probe half of a sort-hash join;
+    for broadcast fact×dim joins it removes the O((nl+nr)·log²) combined
+    bitonic sort entirely (nl ≫ nr)."""
+    nr = rk.shape[0]
+    big = jnp.int64(jnp.iinfo(jnp.int64).max)
+    rk2 = jnp.where(rvalid, rk, big)     # invalid rights sort last
+    sorted_r = jax.lax.sort(
+        [rk2, jnp.arange(nr, dtype=_idx_dtype(nr))],
+        num_keys=1, is_stable=True)
+    rk_sorted, r_order = sorted_r
+    lo = jnp.searchsorted(rk_sorted, lk, side="left")
+    hi = jnp.searchsorted(rk_sorted, lk, side="right")
+    counts = jnp.where(lvalid, (hi - lo).astype(jnp.int64), 0)
+    return counts, lo.astype(jnp.int64), r_order
+
+
 def _match_ranges_multi(lkeys, lvalid, rkeys, rvalid):
     """Per-left-row match ranges against the right side, multi-key.
 
-    ONE combined variadic sort over both sides (rights sort before lefts
-    within a key run — the lexicographic row_operator role,
+    Narrow keys (≤2 columns, ≤32-bit each — dictionary codes, int32,
+    bool) take the searchsorted fast path (_match_ranges_searchsorted).
+    Otherwise ONE combined variadic sort over both sides (rights sort
+    before lefts within a key run — the lexicographic row_operator role,
     row_operators.cu) yields for every left row in ORIGINAL order:
     (count, lo) with matching right rows at positions lo..lo+count-1 of
     the right side's stable sorted order, plus (r_sorted_keys, r_order).
     """
+    packed = _pack_join_keys(lkeys, rkeys)
+    if packed is not None:
+        return _match_ranges_searchsorted(packed[0], lvalid,
+                                          packed[1], rvalid)
     nl, nr = lkeys[0].shape[0], rkeys[0].shape[0]
     allk = [jnp.concatenate([r.astype(jnp.int64), l.astype(jnp.int64)])
             for r, l in zip(rkeys, lkeys)]
@@ -591,7 +684,7 @@ def _dist_sort_shard(key, pays, valid, *, num_parts, capacity, descending,
     C = capacity
     flat = [b.reshape((num_parts * C,) + b.shape[2:]) for b in out_bufs]
     k_recv = jnp.where(mask, flat[0], big)
-    idx = jnp.arange(num_parts * C, dtype=jnp.int64)
+    idx = jnp.arange(num_parts * C, dtype=_idx_dtype(num_parts * C))
     sorted2 = jax.lax.sort([k_recv, idx], num_keys=1, is_stable=True)
     k_out, order = sorted2[0], sorted2[-1]
     pays_out = [jnp.take(p, order) for p in flat[1:]]
@@ -641,10 +734,11 @@ def _dist_distinct_shard(keys, valid, *, num_parts, capacity, axis):
     # local distinct → shuffle by hash → local distinct (streaming/
     # distinct.py decomposition: duplicates co-locate by key hash)
     gkeys, _, _, gvalid = local_groupby_sum_multi(keys, [], valid)
-    k2, _, mask, dropped = shuffle_by_keys(gkeys, [], gvalid, num_parts,
+    packed, pvalid, pdrop = pack_valid(gkeys, gvalid, capacity)
+    k2, _, mask, dropped = shuffle_by_keys(packed, [], pvalid, num_parts,
                                            capacity, axis)
     m_keys, _, _, m_valid = local_groupby_sum_multi(k2, [], mask)
-    return m_keys, m_valid, dropped.reshape(1)
+    return m_keys, m_valid, (dropped.astype(jnp.int64) + pdrop).reshape(1)
 
 
 def dist_distinct(

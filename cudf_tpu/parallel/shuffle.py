@@ -76,7 +76,7 @@ def bucketize(
     dest_s = jnp.where(in_cap, within, 0)
     bufs = []
     for a in arrays:
-        src = jnp.take(a, order.astype(jnp.int64))
+        src = jnp.take(a, order)
         buf = jnp.zeros((num_parts + 1, capacity) + a.shape[1:], a.dtype)
         buf = buf.at[dest_p, dest_s].set(src)
         bufs.append(buf[:num_parts])
