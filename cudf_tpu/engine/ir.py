@@ -239,19 +239,22 @@ class Join(IR):
 
         lk = [lt[k] for k in self.left_on]
         rk = [rt[k] for k in self.right_on]
+        # nulls_equal=False: the polars ``join_nulls=False`` default
+        # (null keys never match in the lazy engine; DataFrame.merge
+        # keeps the pandas/cudf null_equality::EQUAL semantic)
         if self.how == "inner":
-            li, ri = join_ops.inner_join(lk, rk)
+            li, ri = join_ops.inner_join(lk, rk, nulls_equal=False)
         elif self.how == "left":
-            li, ri = join_ops.left_join(lk, rk)
+            li, ri = join_ops.left_join(lk, rk, nulls_equal=False)
         elif self.how in ("outer", "full"):
-            li, ri = join_ops.full_join(lk, rk)
+            li, ri = join_ops.full_join(lk, rk, nulls_equal=False)
         elif self.how == "cross":
             li, ri = join_ops.cross_join(lt.num_rows, rt.num_rows)
         elif self.how == "semi":
-            idx = join_ops.semi_join(lk, rk)
+            idx = join_ops.semi_join(lk, rk, nulls_equal=False)
             return copying.gather_table(lt, idx, bounds_check=False)
         elif self.how == "anti":
-            idx = join_ops.anti_join(lk, rk)
+            idx = join_ops.anti_join(lk, rk, nulls_equal=False)
             return copying.gather_table(lt, idx, bounds_check=False)
         else:
             raise ValueError(self.how)

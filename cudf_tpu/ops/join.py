@@ -19,7 +19,10 @@ out_of_bounds_policy::NULLIFY convention.
 On a vector machine this beats scalar hash probing: both phases run at
 full HBM bandwidth with zero data-dependent control flow.  A Pallas
 VMEM-tiled hash probe is the planned optimization for small build sides.
-Null keys never match (cudf null_equality::UNEQUAL default).
+Null keys match null keys by default (cudf merge passes
+null_equality::EQUAL — python/cudf/cudf/core/join/join.py:58 — matching
+pandas, where NaN/<NA> merge keys pair up); the query engine passes
+``nulls_equal=False`` for the polars ``join_nulls=False`` default.
 """
 
 from __future__ import annotations
@@ -41,12 +44,13 @@ from cudf_tpu.ops.stream_compaction import filter_indices
 # ----------------------------------------------------------------------
 
 def _aligned_keys(
-    left: Sequence[Column], right: Sequence[Column]
+    left: Sequence[Column], right: Sequence[Column],
+    nulls_equal: bool = False,
 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
     l_ops: List[jnp.ndarray] = []
     r_ops: List[jnp.ndarray] = []
     for lc, rc in zip(left, right):
-        lo, ro = _align_pair(lc, rc)
+        lo, ro = _align_pair(lc, rc, nulls_equal=nulls_equal)
         l_ops.extend(lo)
         r_ops.extend(ro)
     return l_ops, r_ops
@@ -90,12 +94,15 @@ def _dict_code_pair(a: Column, b: Column) -> Optional[Tuple[jnp.ndarray, jnp.nda
     return (small_codes, big_codes) if swap else (big_codes, small_codes)
 
 
-def _align_pair(a: Column, b: Column) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+def _align_pair(
+    a: Column, b: Column, nulls_equal: bool = False
+) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
     codes = _dict_code_pair(a, b)
     if codes is not None:
-        return [codes[0]], [codes[1]]
+        a = Column(dt.INT32, a.length, data=codes[0], validity=a.validity)
+        b = Column(dt.INT32, b.length, data=codes[1], validity=b.validity)
     # promote to common dtype first
-    if a.dtype != b.dtype:
+    elif a.dtype != b.dtype:
         if a.dtype.is_dictionary:
             a = a.decode_dictionary()
         if b.dtype.is_dictionary:
@@ -105,8 +112,22 @@ def _align_pair(a: Column, b: Column) -> Tuple[List[jnp.ndarray], List[jnp.ndarr
             from cudf_tpu.ops.unary import cast
 
             a, b = cast(a, target), cast(b, target)
-    ka = equality_keys(a.with_validity(None))
-    kb = equality_keys(b.with_validity(None))
+    if nulls_equal and (a.validity is not None or b.validity is not None):
+        # null==null semantics (cudf merge passes null_equality::EQUAL,
+        # python/cudf/cudf/core/join/join.py:58): keep validity in the
+        # equality operands — equality_keys prepends an is-valid operand
+        # and canonicalizes null payloads, so null rows compare equal to
+        # each other and unequal to every value.  Both sides must carry
+        # the operand for the lists to stay aligned.
+        va = a.validity if a.validity is not None else \
+            jnp.ones((a.length,), jnp.bool_)
+        vb = b.validity if b.validity is not None else \
+            jnp.ones((b.length,), jnp.bool_)
+        ka = equality_keys(a.with_validity(va))
+        kb = equality_keys(b.with_validity(vb))
+    else:
+        ka = equality_keys(a.with_validity(None))
+        kb = equality_keys(b.with_validity(None))
     if a.dtype.is_string or (a.dtype.is_dictionary and (a.dtype.value_type or dt.STRING).is_string):
         # string chunk counts may differ: pad shorter side (zero chunks sort
         # below any content byte), keep trailing length operand aligned
@@ -132,6 +153,15 @@ def _null_row_mask(cols: Sequence[Column]) -> Optional[jnp.ndarray]:
             nm = ~c.validity
             mask = nm if mask is None else (mask | nm)
     return mask
+
+
+def _both_sides_have_nulls(lc: Column, rc: Column) -> bool:
+    """True when BOTH key columns contain actual nulls (host sync only
+    when both carry validity masks — join paths already sync for their
+    count-then-allocate phase, so this adds nothing on the fast shapes)."""
+    if lc.validity is None or rc.validity is None:
+        return False
+    return bool(jnp.any(~lc.validity)) and bool(jnp.any(~rc.validity))
 
 
 # ----------------------------------------------------------------------
@@ -210,22 +240,32 @@ def _expand_matches(
 # ----------------------------------------------------------------------
 
 def inner_join(
-    left_keys: Sequence[Column], right_keys: Sequence[Column]
+    left_keys: Sequence[Column], right_keys: Sequence[Column],
+    nulls_equal: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """cudf::inner_join → (left gather map, right gather map)."""
-    return _join(left_keys, right_keys, how="inner")
+    """cudf::inner_join → (left gather map, right gather map).
+
+    ``nulls_equal=True`` is the cudf/pandas merge semantic
+    (null_equality::EQUAL, python/cudf/cudf/core/join/join.py:58):
+    null keys match null keys.  The query engine passes False for the
+    polars ``join_nulls=False`` default.
+    """
+    return _join(left_keys, right_keys, how="inner",
+                 nulls_equal=nulls_equal)
 
 
 def left_join(
-    left_keys: Sequence[Column], right_keys: Sequence[Column]
+    left_keys: Sequence[Column], right_keys: Sequence[Column],
+    nulls_equal: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    return _join(left_keys, right_keys, how="left")
+    return _join(left_keys, right_keys, how="left", nulls_equal=nulls_equal)
 
 
 def full_join(
-    left_keys: Sequence[Column], right_keys: Sequence[Column]
+    left_keys: Sequence[Column], right_keys: Sequence[Column],
+    nulls_equal: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    return _join(left_keys, right_keys, how="outer")
+    return _join(left_keys, right_keys, how="outer", nulls_equal=nulls_equal)
 
 
 def _try_dense_inner(lc: Column, rc: Column) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
@@ -388,7 +428,8 @@ def _radix_inner_multi(lcodes, rcodes, nl: int, domain: int, n_rvalid: int,
     return li, ri
 
 
-def _join(left_keys, right_keys, how: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _join(left_keys, right_keys, how: str,
+          nulls_equal: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
     left_keys, right_keys = list(left_keys), list(right_keys)
     nl, nr = left_keys[0].length, right_keys[0].length
     z = jnp.zeros((0,), jnp.int64)
@@ -404,7 +445,15 @@ def _join(left_keys, right_keys, how: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
                                 validity=left_keys[0].validity)]
             right_keys = [Column(dt.INT32, nr, data=codes[1],
                                  validity=right_keys[0].validity)]
-    if how == "inner" and len(left_keys) == 1 and len(right_keys) == 1:
+    if (how == "inner" and len(left_keys) == 1 and len(right_keys) == 1
+            and not (nulls_equal
+                     and _both_sides_have_nulls(left_keys[0],
+                                                right_keys[0]))):
+        # the kernel tiers exclude null build/probe rows; that is only
+        # correct when at most one side has nulls (nothing to match) —
+        # with nulls on BOTH sides and null_equality::EQUAL, null rows
+        # must pair up, so the sort-merge path (null-aware equality
+        # operands) takes over.
         fast = _try_radix_inner(left_keys[0], right_keys[0])
         if fast is None:
             fast = _try_dense_inner(left_keys[0], right_keys[0])
@@ -438,16 +487,22 @@ def _join(left_keys, right_keys, how: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if nl == 0 and how == "outer":
         ri = jnp.arange(nr, dtype=jnp.int64)
         return jnp.full((nr,), -1, jnp.int64), ri
-    l_ops, r_ops = _aligned_keys(left_keys, right_keys)
-    l_null = _null_row_mask(left_keys)
-    r_null = _null_row_mask(right_keys)
-    # exclude null-key rows from matching (nulls are UNEQUAL in joins)
-    if r_null is not None:
-        keep_r = filter_indices(~r_null)
-        r_ops_m = [jnp.take(k, keep_r) for k in r_ops]
-    else:
-        keep_r = None
+    l_ops, r_ops = _aligned_keys(left_keys, right_keys,
+                                 nulls_equal=nulls_equal)
+    if nulls_equal:
+        # null==null handled inside the equality operands (_align_pair)
+        l_null = r_null = keep_r = None
         r_ops_m = r_ops
+    else:
+        l_null = _null_row_mask(left_keys)
+        r_null = _null_row_mask(right_keys)
+        # exclude null-key rows from matching (polars join_nulls=False)
+        if r_null is not None:
+            keep_r = filter_indices(~r_null)
+            r_ops_m = [jnp.take(k, keep_r) for k in r_ops]
+        else:
+            keep_r = None
+            r_ops_m = r_ops
     r_order, lo, hi = _probe_ranges(l_ops, r_ops_m)
     counts = hi - lo
     if l_null is not None:
@@ -471,29 +526,32 @@ def _join(left_keys, right_keys, how: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return left_idx, right_idx
 
 
-def semi_join(left_keys, right_keys) -> jnp.ndarray:
+def semi_join(left_keys, right_keys, nulls_equal: bool = True) -> jnp.ndarray:
     """Left-semi: indices of left rows with ≥1 match (cudf::left_semi_join)."""
-    mask = _match_mask(left_keys, right_keys)
+    mask = _match_mask(left_keys, right_keys, nulls_equal=nulls_equal)
     return filter_indices(mask)
 
 
-def anti_join(left_keys, right_keys) -> jnp.ndarray:
-    mask = _match_mask(left_keys, right_keys)
+def anti_join(left_keys, right_keys, nulls_equal: bool = True) -> jnp.ndarray:
+    mask = _match_mask(left_keys, right_keys, nulls_equal=nulls_equal)
     return filter_indices(~mask)
 
 
-def _match_mask(left_keys, right_keys) -> jnp.ndarray:
+def _match_mask(left_keys, right_keys, nulls_equal: bool = True) -> jnp.ndarray:
     left_keys, right_keys = list(left_keys), list(right_keys)
-    l_ops, r_ops = _aligned_keys(left_keys, right_keys)
-    r_null = _null_row_mask(right_keys)
-    if r_null is not None:
-        keep_r = filter_indices(~r_null)
-        r_ops = [jnp.take(k, keep_r) for k in r_ops]
+    l_ops, r_ops = _aligned_keys(left_keys, right_keys,
+                                 nulls_equal=nulls_equal)
+    if not nulls_equal:
+        r_null = _null_row_mask(right_keys)
+        if r_null is not None:
+            keep_r = filter_indices(~r_null)
+            r_ops = [jnp.take(k, keep_r) for k in r_ops]
     _, lo, hi = _probe_ranges(l_ops, r_ops)
     mask = hi > lo
-    l_null = _null_row_mask(left_keys)
-    if l_null is not None:
-        mask = mask & ~l_null
+    if not nulls_equal:
+        l_null = _null_row_mask(left_keys)
+        if l_null is not None:
+            mask = mask & ~l_null
     return mask
 
 
@@ -604,14 +662,18 @@ class HashJoin:
     >>> li, ri = hj.inner_join(probe_keys)      # repeatable, build reused
     """
 
-    def __init__(self, build_keys: Sequence[Column]):
+    def __init__(self, build_keys: Sequence[Column],
+                 nulls_equal: bool = True):
         self._build_keys = list(build_keys)
         self.num_build_rows = self._build_keys[0].length if build_keys else 0
-        self._null = _null_row_mask(self._build_keys)
+        self._nulls_equal = nulls_equal
+        self._null = None if nulls_equal else \
+            _null_row_mask(self._build_keys)
         self._cache = {}          # aligned-ops signature → sorted state
 
     def _state_for(self, probe_keys):
-        l_ops, r_ops = _aligned_keys(list(probe_keys), self._build_keys)
+        l_ops, r_ops = _aligned_keys(list(probe_keys), self._build_keys,
+                                     nulls_equal=self._nulls_equal)
         sig = tuple((o.dtype, o.shape) for o in r_ops)
         if sig not in self._cache:
             if self._null is not None:
@@ -632,9 +694,10 @@ class HashJoin:
         lo = _lex_searchsorted(r_sorted, l_ops, "left")
         hi = _lex_searchsorted(r_sorted, l_ops, "right")
         counts = hi - lo
-        l_null = _null_row_mask(list(probe_keys))
-        if l_null is not None:
-            counts = jnp.where(l_null, 0, counts)
+        if not self._nulls_equal:
+            l_null = _null_row_mask(list(probe_keys))
+            if l_null is not None:
+                counts = jnp.where(l_null, 0, counts)
         return counts, lo, r_order, keep_r
 
     def _expand(self, probe_keys, keep_unmatched):

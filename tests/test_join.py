@@ -39,13 +39,44 @@ def test_merge_string_keys(rng):
     _cmp_merge(gl, gr, pl, pr, ["k", "x"], on="k", how="left")
 
 
-def test_merge_null_keys_unequal():
+def test_merge_null_keys_equal():
+    """pandas (and cudf: null_equality::EQUAL, join.py:58) matches NaN
+    keys to NaN keys in merges."""
     pl = pd.DataFrame({"k": [1.0, None, 3.0], "x": [1, 2, 3]})
     pr = pd.DataFrame({"k": [1.0, None], "y": [10, 20]})
     gl, gr = ct.DataFrame.from_pandas(pl), ct.DataFrame.from_pandas(pr)
     got = ct.merge(gl, gr, on="k", how="inner").to_pandas()
-    # nulls must not match
-    assert len(got) == 1 and got["x"].iloc[0] == 1
+    expect = pd.merge(pl, pr, on="k", how="inner")
+    assert len(got) == len(expect) == 2
+    assert sorted(got["x"].tolist()) == sorted(expect["x"].tolist())
+    assert sorted(got["y"].tolist()) == sorted(expect["y"].tolist())
+
+
+def test_merge_null_keys_equal_int_extension():
+    """Int64 extension nulls (<NA>) pair up too — validity-mask path."""
+    pl = pd.DataFrame({"k": pd.array([1, None, 3], dtype="Int64"),
+                       "x": [1, 2, 3]})
+    pr = pd.DataFrame({"k": pd.array([None, 1], dtype="Int64"),
+                       "y": [10, 20]})
+    gl, gr = ct.DataFrame.from_pandas(pl), ct.DataFrame.from_pandas(pr)
+    for how in ("inner", "left", "outer"):
+        got = ct.merge(gl, gr, on="k", how=how).to_pandas()
+        expect = pd.merge(pl, pr, on="k", how=how)
+        assert len(got) == len(expect), how
+        assert (sorted(got["x"].fillna(-9).tolist())
+                == sorted(expect["x"].fillna(-9).tolist())), how
+
+
+def test_merge_null_keys_equal_multikey():
+    """Multi-key: null==null per column, but (1, null) != (2, null)."""
+    pl = pd.DataFrame({"a": [1, 2, 1], "b": [None, None, 7.0],
+                       "x": [0, 1, 2]})
+    pr = pd.DataFrame({"a": [1, 2, 3], "b": [None, 5.0, None],
+                       "y": [10, 20, 30]})
+    gl, gr = ct.DataFrame.from_pandas(pl), ct.DataFrame.from_pandas(pr)
+    got = ct.merge(gl, gr, on=["a", "b"], how="inner").to_pandas()
+    expect = pd.merge(pl, pr, on=["a", "b"], how="inner")
+    assert sorted(got["x"].tolist()) == sorted(expect["x"].tolist()) == [0]
 
 
 def test_merge_left_on_right_on(rng):
@@ -283,8 +314,9 @@ def test_dict_code_pair_joins(rng):
 
 
 def test_dict_code_pair_null_and_unmatched(rng):
-    """Null categorical rows never match; two distinct left-only values
-    sharing the -1 sentinel do not cross-match anything."""
+    """Null categorical rows pair up (pandas/cudf null-equal merges);
+    two distinct left-only values sharing the -1 recode sentinel do not
+    cross-match anything (the -1 codes live on one side only)."""
     pl = pd.DataFrame({"k": pd.Categorical(["a", None, "zz", "qq", "b"]),
                        "x": [0, 1, 2, 3, 4]})
     pr = pd.DataFrame({"k": pd.Categorical(["b", "a", None]),
