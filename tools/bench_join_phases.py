@@ -5,9 +5,14 @@ phases to find where the 1490ms (67 Mrows/s, BENCH round-3) actually
 goes: partition passes, host syncs, build aggregate, probe.
 
 Usage:  python tools/bench_join_phases.py [n=100_000_000]
+(run from anywhere: the repo root is bootstrapped onto sys.path —
+ do NOT use PYTHONPATH, it breaks the axon tunnel shim's child env)
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
