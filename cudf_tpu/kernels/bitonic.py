@@ -154,6 +154,45 @@ def _sort_kernel(n_riders, alternate, mask_bits, key_ref, *rest):
             o[...] = v
 
 
+def _sort_kernel_data(n_planes, alternate, mask_bits, data_ref, out_ref):
+    asc = True if not alternate else (pl.program_id(0) % 2) == 0
+    keys = data_ref[0]
+    riders = [data_ref[j] for j in range(1, n_planes)]
+    if mask_bits is None:
+        res = bitonic_sort(keys, riders, ascending=asc)
+    else:
+        from cudf_tpu.kernels.radix_partition import SENTINEL
+
+        sk = jnp.where(keys >= 0, keys & ((1 << mask_bits) - 1),
+                       jnp.int32(SENTINEL))
+        res = bitonic_sort(sk, [keys] + riders, ascending=asc)[1:]
+    for j in range(n_planes):
+        out_ref[j] = res[j]
+
+
+@partial(jax.jit, static_argnames=("tile_rows", "alternate", "mask_bits",
+                                   "interpret"))
+def tile_sort_data(data, tile_rows: int = 512, alternate: bool = False,
+                   mask_bits=None, interpret: bool = False):
+    """tile_sort over plane-interleaved rows: data [P, R, 128] int32 with
+    keys at plane 0 and riders following, sorted per [tile_rows] tile.
+    Keeping the planes in ONE array lets the downstream scatter ship each
+    bucket run as a single multi-plane DMA descriptor."""
+    P, r, l = data.shape
+    assert r % tile_rows == 0 and l == LANES
+    spec = pl.BlockSpec((P, tile_rows, LANES), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            partial(_sort_kernel_data, P, alternate, mask_bits),
+            grid=(r // tile_rows,),
+            in_specs=[spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((P, r, LANES), jnp.int32),
+            interpret=interpret,
+        )(data)
+
+
 @partial(jax.jit, static_argnames=("tile_rows", "alternate", "mask_bits",
                                    "interpret"))
 def tile_sort(key, *riders, tile_rows: int = 512, alternate: bool = False,

@@ -52,7 +52,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cudf_tpu.kernels.bitonic import bitonic_merge, bitonic_sort, tile_sort
+from cudf_tpu.kernels.bitonic import (bitonic_merge, bitonic_sort,
+                                      tile_sort_data)
 
 LANES = 128
 HI = 64                      # hi channels per window: span = HI * LANES
@@ -66,7 +67,7 @@ SENTINEL = np.int32(-0x80000000)  # pad key: negative digit, outside windows
 
 def _hist_kernel(nbits, shift, keys_ref, out_ref):
     B = 1 << nbits
-    tr = keys_ref.shape[0]
+    tr = keys_ref.shape[1]
     # classes on the SUBLANE axis: comparing a [1, 128] row against
     # [B, 128] classes broadcasts without any per-row lane->sublane
     # relayout (krow[:, None] transposes and was 25x slower); per-class
@@ -77,7 +78,7 @@ def _hist_kernel(nbits, shift, keys_ref, out_ref):
     def body(i, acc):
         r = i * 8
         for k in range(8):  # 8 rows per iteration amortize loop overhead
-            digits = (keys_ref[r + k, :] >> shift).astype(jnp.int32)
+            digits = (keys_ref[0, r + k, :] >> shift).astype(jnp.int32)
             d = jnp.where(digits >= 0, digits & (B - 1), -1)
             acc = acc + (classes == d[None, :]).astype(jnp.float32)
         return acc
@@ -89,23 +90,25 @@ def _hist_kernel(nbits, shift, keys_ref, out_ref):
 
 
 @partial(jax.jit, static_argnames=("nbits", "shift", "tile_rows", "interpret"))
-def digit_histogram(keys2, nbits: int, shift: int, tile_rows: int,
+def digit_histogram(data, nbits: int, shift: int, tile_rows: int,
                     interpret: bool = False):
-    """hist[NT, B] over row-major keys2[R, 128]; pad rows hold SENTINEL."""
-    R = keys2.shape[0]
+    """hist[NT, B] over plane-interleaved rows data[P, R, 128] (keys at
+    plane 0; only key blocks are read); pad rows hold SENTINEL."""
+    R = data.shape[1]
     nt = R // tile_rows
     B = 1 << nbits
     with jax.enable_x64(False):
         return pl.pallas_call(
             partial(_hist_kernel, nbits, shift),
             grid=(nt,),
-            in_specs=[pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+            in_specs=[pl.BlockSpec((1, tile_rows, LANES),
+                                   lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((8, B), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((nt * 8, B), jnp.int32),
             interpret=interpret,
-        )(keys2)[::8]
+        )(data)[::8]
 
 
 # ----------------------------------------------------------------------
@@ -145,19 +148,23 @@ def partition_layout(hist: np.ndarray, tile_rows: int, chunk_rows: int,
 # Phase B: sort tiles + scatter covering rows
 # ----------------------------------------------------------------------
 
-def _scatter_runs(tabs_ref, sc_refs, out_refs, sems, B, tile_rows,
-                  chunk_rows, V):
-    """Issue+wait the per-bucket run DMAs from sorted scratch planes."""
-    def chunk_copy(b, c, plane, rows):
-        src_ref, out_ref = sc_refs[plane], out_refs[plane]
+def _scatter_runs(tabs_ref, sc_ref, out_ref, sems, B, tile_rows,
+                  chunk_rows):
+    """Issue+wait the per-bucket run DMAs from the sorted scratch.
+
+    sc_ref/out_ref are plane-interleaved [P, rows, 128]: ONE DMA
+    descriptor per chunk moves every plane (keys + payloads) — the
+    descriptor-issue count, which dominates the scatter phase, no longer
+    scales with the payload width."""
+    def chunk_copy(b, c, rows):
         w = tabs_ref[b, 2]
         src0 = tabs_ref[b, 1] // LANES
         off = jnp.minimum(c * rows, w - rows)
         src = jnp.clip(src0 + off, 0, tile_rows - rows)
         dst = tabs_ref[b, 0] + off
         return pltpu.make_async_copy(
-            src_ref.at[pl.ds(src, rows), :],
-            out_ref.at[pl.ds(dst, rows), :],
+            sc_ref.at[:, pl.ds(src, rows), :],
+            out_ref.at[:, pl.ds(dst, rows), :],
             sems.at[b % sems.shape[0]],
         )
 
@@ -180,15 +187,13 @@ def _scatter_runs(tabs_ref, sc_refs, out_refs, sems, B, tile_rows,
                 1 + (w > chunk_rows).astype(jnp.int32), 0)
 
             def chunk_b(c, _):
-                for plane in range(V + 1):
-                    cp = chunk_copy(b, c, plane, big)
-                    (cp.start() if start else cp.wait())
+                cp = chunk_copy(b, c, big)
+                (cp.start() if start else cp.wait())
                 return 0
 
             def chunk_s(c, _):
-                for plane in range(V + 1):
-                    cp = chunk_copy(b, c, plane, chunk_rows)
-                    (cp.start() if start else cp.wait())
+                cp = chunk_copy(b, c, chunk_rows)
+                (cp.start() if start else cp.wait())
                 return 0
 
             jax.lax.fori_loop(0, n_big, chunk_b, 0)
@@ -201,48 +206,37 @@ def _scatter_runs(tabs_ref, sc_refs, out_refs, sems, B, tile_rows,
     per_bucket(start=False)
 
 
-def _partition_kernel(B, tile_rows, chunk_rows, mask_bits, V, *refs):
-    # refs layout: tabs, keys, vals*V, init*(V+1) (aliased, unused),
-    #              kout, vout*V, scratch*(V+1), sems
-    tabs_ref = refs[0]
-    keys_ref = refs[1]
-    vals_refs = refs[2:2 + V]
-    out_refs = refs[3 + 2 * V:4 + 3 * V]          # kout + vouts
-    sc_refs = refs[4 + 3 * V:5 + 4 * V]           # key scratch + val scratch
-    sems = refs[5 + 4 * V]
-    keys = keys_ref[...]
+def _partition_kernel(B, tile_rows, chunk_rows, mask_bits, P,
+                      tabs_ref, data_ref, init_ref, out_ref, sc_ref, sems):
+    keys = data_ref[0]
+    vals = [data_ref[j] for j in range(1, P)]
     if mask_bits is None:
-        ks, *vs = bitonic_sort(keys, [v[...] for v in vals_refs])
+        res = bitonic_sort(keys, vals)
     else:
         # later passes sort by the LOW bits only (the tile sits inside one
         # first-pass region, whose keys share their top bits; run-edge
         # garbage sorts by its own low bits and stays out-of-window)
         sk = jnp.where(keys >= 0, keys & ((1 << mask_bits) - 1),
                        jnp.int32(SENTINEL))
-        _, ks, *vs = bitonic_sort(sk, [keys] + [v[...] for v in vals_refs])
-    sc_refs[0][...] = ks
-    for j in range(V):
-        sc_refs[1 + j][...] = vs[j]
-    _scatter_runs(tabs_ref, sc_refs, out_refs, sems, B, tile_rows,
-                  chunk_rows, V)
+        res = bitonic_sort(sk, [keys] + vals)[1:]
+    for j in range(P):
+        sc_ref[j] = res[j]
+    _scatter_runs(tabs_ref, sc_ref, out_ref, sems, B, tile_rows,
+                  chunk_rows)
 
 
 def _merge_partition_kernel(B, super_rows, tile_rows, chunk_rows,
-                            mask_bits, V, *refs):
+                            mask_bits, P,
+                            tabs_ref, data_ref, init_ref, out_ref,
+                            sc_ref, sems):
     """Merge direction-alternated sorted tiles into one sorted supertile
     (log n bitonic-merge stages per level — the full supertile sort
     exceeds Mosaic's compilable program size) and scatter its runs.
     Wider supertiles mean proportionally fewer, longer runs: the DMA
     descriptor-issue cost that dominates the scatter phase drops by the
     merge factor."""
-    tabs_ref = refs[0]
-    keys_ref = refs[1]
-    vals_refs = refs[2:2 + V]
-    out_refs = refs[3 + 2 * V:4 + 3 * V]
-    sc_refs = refs[4 + 3 * V:5 + 4 * V]
-    sems = refs[5 + 4 * V]
-    keys = keys_ref[...]
-    vals = [v[...] for v in vals_refs]
+    keys = data_ref[0]
+    vals = [data_ref[j] for j in range(1, P)]
     if mask_bits is None:
         arrays = [keys] + vals
         drop_sk = False
@@ -264,37 +258,40 @@ def _merge_partition_kernel(B, super_rows, tile_rows, chunk_rows,
         arrays = [jnp.concatenate([o[i] for o in outs], axis=0)
                   for i in range(len(arrays))]
     res = arrays[1:] if drop_sk else arrays
-    for j in range(V + 1):
-        sc_refs[j][...] = res[j]
-    _scatter_runs(tabs_ref, sc_refs, out_refs, sems, B, super_rows,
-                  chunk_rows, V)
+    for j in range(P):
+        sc_ref[j] = res[j]
+    _scatter_runs(tabs_ref, sc_ref, out_ref, sems, B, super_rows,
+                  chunk_rows)
+
+
+def _scatter_init(P, total_rows):
+    """Plane-interleaved output prefill: SENTINEL keys (self-identifying
+    out-of-window garbage for every consumer), zero payloads."""
+    return jnp.concatenate(
+        [jnp.full((1, total_rows, LANES), SENTINEL, jnp.int32),
+         jnp.zeros((P - 1, total_rows, LANES), jnp.int32)], axis=0)
 
 
 @partial(jax.jit,
          static_argnames=("nbits", "super_rows", "tile_rows", "chunk_rows",
                           "total_rows", "mask_bits", "interpret"))
-def merge_scatter(keys2, vals2, tabs, nbits: int, super_rows: int,
+def merge_scatter(data, tabs, nbits: int, super_rows: int,
                   tile_rows: int, chunk_rows: int, total_rows: int,
                   mask_bits=None, interpret: bool = False):
     """Scatter from supertiles of pre-sorted, direction-alternated tiles
-    (tile_sort(alternate=True)).  Same contract as radix_scatter with
-    layout tables computed at super_rows granularity."""
-    single = not isinstance(vals2, (tuple, list))
-    vplanes = (vals2,) if single else tuple(vals2)
-    V = len(vplanes)
-    R = keys2.shape[0]
+    (tile_sort_data(alternate=True)).  Same contract as radix_scatter
+    with layout tables computed at super_rows granularity."""
+    P, R, _ = data.shape
     nt = R // super_rows
     B = 1 << nbits
-    kinit = jnp.full((total_rows, LANES), SENTINEL, jnp.int32)
-    vinits = [jnp.zeros((total_rows, LANES), jnp.int32) for _ in range(V)]
-    blk = pl.BlockSpec((super_rows, LANES), lambda i: (i, 0),
+    blk = pl.BlockSpec((P, super_rows, LANES), lambda i: (0, i, 0),
                        memory_space=pltpu.VMEM)
     tabspec = pl.BlockSpec((B, 128), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     nsem = min(B, 128)
     kern = partial(_merge_partition_kernel, B, super_rows, tile_rows,
-                   chunk_rows, mask_bits, V)
+                   chunk_rows, mask_bits, P)
     # merge factor >= 4 materializes full-supertile merge intermediates on
     # the Mosaic stack and blows the default 16MiB scoped-vmem cap
     # (measured: 27.9MiB at [2048, 128]); v5e cores carry 128MiB VMEM, so
@@ -302,81 +299,71 @@ def merge_scatter(keys2, vals2, tabs, nbits: int, super_rows: int,
     vmem_cap = (96 * 1024 * 1024
                 if super_rows // tile_rows >= 4 else None)
     with jax.enable_x64(False):
-        out = pl.pallas_call(
+        return pl.pallas_call(
             kern,
             grid=(nt,),
-            in_specs=[tabspec, blk] + [blk] * V + [anyspec] * (V + 1),
-            out_specs=[anyspec] * (V + 1),
+            in_specs=[tabspec, blk, anyspec],
+            out_specs=anyspec,
             scratch_shapes=[
-                pltpu.VMEM((super_rows, LANES), jnp.int32)
-                for _ in range(V + 1)
-            ] + [pltpu.SemaphoreType.DMA((nsem,))],
-            out_shape=[jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32)
-                       for _ in range(V + 1)],
-            input_output_aliases={2 + V + j: j for j in range(V + 1)},
+                pltpu.VMEM((P, super_rows, LANES), jnp.int32),
+                pltpu.SemaphoreType.DMA((nsem,)),
+            ],
+            out_shape=jax.ShapeDtypeStruct((P, total_rows, LANES),
+                                           jnp.int32),
+            input_output_aliases={2: 0},
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True, vmem_limit_bytes=vmem_cap),
             interpret=interpret,
-        )(tabs, keys2, *vplanes, kinit, *vinits)
-    if single:
-        return out[0], out[1]
-    return out[0], tuple(out[1:])
+        )(tabs, data, _scatter_init(P, total_rows))
 
 
 @partial(jax.jit,
          static_argnames=("nbits", "tile_rows", "chunk_rows", "total_rows",
                           "mask_bits", "interpret"))
-def radix_scatter(keys2, vals2, tabs, nbits: int,
+def radix_scatter(data, tabs, nbits: int,
                   tile_rows: int, chunk_rows: int, total_rows: int,
                   mask_bits=None, interpret: bool = False):
     """Sort tiles and DMA bucket runs to their regions.
 
-    keys2: row-major [R, 128] int32; vals2: one such plane or a
-    tuple/list of payload planes (payloads bitcast to int32) that travel
-    with the keys through the tile sort and the run DMAs.
+    data: plane-interleaved [P, R, 128] int32 — keys at plane 0, payload
+    planes (bitcast to int32) following; the whole plane stack travels
+    through the tile sort and ships in the run DMAs (one descriptor per
+    chunk covers every plane).
     tabs: [NT*B, 128] int32 — row t*B+b lanes 0..2 = (dst_rows,
     local_start, run_rows) for (tile t, bucket b); dynamic per-bucket
     scalar reads must index the SUBLANE dim (Mosaic cannot prove dynamic
     lane offsets aligned).
-    Returns (keys_out, *vals_out) [total_rows, 128]; region-alignment pad
-    rows keep the SENTINEL prefill.
+    Returns data_out [P, total_rows, 128]; region-alignment pad rows keep
+    the SENTINEL prefill on the key plane.
     """
-    single = not isinstance(vals2, (tuple, list))
-    vplanes = (vals2,) if single else tuple(vals2)
-    V = len(vplanes)
-    R = keys2.shape[0]
+    P, R, _ = data.shape
     nt = R // tile_rows
     B = 1 << nbits
-    kinit = jnp.full((total_rows, LANES), SENTINEL, jnp.int32)
-    vinits = [jnp.zeros((total_rows, LANES), jnp.int32) for _ in range(V)]
-    blk = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+    blk = pl.BlockSpec((P, tile_rows, LANES), lambda i: (0, i, 0),
                        memory_space=pltpu.VMEM)
     tabspec = pl.BlockSpec((B, 128), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     nsem = min(B, 128)
 
-    kern = partial(_partition_kernel, B, tile_rows, chunk_rows, mask_bits, V)
+    kern = partial(_partition_kernel, B, tile_rows, chunk_rows, mask_bits, P)
 
     with jax.enable_x64(False):
-        out = pl.pallas_call(
+        return pl.pallas_call(
             kern,
             grid=(nt,),
-            in_specs=[tabspec, blk] + [blk] * V + [anyspec] * (V + 1),
-            out_specs=[anyspec] * (V + 1),
+            in_specs=[tabspec, blk, anyspec],
+            out_specs=anyspec,
             scratch_shapes=[
-                pltpu.VMEM((tile_rows, LANES), jnp.int32)
-                for _ in range(V + 1)
-            ] + [pltpu.SemaphoreType.DMA((nsem,))],
-            out_shape=[jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32)
-                       for _ in range(V + 1)],
-            input_output_aliases={2 + V + j: j for j in range(V + 1)},
+                pltpu.VMEM((P, tile_rows, LANES), jnp.int32),
+                pltpu.SemaphoreType.DMA((nsem,)),
+            ],
+            out_shape=jax.ShapeDtypeStruct((P, total_rows, LANES),
+                                           jnp.int32),
+            input_output_aliases={2: 0},
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(tabs, keys2, *vplanes, kinit, *vinits)
-    if single:
-        return out[0], out[1]
-    return out[0], tuple(out[1:])
+        )(tabs, data, _scatter_init(P, total_rows))
 
 
 # ----------------------------------------------------------------------
@@ -404,10 +391,12 @@ _MODE_PLANES = {"float": 4, "int": 5, "id": 5, "idpay": 8}
 
 def _agg_kernel(shift, agg_rows, mode,
                 step_tab_ref,                             # scalar prefetch
-                keys_ref, *rest):
-    vals_ref = rest[0]
-    pay_ref = rest[1] if mode == "idpay" else None
-    out_ref = rest[-1]
+                data_ref, out_ref):
+    # data_ref: plane-interleaved block [planes, agg_rows, 128] — keys at
+    # plane 0, values at 1, idpay payload at 2
+    keys_ref = data_ref.at[0]
+    vals_ref = data_ref.at[1]
+    pay_ref = data_ref.at[2] if mode == "idpay" else None
     s = pl.program_id(0)
     P = _MODE_PLANES[mode]
 
@@ -504,17 +493,18 @@ def _agg_kernel(shift, agg_rows, mode,
 
 @partial(jax.jit, static_argnames=("num_windows", "shift", "agg_rows",
                                    "interpret", "mode"))
-def bucket_aggregate(pkeys, pvals, step_tab, num_windows: int, shift: int,
+def bucket_aggregate(pdata, step_tab, num_windows: int, shift: int,
                      agg_rows: int, interpret: bool = False,
                      mode: str = "float"):
     """sum/count per key over partitioned rows, with double-float
     cross-step accumulators (bit-exact for int values, see _agg_kernel).
 
-    pkeys/pvals: [total_rows, 128] from radix_scatter (float mode: vals =
-    f32 bits; int mode: raw int32 values, |v| < 2^31; id mode: int32
-    build_row_id+1 values < 2^27; idpay mode: pvals is a (id+1, payload
-    f32 bits) pair of planes — the payload becomes a table plane so the
-    probe's lookup doubles as the build-side gather).
+    pdata: plane-interleaved [planes, total_rows, 128] from radix_scatter
+    — keys at plane 0, values at plane 1 (float mode: f32 bits; int mode:
+    raw int32 values, |v| < 2^31; id mode: int32 build_row_id+1 values
+    < 2^27; idpay mode: plane 2 carries a payload as f32 bits — it
+    becomes a table plane so the probe's lookup doubles as the build-side
+    gather).
     step_tab: [S] int32 per-grid-step (first_flag << 16) | window_id.
     Returns acc[G, D, 128] laid out so key = (g << shift) + hi*128 + lo:
     - float: P=4 planes (3 value terms + count), D = 2*P*HI (hi planes
@@ -526,14 +516,12 @@ def bucket_aggregate(pkeys, pvals, step_tab, num_windows: int, shift: int,
       D = P*HI, no compensation.
     Use combine_acc() to recover (sums, counts) for float/int.
     """
-    vplanes = (pvals,) if not isinstance(pvals, (tuple, list)) \
-        else tuple(pvals)
-    total_rows = pkeys.shape[0]
+    planes, total_rows, _ = pdata.shape
     S = total_rows // agg_rows
     B = num_windows
     P = _MODE_PLANES[mode]
     D = (P if mode in ("id", "idpay") else 2 * P) * HI
-    blk = pl.BlockSpec((agg_rows, LANES), lambda i, *_: (i, 0),
+    blk = pl.BlockSpec((planes, agg_rows, LANES), lambda i, *_: (0, i, 0),
                        memory_space=pltpu.VMEM)
 
     def out_map(i, step_tab_ref):
@@ -546,12 +534,12 @@ def bucket_aggregate(pkeys, pvals, step_tab, num_windows: int, shift: int,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(S,),
-                in_specs=[blk] * (1 + len(vplanes)),
+                in_specs=[blk],
                 out_specs=ospec,
             ),
             out_shape=jax.ShapeDtypeStruct((B, D, LANES), jnp.float32),
             interpret=interpret,
-        )(step_tab, pkeys, *vplanes)
+        )(step_tab, pdata)
 
 
 def zero_empty_windows(acc, bucket_base):
@@ -665,11 +653,12 @@ def _prep_plane(vals, pad):
     return vbits
 
 
-def _prep_rows(keys, vals, tile_rows):
-    """Pad + reshape to [R, 128] planes; vals may be one array or a list
-    (multi-payload rows travel as parallel int32 planes)."""
-    single = not isinstance(vals, (tuple, list))
-    vlist = [vals] if single else list(vals)
+def _prep_data(keys, vals, tile_rows):
+    """Pad + stack keys and payload planes into ONE plane-interleaved
+    [P, R, 128] int32 array (keys at plane 0) so every scatter run ships
+    as a single multi-plane DMA descriptor.  vals may be one array or a
+    list."""
+    vlist = [vals] if not isinstance(vals, (tuple, list)) else list(vals)
     n = keys.shape[0]
     tile_elems = tile_rows * LANES
     nt = -(-n // tile_elems)
@@ -677,30 +666,26 @@ def _prep_rows(keys, vals, tile_rows):
     keys = keys.astype(jnp.int32)
     if pad:
         keys = jnp.concatenate([keys, jnp.full((pad,), SENTINEL, jnp.int32)])
-    planes = [_prep_plane(v, pad).reshape(nt * tile_rows, LANES)
-              for v in vlist]
-    keys2 = keys.reshape(nt * tile_rows, LANES)
-    if single:
-        return keys2, planes[0], nt
-    return keys2, planes, nt
+    planes = [keys.reshape(nt * tile_rows, LANES)]
+    planes += [_prep_plane(v, pad).reshape(nt * tile_rows, LANES)
+               for v in vlist]
+    return jnp.stack(planes, axis=0), nt
 
 
-def _sorted_scatter(keys2, vplanes, tabs, nbits, tile_rows, merge_tiles,
+def _sorted_scatter(data, tabs, nbits, tile_rows, merge_tiles,
                     chunk_rows, total_rows, mask_bits=None,
                     interpret=False):
-    """One partition pass: direct sort+scatter (merge_tiles=1) or the
-    split tile-sort → merge+scatter pipeline (supertile runs are
-    merge_tiles× longer, cutting DMA descriptor issues ~merge_tiles×)."""
+    """One partition pass over plane-interleaved data [P, R, 128]: direct
+    sort+scatter (merge_tiles=1) or the split tile-sort → merge+scatter
+    pipeline (supertile runs are merge_tiles× longer, cutting DMA
+    descriptor issues ~merge_tiles×)."""
     if merge_tiles == 1:
-        return radix_scatter(keys2, vplanes, tabs, nbits, tile_rows,
+        return radix_scatter(data, tabs, nbits, tile_rows,
                              chunk_rows, total_rows, mask_bits=mask_bits,
                              interpret=interpret)
-    single = not isinstance(vplanes, (tuple, list))
-    planes = (vplanes,) if single else tuple(vplanes)
-    srt = tile_sort(keys2, *planes, tile_rows=tile_rows, alternate=True,
-                    mask_bits=mask_bits, interpret=interpret)
-    out_vals = srt[1] if single else tuple(srt[1:])
-    return merge_scatter(srt[0], out_vals, tabs, nbits,
+    srt = tile_sort_data(data, tile_rows=tile_rows, alternate=True,
+                         mask_bits=mask_bits, interpret=interpret)
+    return merge_scatter(srt, tabs, nbits,
                          merge_tiles * tile_rows, tile_rows, chunk_rows,
                          total_rows, mask_bits=mask_bits,
                          interpret=interpret)
@@ -712,52 +697,50 @@ def radix_partition(keys, vals, domain_bits: int, tile_rows: int = 512,
     """Partition rows into SPAN-sized key windows: one pass for domains up
     to 20 bits, two for up to 27 (cub runs one pass per digit the same
     way, sort_radix.cu).  vals: one payload array or a list of payloads
-    that travel with the keys.  Returns (pkeys[R,128], pvals[R,128] (or
-    list), window_base_rows[G+1], G) with G = ceil(domain / SPAN)
-    windows; rows between runs hold out-of-window keys (run-edge garbage
-    or SENTINEL).  merge_tiles: tiles per scatter supertile (see
-    _sorted_scatter).
+    that travel with the keys.  Returns (pdata[1+V, R, 128] — keys at
+    plane 0, payloads following — window_base_rows[G+1], G) with
+    G = ceil(domain / SPAN) windows; rows between runs hold
+    out-of-window keys (run-edge garbage or SENTINEL).  merge_tiles:
+    tiles per scatter supertile (see _sorted_scatter).
     """
     assert domain_bits <= 2 * 7 + WINDOW_BITS, domain_bits
     st = merge_tiles * tile_rows
-    keys2, vbits2, nt = _prep_rows(keys, vals, st)
-    nt *= merge_tiles                    # _prep_rows counted supertiles
-    nst = nt // merge_tiles
+    data, nst = _prep_data(keys, vals, st)
     zeros = jnp.zeros((nst,), jnp.int32)
     if domain_bits <= WINDOW_BITS + 7:
         nbits = max(domain_bits - WINDOW_BITS, 1)
-        hist = digit_histogram(keys2, nbits, WINDOW_BITS, st,
+        hist = digit_histogram(data, nbits, WINDOW_BITS, st,
                                interpret=interpret)
         tabs, base = layout_device(hist, zeros, 1, st, chunk_rows,
                                    align_rows)
         total_rows = int(base[-1])           # the single host sync
-        pk, pv = _sorted_scatter(keys2, vbits2, tabs, nbits, tile_rows,
-                                 merge_tiles, chunk_rows, total_rows,
-                                 interpret=interpret)
-        return pk, pv, base, 1 << nbits
+        pdata = _sorted_scatter(data, tabs, nbits, tile_rows,
+                                merge_tiles, chunk_rows, total_rows,
+                                interpret=interpret)
+        return pdata, base, 1 << nbits
     # two passes
     nbits1 = domain_bits - WINDOW_BITS - 7
-    hist1 = digit_histogram(keys2, nbits1, WINDOW_BITS + 7, st,
+    hist1 = digit_histogram(data, nbits1, WINDOW_BITS + 7, st,
                             interpret=interpret)
     tabs1, base1 = layout_device(hist1, zeros, 1, st, chunk_rows,
                                  st)          # regions supertile-aligned
     rows1 = int(base1[-1])
-    pk1, pv1 = _sorted_scatter(keys2, vbits2, tabs1, nbits1, tile_rows,
-                               merge_tiles, chunk_rows, rows1,
-                               interpret=interpret)
+    data1 = _sorted_scatter(data, tabs1, nbits1, tile_rows,
+                            merge_tiles, chunk_rows, rows1,
+                            interpret=interpret)
     nt2 = rows1 // st
     region_of_tile = (jnp.searchsorted(
         base1[1:], jnp.arange(nt2) * st, side="right")
         .astype(jnp.int32))
-    hist2 = digit_histogram(pk1, 7, WINDOW_BITS, st,
+    hist2 = digit_histogram(data1, 7, WINDOW_BITS, st,
                             interpret=interpret)
     tabs2, base2 = layout_device(hist2, region_of_tile, 1 << nbits1,
                                  st, chunk_rows, align_rows)
     rows2 = int(base2[-1])
-    pk, pv = _sorted_scatter(pk1, pv1, tabs2, 7, tile_rows, merge_tiles,
-                             chunk_rows, rows2, mask_bits=WINDOW_BITS + 7,
-                             interpret=interpret)
-    return pk, pv, base2, 1 << (nbits1 + 7)
+    pdata = _sorted_scatter(data1, tabs2, 7, tile_rows, merge_tiles,
+                            chunk_rows, rows2, mask_bits=WINDOW_BITS + 7,
+                            interpret=interpret)
+    return pdata, base2, 1 << (nbits1 + 7)
 
 
 # ----------------------------------------------------------------------
@@ -785,20 +768,20 @@ def radix_groupby_sum_count(keys, vals, num_keys: int,
         vals = vals.astype(jnp.int32)
     if domain_bits <= WINDOW_BITS:
         # single window: aggregate the raw stream (pad rows to the grid)
-        keys2, vbits2, nt = _prep_rows(keys, vals, agg_rows)
-        S = keys2.shape[0] // agg_rows
+        data, nt = _prep_data(keys, vals, agg_rows)
+        S = data.shape[1] // agg_rows
         step_tab = (jnp.arange(S, dtype=jnp.int32) == 0).astype(jnp.int32) << 16
-        acc = bucket_aggregate(keys2, vbits2, step_tab, 1, WINDOW_BITS,
+        acc = bucket_aggregate(data, step_tab, 1, WINDOW_BITS,
                                agg_rows, interpret=interpret,
                                mode="int" if int_mode else "float")
         G = 1
     else:
-        pk, pv, base, G = radix_partition(keys, vals, domain_bits,
-                                          tile_rows, chunk_rows, agg_rows,
-                                          interpret=interpret)
+        pdata, base, G = radix_partition(keys, vals, domain_bits,
+                                         tile_rows, chunk_rows, agg_rows,
+                                         interpret=interpret)
         total_rows = int(base[-1])
         step_tab = step_table_device(base, total_rows, agg_rows)
-        acc = bucket_aggregate(pk, pv, step_tab, G, WINDOW_BITS,
+        acc = bucket_aggregate(pdata, step_tab, G, WINDOW_BITS,
                                agg_rows, interpret=interpret,
                                mode="int" if int_mode else "float")
         acc = zero_empty_windows(acc, base)
@@ -845,7 +828,7 @@ def _probe_kernel(shift, agg_rows, with_pay, m,
         oh_parts, lob_parts, win_parts = [], [], []
         for k in range(RB):
             r = i * RB + k
-            local = keys_ref[r, :] - base                 # window-relative
+            local = keys_ref[0, r, :] - base              # window-relative
             hi = local >> 7
             lo = local & 127
             in_win = (local >= 0) & (local < SPAN)
@@ -891,11 +874,13 @@ def _probe_kernel(shift, agg_rows, with_pay, m,
 
 
 @partial(jax.jit, static_argnames=("shift", "agg_rows", "interpret"))
-def window_probe(pkeys, tables, step_tab, shift: int, agg_rows: int,
+def window_probe(pdata, tables, step_tab, shift: int, agg_rows: int,
                  interpret: bool = False):
     """Probe partitioned rows against per-window build-row-id tables.
 
-    pkeys: probe keys from radix_partition; tables: [G, 4*HI, 128] f32 —
+    pdata: plane-interleaved rows from radix_partition (only the key
+    plane is read — the BlockSpec pulls plane-0 blocks, so payload
+    planes cost no bandwidth here); tables: [G, 4*HI, 128] f32 —
     four 8-bit chunk planes of (build_row_id+1) — or [G, 7*HI, 128] with
     three payload-term planes (see probe_tables), or [G, m*4*HI, 128]
     with one table per duplicate ordinal (bounded-fan-out joins; the
@@ -906,11 +891,13 @@ def window_probe(pkeys, tables, step_tab, shift: int, agg_rows: int,
     gather-map retrieve of hash_join.cu:123-125, inner_join_retrieve.cu
     as MXU lookups.
     """
-    total_rows = pkeys.shape[0]
+    total_rows = pdata.shape[1]
     S = total_rows // agg_rows
     with_pay = tables.shape[1] == 7 * HI
     m = 1 if with_pay else tables.shape[1] // (4 * HI)
     assert with_pay or tables.shape[1] == m * 4 * HI
+    kblk = pl.BlockSpec((1, agg_rows, LANES), lambda i, *_: (0, i, 0),
+                        memory_space=pltpu.VMEM)
     blk = pl.BlockSpec((agg_rows, LANES), lambda i, *_: (i, 0),
                        memory_space=pltpu.VMEM)
 
@@ -932,12 +919,12 @@ def window_probe(pkeys, tables, step_tab, shift: int, agg_rows: int,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(S,),
-                in_specs=[blk, tabspec],
+                in_specs=[kblk, tabspec],
                 out_specs=out_specs,
             ),
             out_shape=out_shape,
             interpret=interpret,
-        )(step_tab, pkeys, tables)
+        )(step_tab, pdata, tables)
     if with_pay:
         return tuple(out)
     return out[0] if m == 1 else list(out)
@@ -968,19 +955,19 @@ def build_join_tables(rk, key_domain: int, rv=None, tile_rows: int = 512,
     mode = "id" if rv is None else "idpay"
     domain_bits = max(int(np.ceil(np.log2(max(key_domain, 2)))), 1)
     if domain_bits <= WINDOW_BITS:
-        rk2, rv2, _ = _prep_rows(rk, vals, agg_rows)
-        S_r = rk2.shape[0] // agg_rows
+        rdata, _ = _prep_data(rk, vals, agg_rows)
+        S_r = rdata.shape[1] // agg_rows
         step_r = (jnp.arange(S_r, dtype=jnp.int32) == 0).astype(jnp.int32) << 16
-        acc = bucket_aggregate(rk2, rv2, step_r, 1, WINDOW_BITS,
+        acc = bucket_aggregate(rdata, step_r, 1, WINDOW_BITS,
                                agg_rows, interpret=interpret, mode=mode)
         tables, unique = probe_tables(acc)
         return tables, unique, 1
-    pkr, pvr, base_r, G = radix_partition(rk, vals, domain_bits, tile_rows,
-                                          chunk_rows, agg_rows,
-                                          interpret=interpret)
+    pdata_r, base_r, G = radix_partition(rk, vals, domain_bits, tile_rows,
+                                         chunk_rows, agg_rows,
+                                         interpret=interpret)
     rows_r = int(base_r[-1])
     step_r = step_table_device(base_r, rows_r, agg_rows)
-    acc = bucket_aggregate(pkr, pvr, step_r, G, WINDOW_BITS, agg_rows,
+    acc = bucket_aggregate(pdata_r, step_r, G, WINDOW_BITS, agg_rows,
                            interpret=interpret, mode=mode)
     acc = zero_empty_windows(acc, base_r)
     tables, unique = probe_tables(acc)
@@ -1028,21 +1015,21 @@ def radix_join_inner_multi(lk, lv, rk, key_domain: int, m_max: int = 4,
 
     domain_bits = max(int(np.ceil(np.log2(max(key_domain, 2)))), 1)
     if domain_bits <= WINDOW_BITS:
-        lk2, lv2, _ = _prep_rows(lk, lv, agg_rows)
-        S_l = lk2.shape[0] // agg_rows
+        ldata, _ = _prep_data(lk, lv, agg_rows)
+        S_l = ldata.shape[1] // agg_rows
         step_l = jnp.zeros((S_l,), jnp.int32)
     else:
-        lk2, lv2, base_l, G2 = radix_partition(lk, lv, domain_bits,
-                                               tile_rows, chunk_rows,
-                                               agg_rows, interpret=interpret)
+        ldata, base_l, G2 = radix_partition(lk, lv, domain_bits,
+                                            tile_rows, chunk_rows,
+                                            agg_rows, interpret=interpret)
         assert G2 == G
         rows_l = int(base_l[-1])
         step_l = step_table_device(base_l, rows_l, agg_rows)
-    bids = window_probe(lk2, stacked, step_l, WINDOW_BITS, agg_rows,
+    bids = window_probe(ldata, stacked, step_l, WINDOW_BITS, agg_rows,
                         interpret=interpret)
     if mult == 1:
         bids = [bids]
-    return lk2, lv2, bids, mult
+    return ldata[0], ldata[1], bids, mult
 
 
 def radix_join_inner_unique(lk, lv, rk, key_domain: int, rv=None,
@@ -1068,21 +1055,21 @@ def radix_join_inner_unique(lk, lv, rk, key_domain: int, rv=None,
         agg_rows=agg_rows, interpret=interpret)
     domain_bits = max(int(np.ceil(np.log2(max(key_domain, 2)))), 1)
     if domain_bits <= WINDOW_BITS:
-        lk2, lv2, _ = _prep_rows(lk, lv, agg_rows)
-        S_l = lk2.shape[0] // agg_rows
+        ldata, _ = _prep_data(lk, lv, agg_rows)
+        S_l = ldata.shape[1] // agg_rows
         step_l = jnp.zeros((S_l,), jnp.int32)
-        probed = window_probe(lk2, tables, step_l, WINDOW_BITS,
+        probed = window_probe(ldata, tables, step_l, WINDOW_BITS,
                               agg_rows, interpret=interpret)
     else:
-        lk2, lv2, base_l, G2 = radix_partition(lk, lv, domain_bits,
-                                               tile_rows, chunk_rows,
-                                               agg_rows, interpret=interpret)
+        ldata, base_l, G2 = radix_partition(lk, lv, domain_bits,
+                                            tile_rows, chunk_rows,
+                                            agg_rows, interpret=interpret)
         assert G2 == G
         rows_l = int(base_l[-1])
         step_l = step_table_device(base_l, rows_l, agg_rows)
-        probed = window_probe(lk2, tables, step_l, WINDOW_BITS,
+        probed = window_probe(ldata, tables, step_l, WINDOW_BITS,
                               agg_rows, interpret=interpret)
     if rv is None:
-        return lk2, lv2, probed, unique
+        return ldata[0], ldata[1], probed, unique
     bid, pay = probed
-    return lk2, lv2, bid, pay, unique
+    return ldata[0], ldata[1], bid, pay, unique

@@ -43,7 +43,7 @@ def test_digit_histogram(rng):
     pad = nt * tile_elems - n
     kp = np.concatenate([keys, np.full(pad, SENTINEL, np.int32)])
     hist = np.asarray(digit_histogram(
-        jnp.asarray(kp.reshape(nt * tile_rows, 128)), nbits=3, shift=7,
+        jnp.asarray(kp.reshape(1, nt * tile_rows, 128)), nbits=3, shift=7,
         tile_rows=tile_rows, interpret=True))
     assert hist.shape == (nt, 8)
     digits = keys >> 7
@@ -120,11 +120,12 @@ def test_radix_partition_merge_tiles(rng, merge_tiles):
     n, dom_bits = 30_000, 17            # one partition pass, 4 windows
     keys = rng.integers(0, 1 << dom_bits, n).astype(np.int32)
     vals = np.arange(n, dtype=np.int32)
-    pk, pv, base, G = radix_partition(
+    pdata, base, G = radix_partition(
         jnp.asarray(keys), jnp.asarray(vals), dom_bits, tile_rows=8,
         chunk_rows=2, align_rows=8, merge_tiles=merge_tiles,
         interpret=True)
-    pk, pv = np.asarray(pk).ravel(), np.asarray(pv).ravel()
+    pk = np.asarray(pdata[0]).ravel()
+    pv = np.asarray(pdata[1]).ravel()
     base = np.asarray(base) * 128        # rows -> elements
     assert G == (1 << dom_bits) // SPAN
     for w in range(G):

@@ -24,7 +24,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from cudf_tpu.kernels.radix_partition import (
     HI, LANES, SENTINEL, WINDOW_BITS, bucket_aggregate, digit_histogram,
     layout_device, merge_scatter, probe_tables, radix_join_inner_unique,
-    radix_partition, step_table_device, window_probe, _prep_rows,
+    radix_partition, step_table_device, window_probe, _prep_data,
     _sorted_scatter,
 )
 
@@ -57,48 +57,45 @@ def profile_partition(keys, vals, tag):
     st = merge_tiles * tile_rows
     print(f"[{tag}] two-pass partition, domain_bits={domain_bits}",
           flush=True)
-    keys2, vbits2, nt = t(f"{tag} prep_rows",
-                          lambda: _prep_rows(keys, vals, st))
-    nt *= merge_tiles
-    nst = nt // merge_tiles
+    data, nst = t(f"{tag} prep_data",
+                  lambda: _prep_data(keys, vals, st))
     zeros = jnp.zeros((nst,), jnp.int32)
     nbits1 = domain_bits - WINDOW_BITS - 7
     hist1 = t(f"{tag} hist1", lambda: digit_histogram(
-        keys2, nbits1, WINDOW_BITS + 7, st))
+        data, nbits1, WINDOW_BITS + 7, st))
     tabs1, base1 = t(f"{tag} layout1", lambda: layout_device(
         hist1, zeros, 1, st, chunk_rows, st))
     t0 = time.perf_counter()
     rows1 = int(base1[-1])
     print(f"  {tag} SYNC rows1: {(time.perf_counter()-t0)*1e3:7.1f} ms"
           f" (rows1={rows1}, inflation={rows1*LANES/n:.3f})", flush=True)
-    pk1, pv1 = t(f"{tag} scatter1", lambda: _sorted_scatter(
-        keys2, vbits2, tabs1, nbits1, tile_rows, merge_tiles, chunk_rows,
-        rows1))
+    data1 = t(f"{tag} scatter1", lambda: _sorted_scatter(
+        data, tabs1, nbits1, tile_rows, merge_tiles, chunk_rows, rows1))
     nt2 = rows1 // st
     region_of_tile = (jnp.searchsorted(
         base1[1:], jnp.arange(nt2) * st, side="right").astype(jnp.int32))
     hist2 = t(f"{tag} hist2", lambda: digit_histogram(
-        pk1, 7, WINDOW_BITS, st))
+        data1, 7, WINDOW_BITS, st))
     tabs2, base2 = t(f"{tag} layout2", lambda: layout_device(
         hist2, region_of_tile, 1 << nbits1, st, chunk_rows, agg_rows))
     t0 = time.perf_counter()
     rows2 = int(base2[-1])
     print(f"  {tag} SYNC rows2: {(time.perf_counter()-t0)*1e3:7.1f} ms"
           f" (rows2={rows2}, inflation={rows2*LANES/n:.3f})", flush=True)
-    pk, pv = t(f"{tag} scatter2", lambda: _sorted_scatter(
-        pk1, pv1, tabs2, 7, tile_rows, merge_tiles, chunk_rows, rows2,
+    pdata = t(f"{tag} scatter2", lambda: _sorted_scatter(
+        data1, tabs2, 7, tile_rows, merge_tiles, chunk_rows, rows2,
         mask_bits=WINDOW_BITS + 7))
-    return pk, pv, base2, 1 << (nbits1 + 7)
+    return pdata, base2, 1 << (nbits1 + 7)
 
 
 # ---- build side -----------------------------------------------------
 rid1 = jnp.arange(1, build_rows + 1, dtype=jnp.int32)
-pkr, pvr, base_r, G = profile_partition(rk, [rid1, rv], "build")
+pdata_r, base_r, G = profile_partition(rk, [rid1, rv], "build")
 rows_r = int(base_r[-1])
 step_r = t("build step_table", lambda: step_table_device(
     base_r, rows_r, agg_rows))
 acc = t("build bucket_aggregate(idpay)", lambda: bucket_aggregate(
-    pkr, pvr, step_r, G, WINDOW_BITS, agg_rows, mode="idpay"))
+    pdata_r, step_r, G, WINDOW_BITS, agg_rows, mode="idpay"))
 from cudf_tpu.kernels.radix_partition import zero_empty_windows
 acc = t("build zero_empty_windows", lambda: zero_empty_windows(acc, base_r))
 t0 = time.perf_counter()
@@ -109,12 +106,12 @@ print(f"  probe_tables+unique SYNC: {(time.perf_counter()-t0)*1e3:7.1f} ms"
       f"{tables.nbytes/1e9:.2f} GB)", flush=True)
 
 # ---- probe side -----------------------------------------------------
-pkl, pvl, base_l, G2 = profile_partition(lk, lv, "probe")
+pdata_l, base_l, G2 = profile_partition(lk, lv, "probe")
 rows_l = int(base_l[-1])
 step_l = t("probe step_table", lambda: step_table_device(
     base_l, rows_l, agg_rows))
 probed = t("window_probe(pay)", lambda: window_probe(
-    pkl, tables, step_l, WINDOW_BITS, agg_rows))
+    pdata_l, tables, step_l, WINDOW_BITS, agg_rows))
 bid, pay = probed
 res = t("final fold", lambda: (jnp.sum(pay), jnp.sum(bid >= 0)))
 

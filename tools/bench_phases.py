@@ -19,10 +19,10 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from cudf_tpu.kernels.bitonic import tile_sort
+from cudf_tpu.kernels.bitonic import tile_sort_data
 from cudf_tpu.kernels.radix_partition import (
     LANES, SENTINEL, bucket_aggregate, digit_histogram, layout_device,
-    merge_scatter, step_table_device,
+    merge_scatter, step_table_device, _prep_data,
 )
 
 MT = int(sys.argv[1]) if len(sys.argv) > 1 else 2
@@ -35,15 +35,7 @@ B = 1 << nbits
 k1, k2 = jax.random.split(jax.random.PRNGKey(0))
 keys = jax.random.randint(k1, (n,), 0, K, dtype=jnp.int32)
 vals = jax.random.normal(k2, (n,), dtype=jnp.float32)
-tile_elems = st * LANES
-nt = -(-n // tile_elems)
-pad = nt * tile_elems - n
-vbits = jax.lax.bitcast_convert_type(vals, jnp.int32)
-if pad:
-    keys = jnp.concatenate([keys, jnp.full((pad,), SENTINEL, jnp.int32)])
-    vbits = jnp.concatenate([vbits, jnp.zeros((pad,), jnp.int32)])
-keys2 = keys.reshape(nt * st, LANES)
-vbits2 = vbits.reshape(nt * st, LANES)
+data, nt = _prep_data(keys, vals, st)
 
 
 def timeit(label, fn, fold, iters=4):
@@ -67,22 +59,22 @@ def timeit(label, fn, fold, iters=4):
 
 
 hist = timeit("A hist(st)",
-              lambda: digit_histogram(keys2, nbits, shift, st),
+              lambda: digit_histogram(data, nbits, shift, st),
               lambda h: jnp.sum(h))
 z = jnp.zeros((nt,), jnp.int32)
 tabs, base = layout_device(hist, z, 1, st, chunk_rows, agg_rows)
 total_rows = int(base[-1])
 print(f"MT={MT} total_rows={total_rows} "
       f"inflation={total_rows*LANES/n:.3f}", flush=True)
-srt = timeit("B1 tile_sort",
-             lambda: tile_sort(keys2, vbits2, tile_rows=tile_rows,
-                               alternate=True),
-             lambda o: jnp.sum(o[0][:8]))
-pk, pv = timeit("B2 merge_scatter",
-                lambda: merge_scatter(srt[0], srt[1], tabs, nbits, st,
-                                      tile_rows, chunk_rows, total_rows),
-                lambda o: jnp.sum(o[0][:8]) + jnp.sum(o[1][:8]))
+srt = timeit("B1 tile_sort_data",
+              lambda: tile_sort_data(data, tile_rows=tile_rows,
+                                     alternate=True),
+              lambda o: jnp.sum(o[0, :8]))
+pdata = timeit("B2 merge_scatter",
+               lambda: merge_scatter(srt, tabs, nbits, st,
+                                     tile_rows, chunk_rows, total_rows),
+               lambda o: jnp.sum(o[0, :8]) + jnp.sum(o[1, :8]))
 step_tab = step_table_device(base, total_rows, agg_rows)
 timeit("C agg",
-       lambda: bucket_aggregate(pk, pv, step_tab, B, shift, agg_rows),
+       lambda: bucket_aggregate(pdata, step_tab, B, shift, agg_rows),
        lambda a: jnp.sum(a))
