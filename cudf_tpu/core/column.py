@@ -657,8 +657,10 @@ def as_column(obj, dtype: Optional[DType] = None) -> Column:
         col = Column.from_numpy(obj)
     elif hasattr(obj, "_column"):  # Series / Index
         col = obj._column
-    elif hasattr(obj, "__arrow_array__") or type(obj).__module__.startswith("pyarrow"):
+    elif type(obj).__module__.startswith("pyarrow"):
         col = Column.from_arrow(obj)
+    elif hasattr(obj, "__arrow_array__") and not type(obj).__module__.startswith("pandas"):
+        col = Column.from_arrow(obj.__arrow_array__())
     elif type(obj).__module__.startswith("pandas"):
         import pandas as pd
 
@@ -676,7 +678,8 @@ def as_column(obj, dtype: Optional[DType] = None) -> Column:
                 "Int8Dtype", "Int16Dtype", "Int32Dtype", "Int64Dtype",
                 "UInt8Dtype", "UInt16Dtype", "UInt32Dtype", "UInt64Dtype",
                 "Float32Dtype", "Float64Dtype", "BooleanDtype",
-            ):
+                "StringDtype",
+            ) and dt.dtype(obj.dtype).nullable:
                 # keep nullable extension provenance for exact round-trip
                 want_n = dt.dtype(obj.dtype)
                 if want_n.id != col.dtype.id:
@@ -686,6 +689,10 @@ def as_column(obj, dtype: Optional[DType] = None) -> Column:
                 col = Column(want_n, col.length, data=col.data,
                              validity=col.validity, offsets=col.offsets,
                              children=col.children)
+        elif isinstance(obj, pd.api.extensions.ExtensionArray):
+            # pd.array(...) values: reuse the Series path (nullable
+            # extension provenance, ArrowDtype handling)
+            return as_column(pd.Series(obj), dtype=dtype)
         else:
             col = Column.from_sequence(list(obj))
     elif np.isscalar(obj) or obj is None:

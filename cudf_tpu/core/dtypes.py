@@ -464,7 +464,11 @@ def dtype(obj: Any) -> DType:
         cats = getattr(obj, "categories", None)
         vt = dtype(cats.dtype) if cats is not None and len(cats) else None
         return dictionary_dtype(vt)
-    if tname in ("StringDtype", "ArrowDtype") and "string" in str(obj):
+    if tname == "StringDtype":
+        # "string"/"string[pyarrow]" (pd.NA) keep extension provenance;
+        # the pandas-3 default "str" (na_value=nan) maps to plain STRING
+        return DType(TypeId.STRING, nullable=str(obj).startswith("string"))
+    if tname == "ArrowDtype" and "string" in str(obj):
         return STRING
     if tname == "ArrowDtype":
         base = dtype(obj.numpy_dtype)

@@ -143,14 +143,15 @@ class Table:
 
     @classmethod
     def from_pandas(cls, df) -> "Table":
-        import pyarrow as pa
+        # per-column via as_column (not pa.Table.from_pandas wholesale):
+        # preserves pandas nullable/arrow extension provenance so Int64 /
+        # string / ArrowDtype columns round-trip exactly; iloc handles
+        # duplicate labels
+        from cudf_tpu.core.column import as_column
 
-        t = cls.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
-        # pyarrow stringifies non-string column labels; restore originals
-        orig = list(df.columns)
-        if orig != list(t.names):
-            t = cls.from_pairs(orig, list(t.columns))
-        return t
+        return cls.from_pairs(
+            list(df.columns),
+            [as_column(df.iloc[:, i]) for i in range(df.shape[1])])
 
     def __repr__(self) -> str:
         cols = ", ".join(f"{n}: {c.dtype!r}" for n, c in self.items())

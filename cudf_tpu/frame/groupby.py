@@ -101,13 +101,17 @@ class _GroupByBase:
                     self._key_names.append(b)
                     self._key_cols.append(self._lookup_key(b))
             self._keys_from_index = False
-        for kc in self._key_cols:
-            if kc.dtype.nullable or kc.dtype.arrow:
-                # masked/arrow KEYS: NA-group membership + extension-dtype
-                # result indexes are pandas-internal semantics — take the
-                # host path (proxy falls back; direct API documents this)
-                raise NotImplementedError(
-                    "extension-dtype group keys take the host path")
+        # masked/arrow KEYS: group on the flag-stripped column (same
+        # buffers — validity already carries NA-group membership) and
+        # re-tag the result index with the extension dtype afterwards
+        self._key_ext = [kc.dtype if (kc.dtype.nullable or kc.dtype.arrow)
+                         else None for kc in self._key_cols]
+        self._key_cols = [
+            Column(dt.DType(kc.dtype.id, tz=kc.dtype.tz), kc.length,
+                   data=kc.data, validity=kc.validity, offsets=kc.offsets,
+                   children=kc.children)
+            if ext is not None else kc
+            for kc, ext in zip(self._key_cols, self._key_ext)]
         self._grouper = None
 
     def _lookup_key(self, name) -> Column:
@@ -133,7 +137,14 @@ class _GroupByBase:
         return MultiIndex(cols, self._key_names)
 
     def _original_key_cols(self):
-        return self._key_cols
+        # re-tag extension-dtype keys (see __init__) so result indexes
+        # round-trip as pandas nullable/arrow extension arrays
+        return [Column(ext, kc.length, data=kc.data, validity=kc.validity,
+                       offsets=kc.offsets, children=kc.children)
+                if ext is not None else kc
+                for kc, ext in zip(self._key_cols,
+                                   getattr(self, "_key_ext",
+                                           [None] * len(self._key_cols)))]
 
     def ngroups(self):
         return self.grouper.num_groups

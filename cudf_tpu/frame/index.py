@@ -56,7 +56,12 @@ class Index:
     def to_pandas(self):
         import pandas as pd
 
-        return pd.Index(self._column.to_arrow().to_pandas(), name=self.name)
+        from cudf_tpu.frame.series import column_to_pandas_array
+
+        # column_to_pandas_array keeps nullable/arrow extension dtypes
+        # (Int64 group keys etc.); plain columns come back as numpy
+        return pd.Index(column_to_pandas_array(self._column, pd),
+                        name=self.name)
 
     def to_pylist(self):
         return self._column.to_pylist()

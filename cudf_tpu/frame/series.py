@@ -52,7 +52,13 @@ def column_to_pandas_array(col: Column, pd):
             arr if not hasattr(arr, "combine_chunks") else arr)
     if col.dtype.nullable:
         # round-trip pandas nullable extension dtypes (Int64/UInt8/
-        # boolean/Float64) through our validity instead of float+NaN
+        # boolean/Float64/string) through our validity instead of
+        # float+NaN
+        if col.dtype.is_string:
+            arr = col.to_arrow()
+            if hasattr(arr, "combine_chunks"):
+                arr = arr.combine_chunks()
+            return pd.StringDtype().__from_arrow__(arr)
         vals = np.asarray(col.data)
         mask = (~np.asarray(col.validity) if col.validity is not None
                 else np.zeros(col.length, bool))

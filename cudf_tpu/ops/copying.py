@@ -85,7 +85,7 @@ def _gather_strings(col: Column, safe: jnp.ndarray, valid_idx) -> Column:
     src = jnp.take(starts, row) + (jnp.arange(total, dtype=jnp.int64) - jnp.take(new_offsets, row))
     new_chars = jnp.take(chars, src, mode="clip") if chars.shape[0] else jnp.zeros((total,), jnp.uint8)
     validity = _gathered_validity(col, safe, valid_idx)
-    return Column(dt.STRING, m, data=new_chars, offsets=new_offsets, validity=validity)
+    return Column(col.dtype, m, data=new_chars, offsets=new_offsets, validity=validity)
 
 
 def _gather_lists(col: Column, safe: jnp.ndarray, valid_idx) -> Column:
