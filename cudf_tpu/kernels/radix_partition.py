@@ -168,23 +168,35 @@ def _scatter_runs(tabs_ref, sc_ref, out_ref, sems, B, tile_rows,
             sems.at[b % sems.shape[0]],
         )
 
-    # two-tier chunk cascade: runs >= 2*chunk_rows ship as double-size
-    # DMAs (+ one clamped tail), short runs as 1-2 single-size DMAs —
-    # halves descriptor-issue cost at the modal run width without the
-    # inflation a bigger layout minimum would cost (the clamped chunks
-    # overlap inside the run's own region; src and dst shift together so
-    # overlapping writes carry identical rows)
+    # three-tier chunk cascade: runs pick the largest chunk size that
+    # fits (4x / 2x / 1x chunk_rows) and ship ceil(w/size) DMAs, the last
+    # one clamped back into the run.  The modal run width is
+    # supertile_elems / B ≈ 16 rows (tightly concentrated — binomial),
+    # so the 4x tier covers it in ONE descriptor where the old two-tier
+    # cascade needed two: descriptor-issue count, not bandwidth, is what
+    # dominates the scatter phase.  Clamped chunks overlap inside the
+    # run's own region; src and dst shift together so overlapping writes
+    # carry identical rows.
     big = 2 * chunk_rows
+    huge = 4 * chunk_rows
 
     def per_bucket(start: bool):
         def body(b, _):
             w = tabs_ref[b, 2]
+            n_huge = jnp.where(
+                w >= huge,
+                w // huge + ((w % huge) != 0).astype(jnp.int32), 0)
             n_big = jnp.where(
-                w >= big,
+                (w >= big) & (w < huge),
                 w // big + ((w % big) != 0).astype(jnp.int32), 0)
             n_small = jnp.where(
                 (w > 0) & (w < big),
                 1 + (w > chunk_rows).astype(jnp.int32), 0)
+
+            def chunk_h(c, _):
+                cp = chunk_copy(b, c, huge)
+                (cp.start() if start else cp.wait())
+                return 0
 
             def chunk_b(c, _):
                 cp = chunk_copy(b, c, big)
@@ -196,6 +208,7 @@ def _scatter_runs(tabs_ref, sc_ref, out_ref, sems, B, tile_rows,
                 (cp.start() if start else cp.wait())
                 return 0
 
+            jax.lax.fori_loop(0, n_huge, chunk_h, 0)
             jax.lax.fori_loop(0, n_big, chunk_b, 0)
             jax.lax.fori_loop(0, n_small, chunk_s, 0)
             return 0
@@ -793,12 +806,16 @@ def radix_groupby_sum_count(keys, vals, num_keys: int,
 # Join probe: window tables + matmul lookup
 # ----------------------------------------------------------------------
 
-def _probe_kernel(shift, agg_rows, with_pay, m,
+def _probe_kernel(shift, agg_rows, with_pay, m, check_occ,
                   step_tab_ref,                            # scalar prefetch
                   keys_ref, tab_ref,                       # VMEM blocks
                   *out_refs):
-    bucket = step_tab_ref[pl.program_id(0)] & 0xFFFF
+    step = step_tab_ref[pl.program_id(0)]
+    bucket = step & 0xFFFF
     base = bucket << shift
+    # occupancy bit (17): the build side left this window EMPTY, so its
+    # acc block is uninitialized HBM (possibly NaN) — matches masked off
+    occ_ok = ((step >> 17) & 1) != 0 if check_occ else True
     hi_classes = jax.lax.broadcasted_iota(jnp.int32, (HI, LANES), 0)
     # Window tables hold (id+1) of the unique build row as four unsigned
     # 8-bit chunk planes (values <= 255 are EXACT in bf16, so the one-hot
@@ -861,11 +878,11 @@ def _probe_kernel(shift, agg_rows, with_pay, m,
         for k in range(RB):
             sl = slice(k * LANES, (k + 1) * LANES)
             for t in range(m):
-                found = (founds[t][sl] > 0) & win_parts[k]
+                found = (founds[t][sl] > 0) & win_parts[k] & occ_ok
                 row = jnp.where(found, bids[t][sl], -1)
                 out_refs[t][pl.ds(i * RB + k, 1), :] = row[None, :]
             if with_pay:
-                found = (founds[0][sl] > 0) & win_parts[k]
+                found = (founds[0][sl] > 0) & win_parts[k] & occ_ok
                 prow = jnp.where(found, pay_f[sl], 0.0)
                 out_refs[1][pl.ds(i * RB + k, 1), :] = prow[None, :]
         return 0
@@ -873,9 +890,10 @@ def _probe_kernel(shift, agg_rows, with_pay, m,
     jax.lax.fori_loop(0, agg_rows // RB, body, 0)
 
 
-@partial(jax.jit, static_argnames=("shift", "agg_rows", "interpret"))
+@partial(jax.jit, static_argnames=("shift", "agg_rows", "acc_planes",
+                                   "interpret"))
 def window_probe(pdata, tables, step_tab, shift: int, agg_rows: int,
-                 interpret: bool = False):
+                 acc_planes: bool = False, interpret: bool = False):
     """Probe partitioned rows against per-window build-row-id tables.
 
     pdata: plane-interleaved rows from radix_partition (only the key
@@ -893,9 +911,21 @@ def window_probe(pdata, tables, step_tab, shift: int, agg_rows: int,
     """
     total_rows = pdata.shape[1]
     S = total_rows // agg_rows
-    with_pay = tables.shape[1] == 7 * HI
-    m = 1 if with_pay else tables.shape[1] // (4 * HI)
-    assert with_pay or tables.shape[1] == m * 4 * HI
+    if acc_planes:
+        # tables IS the raw bucket_aggregate acc (id: 5*HI rows, idpay:
+        # 8*HI) — the BlockSpec carves the leading id/payload planes and
+        # skips the count plane, so no sliced copy of the (multi-GB) acc
+        # is ever materialized.  step_tab bit 17 must carry build-side
+        # window occupancy (see _probe_kernel).
+        with_pay = tables.shape[1] == 8 * HI
+        assert with_pay or tables.shape[1] == 5 * HI, tables.shape
+        m = 1
+        tab_d = 7 * HI if with_pay else 4 * HI
+    else:
+        with_pay = tables.shape[1] == 7 * HI
+        m = 1 if with_pay else tables.shape[1] // (4 * HI)
+        assert with_pay or tables.shape[1] == m * 4 * HI
+        tab_d = tables.shape[1]
     kblk = pl.BlockSpec((1, agg_rows, LANES), lambda i, *_: (0, i, 0),
                         memory_space=pltpu.VMEM)
     blk = pl.BlockSpec((agg_rows, LANES), lambda i, *_: (i, 0),
@@ -904,7 +934,7 @@ def window_probe(pdata, tables, step_tab, shift: int, agg_rows: int,
     def tab_map(i, step_tab_ref):
         return (step_tab_ref[i] & 0xFFFF, 0, 0)
 
-    tabspec = pl.BlockSpec((1, tables.shape[1], LANES), tab_map,
+    tabspec = pl.BlockSpec((1, tab_d, LANES), tab_map,
                            memory_space=pltpu.VMEM)
     nbid = 2 if with_pay else m
     out_specs = [blk] * nbid
@@ -915,7 +945,8 @@ def window_probe(pdata, tables, step_tab, shift: int, agg_rows: int,
                                               jnp.float32))
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            partial(_probe_kernel, shift, agg_rows, with_pay, m),
+            partial(_probe_kernel, shift, agg_rows, with_pay, m,
+                    acc_planes),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(S,),
@@ -942,14 +973,41 @@ def probe_tables(acc):
     return acc[:, :npl * HI, :], unique
 
 
+def probe_tables_raw(acc, bucket_base=None):
+    """is_unique + per-window occupancy for probing the RAW acc with
+    ``window_probe(..., acc_planes=True)``: no zero_empty_windows pass
+    and no sliced table copy — the unique check reads ONLY the count
+    plane, with empty (uninitialized, possibly-NaN) windows masked out;
+    the probe masks them via the occupancy bit instead."""
+    npl = acc.shape[1] // HI - 1
+    cnt = acc[:, npl * HI:(npl + 1) * HI, :]
+    if bucket_base is None:
+        occ = jnp.ones((acc.shape[0],), jnp.bool_)
+    else:
+        occ = (bucket_base[1:] - bucket_base[:-1]) > 0
+        cnt = jnp.where(occ[:, None, None], cnt, 0.0)
+    unique = bool(int(jnp.max(cnt)) <= 1)
+    return unique, occ
+
+
+def occupancy_step_tab(step_tab, occ):
+    """OR build-side window occupancy into bit 17 of a probe-side step
+    table (window ids stay in the low 16 bits)."""
+    return step_tab | (jnp.take(occ.astype(jnp.int32),
+                                step_tab & 0xFFFF) << 17)
+
+
 def build_join_tables(rk, key_domain: int, rv=None, tile_rows: int = 512,
                       chunk_rows: int = 4, agg_rows: int = 128,
-                      interpret: bool = False):
+                      raw_acc: bool = False, interpret: bool = False):
     """Build per-window probe tables from the build side: partition (for
     multi-window domains), aggregate (build_row_id+1[, payload]) into
     dense window tables, and report uniqueness.  The build-once half of
     the reusable hash_join object (cpp/include/cudf/join/hash_join.hpp:70).
-    Returns (tables, unique, G)."""
+    Returns (tables, unique, G); with raw_acc=True returns
+    (acc, occ, unique, G) — the un-sliced, un-zeroed acc for
+    ``window_probe(..., acc_planes=True)`` plus the per-window occupancy
+    mask (skips one full read+write pass and one multi-GB slice copy)."""
     rid1 = jnp.arange(1, rk.shape[0] + 1, dtype=jnp.int32)
     vals = rid1 if rv is None else [rid1, rv]
     mode = "id" if rv is None else "idpay"
@@ -960,6 +1018,9 @@ def build_join_tables(rk, key_domain: int, rv=None, tile_rows: int = 512,
         step_r = (jnp.arange(S_r, dtype=jnp.int32) == 0).astype(jnp.int32) << 16
         acc = bucket_aggregate(rdata, step_r, 1, WINDOW_BITS,
                                agg_rows, interpret=interpret, mode=mode)
+        if raw_acc:
+            unique, occ = probe_tables_raw(acc)
+            return acc, occ, unique, 1
         tables, unique = probe_tables(acc)
         return tables, unique, 1
     pdata_r, base_r, G = radix_partition(rk, vals, domain_bits, tile_rows,
@@ -969,6 +1030,9 @@ def build_join_tables(rk, key_domain: int, rv=None, tile_rows: int = 512,
     step_r = step_table_device(base_r, rows_r, agg_rows)
     acc = bucket_aggregate(pdata_r, step_r, G, WINDOW_BITS, agg_rows,
                            interpret=interpret, mode=mode)
+    if raw_acc:
+        unique, occ = probe_tables_raw(acc, base_r)
+        return acc, occ, unique, G
     acc = zero_empty_windows(acc, base_r)
     tables, unique = probe_tables(acc)
     return tables, unique, G
@@ -1050,16 +1114,14 @@ def radix_join_inner_unique(lk, lv, rk, key_domain: int, rv=None,
     probe, inner_join_retrieve.cu; here general multiplicity takes the
     sort-merge tier).
     """
-    tables, unique, G = build_join_tables(
+    acc, occ, unique, G = build_join_tables(
         rk, key_domain, rv=rv, tile_rows=tile_rows, chunk_rows=chunk_rows,
-        agg_rows=agg_rows, interpret=interpret)
+        agg_rows=agg_rows, raw_acc=True, interpret=interpret)
     domain_bits = max(int(np.ceil(np.log2(max(key_domain, 2)))), 1)
     if domain_bits <= WINDOW_BITS:
         ldata, _ = _prep_data(lk, lv, agg_rows)
         S_l = ldata.shape[1] // agg_rows
         step_l = jnp.zeros((S_l,), jnp.int32)
-        probed = window_probe(ldata, tables, step_l, WINDOW_BITS,
-                              agg_rows, interpret=interpret)
     else:
         ldata, base_l, G2 = radix_partition(lk, lv, domain_bits,
                                             tile_rows, chunk_rows,
@@ -1067,8 +1129,9 @@ def radix_join_inner_unique(lk, lv, rk, key_domain: int, rv=None,
         assert G2 == G
         rows_l = int(base_l[-1])
         step_l = step_table_device(base_l, rows_l, agg_rows)
-        probed = window_probe(ldata, tables, step_l, WINDOW_BITS,
-                              agg_rows, interpret=interpret)
+    probed = window_probe(ldata, acc, occupancy_step_tab(step_l, occ),
+                          WINDOW_BITS, agg_rows, acc_planes=True,
+                          interpret=interpret)
     if rv is None:
         return ldata[0], ldata[1], probed, unique
     bid, pay = probed
