@@ -122,80 +122,147 @@ def generate_device(scale: float = 0.01, seed: int = 0):
     n_supp = max(int(10_000 * scale), 25)
     n_nation, n_region = 25, 5
 
-    state = [jax.random.PRNGKey(seed)]
+    # the whole random payload is ONE jitted program (one tunnel dispatch,
+    # one compile — persisted in the jax cache per scale factor); ~30
+    # individual randint/uniform dispatches measured 24-51 s over the
+    # axon tunnel at any scale
+    def _gen(key):
+        state = [key]
 
-    def _key():
-        state[0], sub = jax.random.split(state[0])
-        return sub
+        def _key():
+            state[0], sub = jax.random.split(state[0])
+            return sub
 
-    def ints(lo, hi, n, dtype=jnp.int64):
-        return jax.random.randint(_key(), (n,), lo, hi, dtype=dtype)
+        def ints(lo, hi, n, dtype=jnp.int64):
+            return jax.random.randint(_key(), (n,), lo, hi, dtype=dtype)
 
-    def money(lo, hi, n):
-        u = jax.random.uniform(_key(), (n,), jnp.float64, float(lo), float(hi))
-        return jnp.round(u * 100.0) / 100.0
+        def money(lo, hi, n):
+            u = jax.random.uniform(_key(), (n,), jnp.float64,
+                                   float(lo), float(hi))
+            return jnp.round(u * 100.0) / 100.0
 
-    def dates(n, start="1992-01-01", end="1998-12-01"):
-        s = int(np.datetime64(start).astype("datetime64[D]").astype(np.int64))
-        e = int(np.datetime64(end).astype("datetime64[D]").astype(np.int64))
-        ticks = ints(s, e, n) * 86_400_000_000_000
-        return Column(dt.dtype("datetime64[ns]"), n, data=ticks)
+        def dates(n, start="1992-01-01", end="1998-12-01"):
+            s = int(np.datetime64(start).astype("datetime64[D]")
+                    .astype(np.int64))
+            e = int(np.datetime64(end).astype("datetime64[D]")
+                    .astype(np.int64))
+            return ints(s, e, n) * 86_400_000_000_000
 
-    def cat(choices, n):
-        codes = ints(0, len(choices), n, dtype=jnp.int32)
-        keys_col = Column.from_strings(list(choices))
-        return Column(dt.dictionary_dtype(dt.STRING), n, data=codes,
-                      children=(keys_col,))
+        def codes(k, n):
+            return ints(0, k, n, dtype=jnp.int32)
 
+        return {
+            "s_nationkey": ints(0, n_nation, n_supp),
+            "s_acctbal": money(-999, 9999, n_supp),
+            "c_name": codes(200, n_cust),
+            "c_nationkey": ints(0, n_nation, n_cust),
+            "c_mktsegment": codes(len(_SEGMENTS), n_cust),
+            "c_acctbal": money(-999, 9999, n_cust),
+            "p_name": codes(5, n_part),
+            "p_type": codes(3, n_part),
+            "p_retailprice": money(900, 2000, n_part),
+            "o_custkey": ints(0, max(n_cust, 1), n_ord),
+            "o_orderstatus": codes(len(_STATUS), n_ord),
+            "o_totalprice": money(800, 500000, n_ord),
+            "o_orderdate": dates(n_ord),
+            "o_orderpriority": codes(3, n_ord),
+            "l_orderkey": ints(0, max(n_ord, 1), n_li),
+            "l_partkey": ints(0, max(n_part, 1), n_li),
+            "l_suppkey": ints(0, n_supp, n_li),
+            "l_quantity": ints(1, 51, n_li).astype(jnp.float64),
+            "l_extendedprice": money(900, 105000, n_li),
+            "l_discount": money(0.0, 0.1, n_li),
+            "l_tax": money(0.0, 0.08, n_li),
+            "l_returnflag": codes(len(_FLAGS), n_li),
+            "l_shipmode": codes(4, n_li),
+            "l_linestatus": codes(len(_STATUS), n_li),
+            "l_shipdate": dates(n_li),
+            "l_commitdate": dates(n_li),
+            "l_receiptdate": dates(n_li),
+        }
+
+    g = jax.jit(_gen)(jax.random.PRNGKey(seed))
+
+    def host_strings(strings):
+        # key sets stay HOST-side (numpy buffers): the SPMD lowering
+        # captures dictionary buffers as numpy constants, and a device
+        # round-trip per buffer costs ~1.4 s over the axon tunnel
+        enc = [s.encode("utf-8") for s in strings]
+        offs = np.zeros(len(enc) + 1, np.int64)
+        np.cumsum([len(b) for b in enc], out=offs[1:])
+        chars = np.frombuffer(b"".join(enc), np.uint8).copy()
+        return Column(dt.STRING, len(enc), data=chars, offsets=offs)
+
+    def cat(name, choices):
+        keys_col = host_strings(list(choices))
+        return Column(dt.dictionary_dtype(dt.STRING), g[name].shape[0],
+                      data=g[name], children=(keys_col,))
+
+    def date_col(name):
+        return Column(dt.dtype("datetime64[ns]"), g[name].shape[0],
+                      data=g[name])
+
+    # nation/region name columns are emitted dictionary-encoded (tiny
+    # host-side code arrays): _register_source would otherwise re-run a
+    # device dict_encode per query lowering
     nation = ct.DataFrame({
         "n_nationkey": np.arange(n_nation),
-        "n_name": [f"NATION_{i:02d}" for i in range(n_nation)],
+        "n_name": Column(dt.dictionary_dtype(dt.STRING), n_nation,
+                         data=np.arange(n_nation, dtype=np.int32),
+                         children=(host_strings(
+                             [f"NATION_{i:02d}" for i in range(n_nation)]),)),
         "n_regionkey": np.arange(n_nation) % n_region,
     })
-    region = ct.DataFrame({"r_regionkey": np.arange(n_region),
-                           "r_name": _REGIONS})
+    region = ct.DataFrame({
+        "r_regionkey": np.arange(n_region),
+        "r_name": Column(dt.dictionary_dtype(dt.STRING), n_region,
+                         data=np.arange(n_region, dtype=np.int32),
+                         children=(host_strings(_REGIONS),)),
+    })
     supplier = ct.DataFrame({
-        "s_suppkey": jnp.arange(n_supp),
-        "s_nationkey": ints(0, n_nation, n_supp),
-        "s_acctbal": money(-999, 9999, n_supp),
+        "s_suppkey": np.arange(n_supp),
+        "s_nationkey": g["s_nationkey"],
+        "s_acctbal": g["s_acctbal"],
     })
     customer = ct.DataFrame({
-        "c_custkey": jnp.arange(n_cust),
-        "c_name": cat([f"Customer#{i:04d}" for i in range(200)], n_cust),
-        "c_nationkey": ints(0, n_nation, n_cust),
-        "c_mktsegment": cat(_SEGMENTS, n_cust),
-        "c_acctbal": money(-999, 9999, n_cust),
+        "c_custkey": np.arange(n_cust),
+        "c_name": cat("c_name", [f"Customer#{i:04d}" for i in range(200)]),
+        "c_nationkey": g["c_nationkey"],
+        "c_mktsegment": cat("c_mktsegment", _SEGMENTS),
+        "c_acctbal": g["c_acctbal"],
     })
     part = ct.DataFrame({
-        "p_partkey": jnp.arange(n_part),
-        "p_name": cat(["green apple", "red truck", "blue sky",
-                       "green forest", "yellow sun"], n_part),
-        "p_type": cat(["ECONOMY ANODIZED STEEL", "STANDARD BRUSHED COPPER",
-                       "PROMO BURNISHED NICKEL"], n_part),
-        "p_retailprice": money(900, 2000, n_part),
+        "p_partkey": np.arange(n_part),
+        "p_name": cat("p_name", ["green apple", "red truck", "blue sky",
+                                 "green forest", "yellow sun"]),
+        "p_type": cat("p_type", ["ECONOMY ANODIZED STEEL",
+                                 "STANDARD BRUSHED COPPER",
+                                 "PROMO BURNISHED NICKEL"]),
+        "p_retailprice": g["p_retailprice"],
     })
     orders = ct.DataFrame({
-        "o_orderkey": jnp.arange(n_ord),
-        "o_custkey": ints(0, max(n_cust, 1), n_ord),
-        "o_orderstatus": cat(_STATUS, n_ord),
-        "o_totalprice": money(800, 500000, n_ord),
-        "o_orderdate": dates(n_ord),
-        "o_orderpriority": cat(["1-URGENT", "2-HIGH", "3-MEDIUM"], n_ord),
+        "o_orderkey": np.arange(n_ord),
+        "o_custkey": g["o_custkey"],
+        "o_orderstatus": cat("o_orderstatus", _STATUS),
+        "o_totalprice": g["o_totalprice"],
+        "o_orderdate": date_col("o_orderdate"),
+        "o_orderpriority": cat("o_orderpriority",
+                               ["1-URGENT", "2-HIGH", "3-MEDIUM"]),
     })
     lineitem = ct.DataFrame({
-        "l_orderkey": ints(0, max(n_ord, 1), n_li),
-        "l_partkey": ints(0, max(n_part, 1), n_li),
-        "l_suppkey": ints(0, n_supp, n_li),
-        "l_quantity": ints(1, 51, n_li).astype(jnp.float64),
-        "l_extendedprice": money(900, 105000, n_li),
-        "l_discount": money(0.0, 0.1, n_li),
-        "l_tax": money(0.0, 0.08, n_li),
-        "l_returnflag": cat(_FLAGS, n_li),
-        "l_shipmode": cat(["MAIL", "SHIP", "AIR", "TRUCK"], n_li),
-        "l_linestatus": cat(_STATUS, n_li),
-        "l_shipdate": dates(n_li),
-        "l_commitdate": dates(n_li),
-        "l_receiptdate": dates(n_li),
+        "l_orderkey": g["l_orderkey"],
+        "l_partkey": g["l_partkey"],
+        "l_suppkey": g["l_suppkey"],
+        "l_quantity": g["l_quantity"],
+        "l_extendedprice": g["l_extendedprice"],
+        "l_discount": g["l_discount"],
+        "l_tax": g["l_tax"],
+        "l_returnflag": cat("l_returnflag", _FLAGS),
+        "l_shipmode": cat("l_shipmode", ["MAIL", "SHIP", "AIR", "TRUCK"]),
+        "l_linestatus": cat("l_linestatus", _STATUS),
+        "l_shipdate": date_col("l_shipdate"),
+        "l_commitdate": date_col("l_commitdate"),
+        "l_receiptdate": date_col("l_receiptdate"),
     })
     return {
         "lineitem": lineitem, "orders": orders, "customer": customer,

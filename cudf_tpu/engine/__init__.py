@@ -15,4 +15,18 @@ from cudf_tpu.engine.expr import (
 )
 from cudf_tpu.engine.lazy import LazyFrame, scan_parquet, scan_csv, from_dataframe
 
-__all__ = ["Expr", "col", "lit", "LazyFrame", "scan_parquet", "scan_csv", "from_dataframe"]
+
+def get_fallback_stats():
+    from cudf_tpu.engine.streaming import get_fallback_stats as _g
+
+    return _g()
+
+
+def reset_fallback_stats():
+    from cudf_tpu.engine.streaming import reset_fallback_stats as _r
+
+    return _r()
+
+
+__all__ = ["Expr", "col", "lit", "LazyFrame", "scan_parquet", "scan_csv",
+           "from_dataframe", "get_fallback_stats", "reset_fallback_stats"]

@@ -154,8 +154,17 @@ class _Lowering:
         # charges a host round-trip per dispatch, so per-column
         # concatenate+device_put registration measured 2.2 s/column on
         # TPC-H q1 (lower_py 120 s) — batching makes it one RPC.
-        shapes = tuple((x.shape, np.dtype(x.dtype).str) for x in raw)
-        placed = _pad_shard(self.mesh, self.axis, shapes, n, total)(*raw)
+        # When no padding is needed (total == n; always true on a
+        # 1-device mesh) skip the compiled program entirely: device_put
+        # with the target sharding is a pure placement (no XLA compile —
+        # each small compile costs seconds over the axon tunnel).
+        if total == n:
+            placed = [jax.device_put(x, sharding) for x in raw]
+            placed.append(jax.device_put(
+                np.ones((total,), np.bool_), sharding))
+        else:
+            shapes = tuple((x.shape, np.dtype(x.dtype).str) for x in raw)
+            placed = _pad_shard(self.mesh, self.axis, shapes, n, total)(*raw)
         self.sources.extend(placed[:-1])
         vidx = len(self.sources)
         self.sources.append(placed[-1])
@@ -219,6 +228,21 @@ class _Lowering:
         for e in exprs:
             walk(e)
 
+    def _probe_dtype(self, expr, probe: Table) -> dt.DType:
+        """Output dtype of ``expr`` over ``probe`` (a zero-row table).
+
+        Runs under jax.eval_shape so no device dispatch/compile happens —
+        over the axon tunnel each tiny zero-row compile costs seconds and
+        q1's ~20 probe evals dominated lower_py (measured 168-276 s).
+        Ops that force concretization fall back to a real zero-row eval.
+        """
+        import jax
+
+        try:
+            return jax.eval_shape(lambda: expr.evaluate(probe)).dtype
+        except Exception:
+            return expr.evaluate(probe).dtype
+
     def _eval_expr(self, expr, stream: _Stream, dtypes):
         col = expr.evaluate(stream.table(dtypes, self.dicts))
         if col.dtype.is_string:
@@ -262,7 +286,7 @@ class _Lowering:
             # Select / HStack: dtypes need a host-side probe (zero-row eval)
             self._check_exprs(node.exprs)
             probe = Table({
-                n: Column(d, 0, data=jnp.zeros((0,), d.storage),
+                n: Column(d, 0, data=np.zeros((0,), d.storage),
                           children=[self.dicts[n]] if (
                               d.is_dictionary and n in self.dicts)
                           else ())
@@ -270,7 +294,7 @@ class _Lowering:
             out_dt = dict(cdt) if isinstance(node, IRs.HStack) else {}
             for e in node.exprs:
                 try:
-                    out_dt[e.output_name] = e.evaluate(probe).dtype
+                    out_dt[e.output_name] = self._probe_dtype(e, probe)
                 except Exception as exc:
                     raise Unlowerable(f"expr probe failed: {e!r}: {exc}")
                 # dictionary propagation: only bare column refs keep codes
@@ -357,12 +381,12 @@ class _Lowering:
             else:
                 raise Unlowerable(f"agg {kind}")
         out_dt = {k: cdt[k] for k in node.keys}
-        probe = Table({n: Column(d, 0, data=jnp.zeros((0,), d.storage))
+        probe = Table({n: Column(d, 0, data=np.zeros((0,), d.storage))
                        for n, d in cdt.items()})
         for name, how, pidx, kind in finals:
             if how == "direct":
-                in_dt = specs[[f[0] for f in finals].index(name)][1] \
-                    .evaluate(probe).dtype
+                in_dt = self._probe_dtype(
+                    specs[[f[0] for f in finals].index(name)][1], probe)
                 if kind == "sum":
                     out_dt[name] = dt.INT64 if (in_dt.is_integer
                                                 or in_dt.is_bool) else dt.FLOAT64
@@ -854,18 +878,25 @@ def _pull_compacted(arrs, cnts):
     Replaces np.asarray(full)[mask] — at ~12 MB/s tunnel throughput the
     full-capacity pull dominated query wall time (q1 SF1: 25 s).
 
+    All output columns of a shard are PACKED into one uint8 buffer on
+    device (bitcast + concat) so the host pull is ONE transfer per
+    shard, not one per column — each device→host round trip costs
+    0.2-1.4 s over the axon tunnel (measured; 10-column q1 paid ~14 s).
+
     Device-side note: this must NOT be a global jitted gather — XLA
     lowers nonzero/gather on GSPMD-sharded operands through cross-module
     collectives that deadlock on the forced-host-platform CPU mesh
-    (observed rendezvous stall); per-shard slicing needs no collectives.
+    (observed rendezvous stall); per-shard packing needs no collectives.
     """
     import jax
+    import jax.numpy as jnp
 
     cnts = np.asarray(cnts)
     parts: List[list] = [[] for _ in arrs]
     shards = [sorted(a.addressable_shards, key=lambda s: s.index[0].start
                      if s.index and s.index[0].start is not None else 0)
               for a in arrs]
+    np_dtypes = [np.dtype(a.dtype) for a in arrs]
     n_shards = len(shards[0]) if arrs else 0
     for i in range(n_shards):
         k_i = int(cnts[i]) if i < len(cnts) else 0
@@ -873,21 +904,61 @@ def _pull_compacted(arrs, cnts):
             continue
         rows = shards[0][i].data.shape[0]
         kp = min(1 << (k_i - 1).bit_length(), rows)
-        sig = (kp, rows, tuple(np.dtype(a.dtype).str for a in arrs))
+        sig = (kp, rows, tuple(d.str for d in np_dtypes))
         fn = _COMPACT_CACHE.get(sig)
         if fn is None:
-            def slicer(*xs, _kp=kp):
-                return tuple(x[:_kp] for x in xs)
+            def packer(*xs, _kp=kp):
+                # wire format = int32 words (the TPU backend rejects
+                # sub-word bitcasts): itemsize>=4 dtypes bitcast 1:N,
+                # narrow ints/bools WIDEN to int32 (values preserved,
+                # host casts back)
+                out = []
+                for x in xs:
+                    y = x[:_kp]
+                    if np.dtype(y.dtype).itemsize < 4:
+                        y = y.astype(jnp.float32 if jnp.issubdtype(
+                            y.dtype, jnp.floating) else jnp.int32)
+                        y = jax.lax.bitcast_convert_type(y, jnp.int32)
+                    else:
+                        y = jax.lax.bitcast_convert_type(y, jnp.int32)
+                    out.append(y.reshape(-1))
+                return jnp.concatenate(out)
 
-            fn = jax.jit(slicer)
+            fn = jax.jit(packer)
             while len(_COMPACT_CACHE) >= _AUX_CACHE_CAP:
                 _COMPACT_CACHE.pop(next(iter(_COMPACT_CACHE)))
             _COMPACT_CACHE[sig] = fn
-        outs = fn(*[sh[i].data for sh in shards])
-        for p, o in zip(parts, outs):
-            p.append(np.asarray(o)[:k_i])
-    return [np.concatenate(p) if p else np.zeros((0,), np.dtype(a.dtype))
-            for p, a in zip(parts, arrs)]
+        buf = np.asarray(fn(*[sh[i].data for sh in shards]))
+        off = 0
+        for p, d in zip(parts, np_dtypes):
+            if d.itemsize < 4:
+                wide = np.dtype(np.float32 if d.kind == "f" else np.int32)
+                p.append(buf[off:off + kp].view(wide).astype(d)[:k_i])
+                off += kp
+            else:
+                nw = kp * (d.itemsize // 4)
+                p.append(buf[off:off + nw].view(d)[:k_i])
+                off += nw
+    return [np.concatenate(p) if p else np.zeros((0,), d)
+            for p, d in zip(parts, np_dtypes)]
+
+
+def _host_decode_dict(dict_col: Column, codes: np.ndarray) -> Column:
+    """Vectorized numpy dictionary decode: codes + host key-set buffers →
+    a STRING column with host buffers (cudf::dictionary::decode role for
+    the collect epilogue; zero device traffic)."""
+    chars = np.asarray(dict_col.data)
+    offs = np.asarray(dict_col.offsets)
+    lens = offs[1:] - offs[:-1]
+    out_lens = lens[codes]
+    out_offs = np.zeros(codes.shape[0] + 1, np.int64)
+    np.cumsum(out_lens, out=out_offs[1:])
+    total = int(out_offs[-1])
+    starts = np.repeat(offs[:-1][codes], out_lens)
+    ramp = np.arange(total, dtype=np.int64) - np.repeat(out_offs[:-1],
+                                                        out_lens)
+    return Column(dt.STRING, codes.shape[0], data=chars[starts + ramp],
+                  offsets=out_offs)
 
 
 def evaluate_spmd(node, mesh, axis: str = "x") -> Table:
@@ -990,13 +1061,24 @@ def evaluate_spmd(node, mesh, axis: str = "x") -> Table:
         d = out_dt[n]
         if n in low.dicts and (d.is_string or d.is_dictionary):
             dict_col = low.dicts[n]
-            codes = Column(dt.dictionary_dtype(dict_col.dtype), len(vals),
-                           data=jnp.asarray(vals.astype(np.int32)),
-                           children=[dict_col])
-            cols[n] = codes.decode_dictionary()
+            if dict_col.dtype.is_string:
+                # HOST-side dictionary decode: the result is group-key
+                # sized and the dictionary buffers are host constants —
+                # a device string-gather here costs compiles + round
+                # trips (measured 8.8 s on a 4-row q1 result)
+                cols[n] = _host_decode_dict(dict_col,
+                                            vals.astype(np.int64))
+            else:
+                codes = Column(dt.dictionary_dtype(dict_col.dtype),
+                               len(vals),
+                               data=jnp.asarray(vals.astype(np.int32)),
+                               children=[dict_col])
+                cols[n] = codes.decode_dictionary()
         else:
+            # keep result buffers on HOST: consumers are to_pandas-bound
+            # and a device push per column is another tunnel RPC
             cols[n] = Column(d, len(vals),
-                             data=jnp.asarray(vals).astype(d.storage))
+                             data=vals.astype(d.storage, copy=False))
     t = Table(cols)
     if head is not None:
         from cudf_tpu.ops import copying

@@ -30,6 +30,45 @@ from cudf_tpu.utils.config import get_option
 _POINTWISE = (IRs.Select, IRs.HStack, IRs.Filter, IRs.Projection)
 
 
+class PerformanceWarning(UserWarning):
+    """A Mesh plan fell back from the compiled SPMD path."""
+
+
+# ----------------------------------------------------------------------
+# fallback accounting (the reference's unsupported-node counting +
+# fallback_mode contract: dsl/translate.py:146-166, utils/config.py:115)
+# ----------------------------------------------------------------------
+_FALLBACK_STATS = {"count": 0, "reasons": {}}
+
+
+def get_fallback_stats() -> dict:
+    """{"count": total SPMD→partition-list fallbacks, "reasons":
+    {reason: hits}} since the last reset."""
+    return {"count": _FALLBACK_STATS["count"],
+            "reasons": dict(_FALLBACK_STATS["reasons"])}
+
+
+def reset_fallback_stats() -> None:
+    _FALLBACK_STATS["count"] = 0
+    _FALLBACK_STATS["reasons"] = {}
+
+
+def _record_fallback(exc: Exception) -> None:
+    import warnings
+
+    reason = str(exc) or type(exc).__name__
+    _FALLBACK_STATS["count"] += 1
+    _FALLBACK_STATS["reasons"][reason] = \
+        _FALLBACK_STATS["reasons"].get(reason, 0) + 1
+    mode = get_option("executor.fallback_mode")
+    if mode == "raise":
+        raise exc
+    if mode == "warn":
+        warnings.warn(
+            f"SPMD lowering fell back to the partition-list executor: "
+            f"{reason}", PerformanceWarning, stacklevel=3)
+
+
 # ----------------------------------------------------------------------
 # executor-hooked automatic spilling (spill_manager.py:202-351 role):
 # produced-but-not-yet-consumed partitions spill coldest-first to the
@@ -114,8 +153,8 @@ def evaluate_streaming(node: IRs.IR, mesh_or_nparts=None) -> Table:
             if get_option("executor.spmd_lowering"):
                 try:
                     return evaluate_spmd(node, mesh_or_nparts)
-                except Unlowerable:
-                    pass
+                except Unlowerable as exc:
+                    _record_fallback(exc)
         n_parts = (
             mesh_or_nparts
             if isinstance(mesh_or_nparts, int)

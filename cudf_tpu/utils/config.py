@@ -118,6 +118,13 @@ _register("executor.spmd_lowering", True,
           "compile LazyFrame plans over a Mesh into one jitted shard_map "
           "program (engine/spmd.py); falls back to the partition-list "
           "executor on unsupported plan shapes")
+_register("executor.fallback_mode", "warn",
+          "what to do when a Mesh plan can't lower to the SPMD compiler "
+          "and falls back to the partition-list executor: 'warn' emits "
+          "a PerformanceWarning with the blocking node, 'raise' "
+          "surfaces the Unlowerable error, 'silent' just counts it "
+          "(engine.streaming.get_fallback_stats) — the cudf-polars "
+          "fallback_mode contract (utils/config.py:115-129)")
 _register("executor.target_partition_size", 1 << 28, "bytes per partition in distributed exec")
 _register("executor.broadcast_limit", 1 << 25, "max bytes for broadcast-join small side")
 _register("strings.host_fallback", True, "allow host fallback for regex/non-ASCII string ops")

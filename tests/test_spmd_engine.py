@@ -154,6 +154,42 @@ def test_unlowerable_falls_back(rng, mesh):
 
     with pytest.raises(Unlowerable):
         evaluate_spmd(lf.optimized(), mesh)
-    got = lf.collect(mesh=mesh).to_pandas().sort_values("k")
+    from cudf_tpu.engine.streaming import PerformanceWarning
+    import cudf_tpu.engine as eng
+
+    eng.reset_fallback_stats()
+    with pytest.warns(PerformanceWarning, match="agg median"):
+        got = lf.collect(mesh=mesh).to_pandas().sort_values("k")
     exp = pdf.groupby("k")["v"].median().reset_index(name="med")
     np.testing.assert_allclose(got["med"].to_numpy(), exp["med"], rtol=1e-12)
+
+
+def test_fallback_accounting(rng, mesh):
+    """fallback_mode contract (reference utils/config.py:115-129): the
+    counter records per-reason hits; 'raise' surfaces Unlowerable;
+    'silent' neither warns nor raises."""
+    import warnings
+
+    import cudf_tpu.engine as eng
+    from cudf_tpu.engine.spmd import Unlowerable
+    from cudf_tpu.utils.config import get_option, set_option
+
+    pdf = pd.DataFrame({"k": rng.integers(0, 10, 500),
+                        "v": rng.normal(size=500)})
+    lf = _lf(pdf).group_by("k").agg(col("v").median().alias("med"))
+    eng.reset_fallback_stats()
+    prev = get_option("executor.fallback_mode")
+    try:
+        set_option("executor.fallback_mode", "silent")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            lf.collect(mesh=mesh)
+        stats = eng.get_fallback_stats()
+        assert stats["count"] == 1
+        assert any("median" in r for r in stats["reasons"])
+        set_option("executor.fallback_mode", "raise")
+        with pytest.raises(Unlowerable):
+            lf.collect(mesh=mesh)
+        assert eng.get_fallback_stats()["count"] == 2
+    finally:
+        set_option("executor.fallback_mode", prev)
