@@ -11,14 +11,19 @@ shard, _dist_join_shard, _dist_sort_shard); the whole plan traces into a
 single XLA program under shard_map, so the only host round trip is the
 final collect.
 
-Coverage is intentionally partial: numeric/dictionary columns, pointwise
+Coverage: numeric/dictionary/nullable columns (per-column validity masks
+flow through the traced program — the null_mask.hpp role), pointwise
 Select/HStack/Filter/Projection, GroupBy over decomposable aggs
-(sum/count/size/mean/min/max/var/std), inner/semi/anti shuffle joins,
-single-key Sort, Distinct over int columns, Union, Reduce, and a
-top-level Slice.  Anything else raises Unlowerable and the caller
-(evaluate_streaming) falls back to the partition-list executor — the
-same fallback discipline as the reference's translate-time
-unsupported-node accounting (dsl/translate.py:146).
+(sum/count/size/mean/min/max/var/std, null-aware), inner/left/full/
+semi/anti joins (broadcast or shuffle; left/full surface unmatched rows
+as nulls via masks, join.hpp semantics), single- and multi-key Sort
+(bounded keys mixed-radix-pack; unbounded keys chain per-column order
+encodings through the multi-key sample sort), Distinct over int
+columns, Union, Reduce, and a top-level Slice.  Anything else raises
+Unlowerable and the caller (evaluate_streaming) falls back to the
+partition-list executor with fallback accounting — the reference's
+translate-time unsupported-node discipline (dsl/translate.py:146,
+utils/config.py:115-129 fallback_mode).
 """
 
 from __future__ import annotations
@@ -53,10 +58,17 @@ class _Stream:
     capacity).  evaluate_spmd checks it after the run and re-lowers with
     a larger budget factor — the count-then-allocate discipline of
     inner_join_size.cu amortized to the rare-overflow case, with NO
-    silent truncation."""
+    silent truncation.
+
+    ``masks`` carries PER-COLUMN validity (bool arrays, True = non-null)
+    for nullable columns only — the null_mask.hpp role inside the traced
+    program.  Row padding/compaction stays in ``valid``; a column absent
+    from ``masks`` is all-valid.  Left/full joins introduce masks for
+    the non-preserved side's payload; nullable sources carry theirs in.
+    """
 
     def __init__(self, cols: Dict[str, "jnp.ndarray"], valid, over=None,
-                 tok=None):
+                 tok=None, masks: Optional[Dict[str, "jnp.ndarray"]] = None):
         import jax.numpy as jnp
 
         self.cols = cols
@@ -66,6 +78,7 @@ class _Stream:
         # the CPU backend, where it chains otherwise-independent
         # collectives into program order
         self.tok = tok
+        self.masks = masks or {}
 
     def table(self, dtypes: Dict[str, dt.DType], dicts=None) -> Table:
         n = next(iter(self.cols.values())).shape[0]
@@ -78,7 +91,8 @@ class _Stream:
                 # so string expressions over dict columns lower to
                 # device-tier chunk compares
                 kids = [dicts[name]]
-            cols[name] = Column(d, n, data=arr, children=kids)
+            cols[name] = Column(d, n, data=arr, children=kids,
+                                validity=self.masks.get(name))
         return Table(cols)
 
 
@@ -107,7 +121,7 @@ class _Lowering:
             mesh.devices.flat[0].platform == "cpu")
 
     # -- source registration (host side) ------------------------------
-    def _register_source(self, table: Table) -> Tuple[callable, Dict[str, dt.DType]]:
+    def _register_source(self, table: Table):
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -117,16 +131,21 @@ class _Lowering:
         total = per * self.num_parts
         sharding = NamedSharding(self.mesh, P(self.axis))
         idxs: Dict[str, int] = {}
+        midxs: Dict[str, int] = {}    # name -> source index of its mask
         dtypes: Dict[str, dt.DType] = {}
         raw: List = []
         for name in table.names:
             col = table[name]
-            if col.validity is not None:
-                raise Unlowerable(f"source column {name!r} has nulls")
             if col.dtype.is_string:
                 from cudf_tpu.ops.dictionary import encode as dict_encode
 
                 col = dict_encode(col)
+            if col.validity is not None:
+                # nullable source: the byte-wide validity rides as one
+                # more sharded array and becomes the column's in-program
+                # mask (null_mask.hpp role)
+                midxs[name] = len(self.sources) + len(raw)
+                raw.append(col.validity)
             if col.dtype.is_dictionary:
                 # capture the dictionary with NUMPY buffers: inside
                 # shard_map, closed-over jax arrays become tracers, but
@@ -171,9 +190,11 @@ class _Lowering:
 
         def fn(srcs, tok=None):
             return _Stream({name: srcs[i] for name, i in idxs.items()},
-                           srcs[vidx], tok=tok)
+                           srcs[vidx], tok=tok,
+                           masks={name: srcs[i]
+                                  for name, i in midxs.items()})
 
-        return fn, dtypes
+        return fn, dtypes, set(midxs)
 
     # -- collective ordering (CPU backend only; see __init__) -----------
     def _after(self, x, tok):
@@ -210,9 +231,13 @@ class _Lowering:
     def _key_cast(arr):
         """Group/join keys sort in their own width: int32 lanes are the
         TPU's native word — only genuinely 64-bit keys (temporal ticks,
-        int64 data) pay for emulated 64-bit compares."""
+        int64 data) pay for emulated 64-bit compares.  Float keys take
+        the order-preserving int64 encode (equality-preserving: ±0.0
+        coalesce, all NaNs coalesce — hashing.cu key normalization)."""
         import jax.numpy as jnp
 
+        if jnp.issubdtype(arr.dtype, jnp.floating):
+            return _order_encode(arr, False)
         if arr.dtype.itemsize <= 4:
             return arr.astype(jnp.int32)
         return arr.astype(jnp.int64)
@@ -228,8 +253,9 @@ class _Lowering:
         for e in exprs:
             walk(e)
 
-    def _probe_dtype(self, expr, probe: Table) -> dt.DType:
-        """Output dtype of ``expr`` over ``probe`` (a zero-row table).
+    def _probe_meta(self, expr, probe: Table):
+        """(dtype, has_mask) of ``expr`` over ``probe`` (a zero-row
+        table whose nullable columns carry zero-row validity).
 
         Runs under jax.eval_shape so no device dispatch/compile happens —
         over the axon tunnel each tiny zero-row compile costs seconds and
@@ -239,19 +265,27 @@ class _Lowering:
         import jax
 
         try:
-            return jax.eval_shape(lambda: expr.evaluate(probe)).dtype
+            out = jax.eval_shape(lambda: expr.evaluate(probe))
         except Exception:
-            return expr.evaluate(probe).dtype
+            out = expr.evaluate(probe)
+        return out.dtype, out.validity is not None
+
+    def _make_probe(self, cdt, masked):
+        return Table({
+            n: Column(d, 0, data=np.zeros((0,), d.storage),
+                      validity=(np.zeros((0,), np.bool_)
+                                if n in masked else None),
+                      children=[self.dicts[n]] if (
+                          d.is_dictionary and n in self.dicts) else ())
+            for n, d in cdt.items()})
 
     def _eval_expr(self, expr, stream: _Stream, dtypes):
+        """(data, mask_or_None, dtype): mask is COLUMN validity only
+        (independent of the stream's row-padding mask)."""
         col = expr.evaluate(stream.table(dtypes, self.dicts))
         if col.dtype.is_string:
             raise Unlowerable(f"string-typed expr result {expr!r}")
-        data = col.data
-        valid = stream.valid
-        if col.validity is not None:
-            valid = valid & col.validity
-        return data, valid, col.dtype
+        return col.data, col.validity, col.dtype
 
     # -- node lowering --------------------------------------------------
     def lower(self, node) -> Tuple[callable, Dict[str, dt.DType]]:
@@ -262,59 +296,68 @@ class _Lowering:
             return self._register_source(node.do_evaluate())
 
         if isinstance(node, _POINTWISE):
-            cfn, cdt = self.lower(node.children[0])
+            cfn, cdt, cmask = self.lower(node.children[0])
             if isinstance(node, IRs.Projection):
                 names = list(node.schema())
 
                 def fn(srcs, tok=None, _cfn=cfn, _names=names):
                     s = _cfn(srcs, tok)
                     return _Stream({n: s.cols[n] for n in _names}, s.valid,
-                                   s.over, tok=s.tok)
+                                   s.over, tok=s.tok,
+                                   masks={n: m for n, m in s.masks.items()
+                                          if n in _names})
 
-                return fn, {n: cdt[n] for n in names}
+                return (fn, {n: cdt[n] for n in names},
+                        cmask & set(names))
             if isinstance(node, IRs.Filter):
                 self._check_exprs([node.predicate])
 
                 def fn(srcs, tok=None, _cfn=cfn, _cdt=cdt,
                        _pred=node.predicate):
                     s = _cfn(srcs, tok)
-                    data, valid, _ = self._eval_expr(_pred, s, _cdt)
-                    return _Stream(s.cols, valid & data.astype(jnp.bool_),
-                                   s.over, tok=s.tok)
+                    data, mask, _ = self._eval_expr(_pred, s, _cdt)
+                    keep = s.valid & data.astype(jnp.bool_)
+                    if mask is not None:
+                        keep = keep & mask     # null predicate → drop row
+                    return _Stream(s.cols, keep, s.over, tok=s.tok,
+                                   masks=dict(s.masks))
 
-                return fn, dict(cdt)
+                return fn, dict(cdt), set(cmask)
             # Select / HStack: dtypes need a host-side probe (zero-row eval)
             self._check_exprs(node.exprs)
-            probe = Table({
-                n: Column(d, 0, data=np.zeros((0,), d.storage),
-                          children=[self.dicts[n]] if (
-                              d.is_dictionary and n in self.dicts)
-                          else ())
-                for n, d in cdt.items()})
-            out_dt = dict(cdt) if isinstance(node, IRs.HStack) else {}
+            probe = self._make_probe(cdt, cmask)
+            hstack = isinstance(node, IRs.HStack)
+            out_dt = dict(cdt) if hstack else {}
+            out_mask = set(cmask) if hstack else set()
             for e in node.exprs:
                 try:
-                    out_dt[e.output_name] = self._probe_dtype(e, probe)
+                    d_, m_ = self._probe_meta(e, probe)
                 except Exception as exc:
                     raise Unlowerable(f"expr probe failed: {e!r}: {exc}")
+                out_dt[e.output_name] = d_
+                out_mask.discard(e.output_name)
+                if m_:
+                    out_mask.add(e.output_name)
                 # dictionary propagation: only bare column refs keep codes
                 src = _col_ref(e)
                 if src is not None and src in self.dicts:
                     self.dicts[e.output_name] = self.dicts[src]
 
-            hstack = isinstance(node, IRs.HStack)
-
             def fn(srcs, tok=None, _cfn=cfn, _cdt=cdt,
                    _exprs=list(node.exprs), _hstack=hstack):
                 s = _cfn(srcs, tok)
                 cols = dict(s.cols) if _hstack else {}
-                valid = s.valid
+                masks = dict(s.masks) if _hstack else {}
                 for e in _exprs:
-                    data, valid, _ = self._eval_expr(e, s, _cdt)
+                    data, mask, _ = self._eval_expr(e, s, _cdt)
                     cols[e.output_name] = data
-                return _Stream(cols, valid, s.over, tok=s.tok)
+                    masks.pop(e.output_name, None)
+                    if mask is not None:
+                        masks[e.output_name] = mask
+                return _Stream(cols, s.valid, s.over, tok=s.tok,
+                               masks=masks)
 
-            return fn, out_dt
+            return fn, out_dt, out_mask
 
         if isinstance(node, IRs.GroupBy):
             return self._lower_groupby(node)
@@ -327,8 +370,12 @@ class _Lowering:
         if isinstance(node, IRs.Union):
             kids = [self.lower(c) for c in node.children]
             cdt = kids[0][1]
+            umask = set()
+            for k in kids:
+                umask |= k[2]
 
-            def fn(srcs, tok=None, _kids=kids, _names=list(cdt)):
+            def fn(srcs, tok=None, _kids=kids, _names=list(cdt),
+                   _umask=sorted(umask)):
                 streams = []
                 for k in _kids:       # children chained through the token
                     st = k[0](srcs, tok)
@@ -337,12 +384,15 @@ class _Lowering:
                 cols = {n: jnp.concatenate([s.cols[n] for s in streams])
                         for n in _names}
                 valid = jnp.concatenate([s.valid for s in streams])
+                masks = {n: jnp.concatenate(
+                    [s.masks.get(n, jnp.ones(s.valid.shape, jnp.bool_))
+                     for s in streams]) for n in _umask}
                 over = streams[0].over
                 for st in streams[1:]:
                     over = over + st.over
-                return _Stream(cols, valid, over, tok=tok)
+                return _Stream(cols, valid, over, tok=tok, masks=masks)
 
-            return fn, dict(cdt)
+            return fn, dict(cdt), umask
         if isinstance(node, IRs.Reduce):
             return self._lower_reduce(node)
         raise Unlowerable(f"node {type(node).__name__}")
@@ -352,51 +402,87 @@ class _Lowering:
         import jax.numpy as jnp
         from cudf_tpu.parallel.dist import dist_groupby_agg_shard
 
-        cfn, cdt = self.lower(node.children[0])
+        cfn, cdt, cmask = self.lower(node.children[0])
         for k in node.keys:
             if not (cdt[k].is_integer or cdt[k].is_dictionary
-                    or cdt[k].is_bool or cdt[k].is_temporal):
+                    or cdt[k].is_bool or cdt[k].is_temporal
+                    or cdt[k].is_float):
                 raise Unlowerable(f"groupby key {k}: {cdt[k]}")
+            if k in cmask:
+                raise Unlowerable(f"groupby key {k} is nullable")
+        float_keys = {k for k in node.keys if cdt[k].is_float}
         specs = [IRs.unwrap_agg(a) for a in node.aggs]
         self._check_exprs([inner for _, inner, _ in specs])
-        # decompose into mergeable partials (streaming/groupby.py role)
-        partials = []   # (inner_expr or None, op)
-        finals = []     # (out_name, kind, partial indices)
+        probe = self._make_probe(cdt, cmask)
+        # decompose into mergeable partials (streaming/groupby.py role).
+        # Nullable inputs: sums zero-fill nulls; count/mean/var count the
+        # VALID mask, not rows (groupby.hpp null-exclusion semantics);
+        # min/max over nullable inputs can't represent all-null groups
+        # in the padded stream → Unlowerable (partition-list fallback).
+        partials = []   # (inner_expr, op, masked)
+        finals = []     # (out_name, kind, partial indices, agg kind)
         for name, inner, kind in specs:
+            try:
+                in_dt, in_masked = self._probe_meta(inner, probe)
+            except Exception as exc:
+                raise Unlowerable(f"agg probe failed: {inner!r}: {exc}")
             if kind in ("sum", "min", "max"):
+                if in_masked and kind in ("min", "max"):
+                    raise Unlowerable(f"agg {kind} over nullable input")
                 finals.append((name, "direct", [len(partials)], kind))
-                partials.append((inner, kind))
+                partials.append((inner, kind, in_masked))
             elif kind in ("count", "size"):
-                finals.append((name, "count", [], kind))
+                if kind == "count" and in_masked:
+                    finals.append((name, "countv", [len(partials)], kind))
+                    partials.append((inner, "countv", True))
+                else:
+                    finals.append((name, "count", [], kind))
             elif kind == "mean":
-                finals.append((name, "mean", [len(partials)], None))
-                partials.append((inner, "sum"))
+                if in_masked:
+                    finals.append((name, "mean_v",
+                                   [len(partials), len(partials) + 1],
+                                   None))
+                    partials.append((inner, "sum", True))
+                    partials.append((inner, "countv", True))
+                else:
+                    finals.append((name, "mean", [len(partials)], None))
+                    partials.append((inner, "sum", False))
             elif kind in ("var", "std"):
                 from cudf_tpu.engine.expr import BinOp
 
-                finals.append((name, kind,
-                               [len(partials), len(partials) + 1], None))
-                partials.append((inner, "sum"))
-                partials.append((BinOp(inner, inner, "mul"), "sum"))
+                sq = BinOp(inner, inner, "mul")
+                if in_masked:
+                    finals.append((name, kind + "_v",
+                                   [len(partials), len(partials) + 1,
+                                    len(partials) + 2], None))
+                    partials.append((inner, "sum", True))
+                    partials.append((sq, "sum", True))
+                    partials.append((inner, "countv", True))
+                else:
+                    finals.append((name, kind,
+                                   [len(partials), len(partials) + 1],
+                                   None))
+                    partials.append((inner, "sum", False))
+                    partials.append((sq, "sum", False))
             else:
                 raise Unlowerable(f"agg {kind}")
         out_dt = {k: cdt[k] for k in node.keys}
-        probe = Table({n: Column(d, 0, data=np.zeros((0,), d.storage))
-                       for n, d in cdt.items()})
+        out_mask = set()
         for name, how, pidx, kind in finals:
             if how == "direct":
-                in_dt = self._probe_dtype(
+                in_dt, _ = self._probe_meta(
                     specs[[f[0] for f in finals].index(name)][1], probe)
                 if kind == "sum":
                     out_dt[name] = dt.INT64 if (in_dt.is_integer
                                                 or in_dt.is_bool) else dt.FLOAT64
                 else:
                     out_dt[name] = in_dt
-            elif how == "count":
+            elif how in ("count", "countv"):
                 out_dt[name] = dt.INT64
             else:
                 out_dt[name] = dt.FLOAT64
-        cap = None  # computed at run time from shard length
+                if how in ("mean_v", "var_v", "std_v"):
+                    out_mask.add(name)   # all-null group → null result
 
         def fn(srcs, tok=None, _cfn=cfn, _cdt=cdt, _keys=list(node.keys),
                _partials=partials, _finals=finals):
@@ -405,23 +491,50 @@ class _Lowering:
             keys[0] = self._after(keys[0], s.tok)
             n = keys[0].shape[0]
             vals_ops = []
-            for inner, op in _partials:
-                data, _, _ = self._eval_expr(inner, s, _cdt)
-                vals_ops.append((data, op))
+            for inner, op, masked in _partials:
+                data, mask, _ = self._eval_expr(inner, s, _cdt)
+                if op == "countv":
+                    cv = mask if mask is not None \
+                        else jnp.ones(s.valid.shape, jnp.bool_)
+                    vals_ops.append((cv.astype(jnp.int64), "sum"))
+                elif masked and mask is not None:
+                    vals_ops.append((jnp.where(mask, data,
+                                               jnp.zeros((), data.dtype)),
+                                     op))
+                else:
+                    vals_ops.append((data, op))
             m_keys, outs, cnt, m_valid, dropped = dist_groupby_agg_shard(
                 keys, vals_ops, s.valid,
                 num_parts=self.num_parts, capacity=self._group_cap(n),
                 axis=self.axis)
-            cols = {k: m_keys[i] for i, k in enumerate(_keys)}
+            cols = {k: (_order_decode(m_keys[i], _cdt[k].storage)
+                        if k in float_keys else m_keys[i])
+                    for i, k in enumerate(_keys)}
+            masks = {}
             fcnt = cnt.astype(jnp.float64)
             for name, how, pidx, kind in _finals:
                 if how == "direct":
                     cols[name] = outs[pidx[0]]
                 elif how == "count":
                     cols[name] = cnt
+                elif how == "countv":
+                    cols[name] = outs[pidx[0]]
                 elif how == "mean":
                     cols[name] = outs[pidx[0]].astype(jnp.float64) \
                         / jnp.maximum(fcnt, 1.0)
+                elif how == "mean_v":
+                    cv = outs[pidx[1]].astype(jnp.float64)
+                    cols[name] = outs[pidx[0]].astype(jnp.float64) \
+                        / jnp.maximum(cv, 1.0)
+                    masks[name] = outs[pidx[1]] > 0
+                elif how in ("var_v", "std_v"):
+                    s_ = outs[pidx[0]].astype(jnp.float64)
+                    ssq = outs[pidx[1]].astype(jnp.float64)
+                    cv = outs[pidx[2]].astype(jnp.float64)
+                    num = ssq - s_ * s_ / jnp.maximum(cv, 1.0)
+                    v = num / jnp.maximum(cv - 1.0, 1.0)
+                    cols[name] = jnp.sqrt(v) if how == "std_v" else v
+                    masks[name] = outs[pidx[2]] > 0
                 else:  # var/std
                     s_ = outs[pidx[0]].astype(jnp.float64)
                     ssq = outs[pidx[1]].astype(jnp.float64)
@@ -429,9 +542,9 @@ class _Lowering:
                     v = num / jnp.maximum(fcnt - 1.0, 1.0)
                     cols[name] = jnp.sqrt(v) if how == "std" else v
             return _Stream(cols, m_valid, s.over + dropped,
-                           tok=self._mark(m_valid, s.tok))
+                           tok=self._mark(m_valid, s.tok), masks=masks)
 
-        return fn, out_dt
+        return fn, out_dt, out_mask
 
     def _lower_join(self, node):
         import jax.numpy as jnp
@@ -439,26 +552,43 @@ class _Lowering:
                                             _dist_join_shard)
         from cudf_tpu.utils.config import get_option
 
-        if node.how not in ("inner", "semi", "anti"):
+        if node.how not in ("inner", "left", "full", "semi", "anti"):
             raise Unlowerable(f"join how={node.how}")
         bcast_limit = int(get_option("executor.broadcast_limit"))
-        lfn, ldt = self.lower(node.children[0])
-        rfn, rdt = self.lower(node.children[1])
+        lfn, ldt, lmask = self.lower(node.children[0])
+        rfn, rdt, rmask = self.lower(node.children[1])
+        for k in node.left_on:
+            if k in lmask:
+                raise Unlowerable(f"join key {k} is nullable")
+        for k in node.right_on:
+            if k in rmask:
+                raise Unlowerable(f"join key {k} is nullable")
         lpay_names = [n for n in ldt if n not in node.left_on]
         rpay_names = [n for n in rdt if n not in node.right_on]
         out_dt = {**{k: ldt[k] for k in node.left_on},
                   **{n: ldt[n] for n in lpay_names}}
-        if node.how == "inner":
+        out_mask = set(n for n in lpay_names if n in lmask)
+        rname_of = {}
+        if node.how in ("inner", "left", "full"):
             for n in rpay_names:
                 oname = n + node.suffix if n in out_dt else n
+                rname_of[n] = oname
                 out_dt[oname] = rdt[n]
                 if n in self.dicts and oname not in self.dicts:
                     self.dicts[oname] = self.dicts[n]
+                if n in rmask:
+                    out_mask.add(oname)
+        if node.how in ("left", "full"):
+            # unmatched build rows surface the other side's payload as
+            # NULL (join.hpp left/full semantics) — masks carry it
+            out_mask |= set(rname_of.values())
+            if node.how == "full":
+                out_mask |= set(lpay_names)
         how = node.how
 
         def fn(srcs, tok=None, _lfn=lfn, _rfn=rfn, _lon=list(node.left_on),
                _ron=list(node.right_on), _lp=lpay_names, _rp=rpay_names,
-               _how=how, _suffix=node.suffix):
+               _how=how, _rname=dict(rname_of)):
             ls = _lfn(srcs, tok)
             rs = _rfn(srcs, ls.tok)      # right subtree after the left's
             lkeys = [self._key_cast(ls.cols[k]) for k in _lon]
@@ -466,14 +596,22 @@ class _Lowering:
             rkeys = [self._key_cast(rs.cols[k]) for k in _ron]
             nl = lkeys[0].shape[0]
             nr = rkeys[0].shape[0]
-            lpays = [ls.cols[n] for n in _lp]
-            rpays = [rs.cols[n] for n in _rp]
+            # per-column masks ride as extra payloads through every path
+            lp_masked = sorted(n for n in _lp if n in ls.masks)
+            rp_masked = sorted(n for n in _rp if n in rs.masks)
+            lpays = [ls.cols[n] for n in _lp] + \
+                [ls.masks[n] for n in lp_masked]
+            rpays = [rs.cols[n] for n in _rp] + \
+                [rs.masks[n] for n in rp_masked]
             # broadcast-vs-shuffle (streaming/join.py:95 role), decided
             # STATICALLY from the padded shard shapes: all_gather a small
             # side and join locally — no shuffle of the big side, far
             # smaller static output budgets, and 2 fewer all-to-alls.
+            # full joins always shuffle (a broadcast build side would
+            # emit its unmatched rows once per shard).
             bytes_l = self.num_parts * nl * 8 * (len(_lon) + len(_lp) + 1)
             bytes_r = self.num_parts * nr * 8 * (len(_ron) + len(_rp) + 1)
+            lpres = rpres = None
             if (_how == "inner" and bytes_l <= bcast_limit
                     and bytes_l <= bytes_r):
                 # broadcast the LEFT side (inner is symmetric: swap)
@@ -483,13 +621,23 @@ class _Lowering:
                         how="inner",
                         max_out=(nr + self.num_parts * nl) * 2
                         * self.out_factor, axis=self.axis)
-            elif bytes_r <= bcast_limit:
+            elif bytes_r <= bcast_limit and _how != "full":
                 out_keys, out_l, out_r, ovalid, rmatch, dropped = \
                     _bcast_join_shard_multi(
                         lkeys, lpays, ls.valid, rkeys, rpays, rs.valid,
                         how=_how,
                         max_out=(nl + self.num_parts * nr) * 2
                         * self.out_factor, axis=self.axis)
+            elif _how == "full":
+                out_keys, out_l, out_r, ovalid, lpres, rpres, dropped = \
+                    _dist_join_shard(
+                        lkeys, lpays, ls.valid,
+                        rkeys, rpays, rs.valid,
+                        how="full", num_parts=self.num_parts,
+                        cap_l=nl, cap_r=nr,
+                        max_out=self.num_parts * (nl + nr) * 2
+                        * self.out_factor, axis=self.axis)
+                rmatch = rpres
             else:
                 out_keys, out_l, out_r, ovalid, rmatch, dropped = \
                     _dist_join_shard(
@@ -501,42 +649,108 @@ class _Lowering:
                         * self.out_factor, axis=self.axis)
             over = ls.over + rs.over + dropped
             otok = self._mark(ovalid, rs.tok)
-            if _how in ("semi", "anti"):
-                cols = {k: out_keys[i] for i, k in enumerate(_lon)}
-                cols.update({n: out_l[i] for i, n in enumerate(_lp)})
-                return _Stream(cols, ovalid, over, tok=otok)
             cols = {k: out_keys[i] for i, k in enumerate(_lon)}
             cols.update({n: out_l[i] for i, n in enumerate(_lp)})
-            taken = set(cols)
+            masks = {}
+            lmask_out = {n: out_l[len(_lp) + i]
+                         for i, n in enumerate(lp_masked)}
+            if _how in ("semi", "anti"):
+                # out_l holds the (shuffled) left payloads; rmatch is the
+                # selection mask folded into row validity
+                masks.update(lmask_out)
+                return _Stream(cols, ovalid & rmatch, over, tok=otok,
+                               masks=masks)
+            for n in lp_masked:
+                masks[n] = lmask_out[n]
+            if lpres is not None:           # full join: left side nullable
+                for n in _lp:
+                    masks[n] = masks.get(n, jnp.ones_like(lpres)) & lpres
             for i, n in enumerate(_rp):
-                cols[n + _suffix if n in taken else n] = out_r[i]
-            return _Stream(cols, ovalid, over, tok=otok)
+                cols[_rname[n]] = out_r[i]
+            for i, n in enumerate(rp_masked):
+                masks[_rname[n]] = out_r[len(_rp) + i]
+            if _how in ("left", "full"):
+                for n in _rp:
+                    on = _rname[n]
+                    masks[on] = masks.get(on, jnp.ones_like(rmatch)) \
+                        & rmatch
+            return _Stream(cols, ovalid, over, tok=otok, masks=masks)
 
-        return fn, out_dt
+        return fn, out_dt, out_mask
 
     def _lower_sort(self, node):
         import jax.numpy as jnp
-        from cudf_tpu.parallel.dist import _dist_sort_shard
+        from cudf_tpu.parallel.dist import (_dist_sort_multi_shard,
+                                            _dist_sort_shard)
 
-        cfn, cdt = self.lower(node.children[0])
+        cfn, cdt, cmask = self.lower(node.children[0])
         names = [n for n in cdt]
+        masked = sorted(cmask)
+        nulls_last = bool(getattr(node, "nulls_last", True))
+        # null sort keys take a sentinel just below the padding value
+        # (ties with the NaN key slot; stable order breaks the tie) —
+        # nulls_last puts them at the tail in EITHER direction, matching
+        # polars' null ordering (descending is folded into the encoding
+        # BEFORE the sentinel applies)
+        null_sent = (2**63 - 2) if nulls_last else -(2**63 - 2)
+
+        def _null_key(key, b, s):
+            import jax.numpy as _jnp
+
+            if b in s.masks:
+                return _jnp.where(s.masks[b], key, _jnp.int64(null_sent))
+            return key
+
+        def _pays(s):
+            return ([s.cols[n_] for n_ in names]
+                    + [s.masks[n_] for n_ in masked])
+
+        def _stream_out(pays_out, mask_out, s, dropped):
+            cols = {n_: pays_out[i] for i, n_ in enumerate(names)}
+            masks = {n_: pays_out[len(names) + i]
+                     for i, n_ in enumerate(masked)}
+            return _Stream(cols, mask_out, s.over + dropped,
+                           tok=self._mark(mask_out, s.tok), masks=masks)
+
         if len(node.by) != 1:
-            # composite int64 key: every by-column must have a host-known
-            # bounded code range (dictionary / bool); mixed-radix packing
-            # preserves the lexicographic order
+            # composite key.  Bounded code ranges (dictionary / bool)
+            # pack into ONE int64 via mixed radix (cheapest); unbounded
+            # dtypes lexicographically chain per-column order encodings
+            # through the multi-key sample sort (_dist_sort_multi_shard,
+            # the streaming/sort.py composite-key role).
             sizes = []
             for b in node.by:
+                if b in cmask:
+                    sizes = None        # nullable key → generic path
+                    break
                 if cdt[b].is_dictionary and b in self.dicts:
                     sizes.append(self.dicts[b].length + 1)
                 elif cdt[b].is_bool:
                     sizes.append(3)
                 else:
-                    raise Unlowerable("multi-key sort on unbounded dtypes")
+                    sizes = None
+                    break
             by_cols = list(node.by)
             descs = list(node.descending)
+            if sizes is None:
+                def fn(srcs, tok=None, _cfn=cfn, _by=by_cols,
+                       _descs=descs):
+                    s = _cfn(srcs, tok)
+                    keys = [_null_key(_order_encode(s.cols[b], d), b, s)
+                            for b, d in zip(_by, _descs)]
+                    keys[0] = self._after(keys[0], s.tok)
+                    n = keys[0].shape[0]
+                    capacity = max(int(n * 2.0) * self.out_factor, 16)
+                    pays_out, mask_out, dropped = _dist_sort_multi_shard(
+                        keys, _pays(s), s.valid,
+                        num_parts=self.num_parts, capacity=capacity,
+                        axis=self.axis)
+                    return _stream_out(pays_out, mask_out, s, dropped)
+
+                return fn, dict(cdt), set(cmask)
 
             def fn(srcs, tok=None, _cfn=cfn, _by=by_cols, _sizes=sizes,
-                   _descs=descs, _names=names):
+                   _descs=descs):
                 s = _cfn(srcs, tok)
                 key = jnp.zeros(s.valid.shape, jnp.int64)
                 for b, sz, d in zip(_by, _sizes, _descs):
@@ -545,44 +759,41 @@ class _Lowering:
                         c = (sz - 1) - c
                     key = key * sz + c
                 n = key.shape[0]
-                pays = [s.cols[n_] for n_ in _names]
                 capacity = max(int(n * 2.0) * self.out_factor, 16)
                 key = self._after(key, s.tok)
                 k_out, pays_out, mask_out, dropped = _dist_sort_shard(
-                    key, pays, s.valid, num_parts=self.num_parts,
+                    key, _pays(s), s.valid, num_parts=self.num_parts,
                     capacity=capacity, descending=False, axis=self.axis)
-                return _Stream(
-                    {n_: pays_out[i] for i, n_ in enumerate(_names)},
-                    mask_out, s.over + dropped,
-                    tok=self._mark(mask_out, s.tok))
+                return _stream_out(pays_out, mask_out, s, dropped)
 
-            return fn, dict(cdt)
+            return fn, dict(cdt), set(cmask)
         by = node.by[0]
         desc = bool(node.descending[0])
 
-        def fn(srcs, tok=None, _cfn=cfn, _by=by, _desc=desc, _names=names):
+        def fn(srcs, tok=None, _cfn=cfn, _by=by, _desc=desc):
             s = _cfn(srcs, tok)
-            key = self._after(_order_encode(s.cols[_by], _desc), s.tok)
+            key = self._after(
+                _null_key(_order_encode(s.cols[_by], _desc), _by, s),
+                s.tok)
             n = key.shape[0]
-            pays = [s.cols[n_] for n_ in _names]
             capacity = max(int(n * 2.0) * self.out_factor, 16)
             k_out, pays_out, mask_out, dropped = _dist_sort_shard(
-                key, pays, s.valid, num_parts=self.num_parts,
+                key, _pays(s), s.valid, num_parts=self.num_parts,
                 capacity=capacity, descending=False, axis=self.axis)
-            cols = {n_: pays_out[i] for i, n_ in enumerate(_names)}
-            return _Stream(cols, mask_out, s.over + dropped,
-                           tok=self._mark(mask_out, s.tok))
+            return _stream_out(pays_out, mask_out, s, dropped)
 
-        return fn, dict(cdt)
+        return fn, dict(cdt), set(cmask)
 
     def _lower_distinct(self, node):
         import jax.numpy as jnp
         from cudf_tpu.parallel.dist import _dist_distinct_shard
 
-        cfn, cdt = self.lower(node.children[0])
+        cfn, cdt, cmask = self.lower(node.children[0])
         names = list(cdt)
         if node.subset and set(node.subset) != set(names):
             raise Unlowerable("distinct over a column subset")
+        if cmask:
+            raise Unlowerable("distinct over nullable columns")
         for n in names:
             if not (cdt[n].is_integer or cdt[n].is_dictionary
                     or cdt[n].is_bool or cdt[n].is_temporal):
@@ -600,13 +811,13 @@ class _Lowering:
                            m_valid, s.over + dropped,
                            tok=self._mark(m_valid, s.tok))
 
-        return fn, dict(cdt)
+        return fn, dict(cdt), set()
 
     def _lower_reduce(self, node):
         import jax
         import jax.numpy as jnp
 
-        cfn, cdt = self.lower(node.children[0])
+        cfn, cdt, cmask = self.lower(node.children[0])
         specs = [IRs.unwrap_agg(a) for a in node.aggs]
         self._check_exprs([inner for _, inner, _ in specs])
         out_dt = {}
@@ -629,31 +840,37 @@ class _Lowering:
 
             cols = {}
             for name, inner, kind in _specs:
-                if kind in ("count", "size"):
+                if kind == "size":
                     loc = jnp.sum(s.valid.astype(jnp.int64))
                     tot = chained(jax.lax.psum, loc)
                 else:
-                    data, _, _ = self._eval_expr(inner, s, _cdt)
+                    data, mask, _ = self._eval_expr(inner, s, _cdt)
+                    eff = s.valid if mask is None else (s.valid & mask)
+                    if kind == "count":
+                        tot = chained(jax.lax.psum,
+                                      jnp.sum(eff.astype(jnp.int64)))
+                        cols[name] = jnp.broadcast_to(tot, (n,))
+                        continue
                     x = data.astype(jnp.float64)
                     if kind in ("sum", "mean"):
-                        loc = jnp.sum(jnp.where(s.valid, x, 0.0))
+                        loc = jnp.sum(jnp.where(eff, x, 0.0))
                         tot = chained(jax.lax.psum, loc)
                         if kind == "mean":
                             c = chained(jax.lax.psum,
-                                        jnp.sum(s.valid.astype(jnp.int64)))
+                                        jnp.sum(eff.astype(jnp.int64)))
                             tot = tot / jnp.maximum(c, 1).astype(jnp.float64)
                     elif kind == "min":
-                        loc = jnp.min(jnp.where(s.valid, x, jnp.inf))
+                        loc = jnp.min(jnp.where(eff, x, jnp.inf))
                         tot = chained(jax.lax.pmin, loc)
                     else:
-                        loc = jnp.max(jnp.where(s.valid, x, -jnp.inf))
+                        loc = jnp.max(jnp.where(eff, x, -jnp.inf))
                         tot = chained(jax.lax.pmax, loc)
                 cols[name] = jnp.broadcast_to(tot, (n,))
             shard0 = jax.lax.axis_index(self.axis) == 0
             valid = (jnp.arange(n) == 0) & shard0
             return _Stream(cols, valid, s.over, tok=tok)
 
-        return fn, out_dt
+        return fn, out_dt, set()
 
 
 def _col_ref(e) -> Optional[str]:
@@ -753,6 +970,35 @@ def _order_encode_pair(arr, descending: bool):
     return key
 
 
+def _order_decode(key, storage):
+    """Inverse of ``_order_encode(arr, descending=False)`` back to the
+    float ``storage`` dtype — lets float groupby keys ride the int64
+    key path and reconstruct exactly at the output (bit-inverse of the
+    radix-sortable float transform; ±0.0 → +0.0, NaNs → one NaN)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "tpu":
+        nan_key = jnp.int64(2**63 - 2)
+
+        def inv(u):
+            b = jnp.where(u >= jnp.int64(2**31),
+                          u - jnp.int64(2**31), -(u + 1))
+            return jax.lax.bitcast_convert_type(
+                b.astype(jnp.int32), jnp.float32)
+
+        u_hi = (key >> 32) + jnp.int64(2**31)
+        u_lo = key & jnp.int64(0xFFFFFFFF)
+        x = inv(u_hi).astype(jnp.float64) + inv(u_lo).astype(jnp.float64)
+        x = jnp.where(key == nan_key, jnp.nan, x)
+        return x.astype(storage)
+    nan_bits = jnp.int64(2047) << 52
+    b = jnp.where(key < 0, (-key) | jnp.int64(-2**63), key)
+    b = jnp.where(key == (jnp.int64(2047) * jnp.int64(2**52) + 1),
+                  nan_bits | 1, b)
+    return jax.lax.bitcast_convert_type(b, jnp.float64).astype(storage)
+
+
 # ----------------------------------------------------------------------
 # compiled-program cache
 # ----------------------------------------------------------------------
@@ -783,7 +1029,8 @@ def _source_key(table: Table, pins: list):
     toks = []
     for name in table.names:
         col = table[name]
-        tok = [name, str(col.dtype), table.num_rows]
+        tok = [name, str(col.dtype), table.num_rows,
+               col.validity is not None]
         if col.dtype.is_string or col.dtype.is_dictionary:
             # dictionary contents get baked as numpy constants; pin the
             # UNDERLYING buffers so id() stays unambiguous.  A string
@@ -1002,8 +1249,9 @@ def evaluate_spmd(node, mesh, axis: str = "x") -> Table:
     for out_factor in (1, 8, 64):
         t0 = _time.perf_counter()
         low = _Lowering(mesh, axis, out_factor=out_factor)
-        prog, out_dt = low.lower(node)
+        prog, out_dt, out_masked = low.lower(node)
         names = list(out_dt)
+        mask_names = sorted(out_masked)
         key = (base_key, out_factor)
         hit = _PROGRAM_CACHE.pop(key, None)
         if hit is not None:
@@ -1026,12 +1274,14 @@ def evaluate_spmd(node, mesh, axis: str = "x") -> Table:
                     num_keys=1, is_stable=True)
                 cnt = jnp.sum(s.valid.astype(jnp.int64))[None]
                 return ([jnp.take(s.cols[n], order) for n in names],
+                        [jnp.take(s.masks[n], order)
+                         for n in mask_names],
                         cnt, s.over)
 
             sharded = shard_map(
                 run, mesh=mesh,
                 in_specs=([spec] * len(low.sources),),
-                out_specs=([spec] * len(names), spec, spec),
+                out_specs=spec,
             )
             jitted = jax.jit(sharded)
             while len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_CAP:
@@ -1043,22 +1293,28 @@ def evaluate_spmd(node, mesh, axis: str = "x") -> Table:
             t2 = _time.perf_counter()
             compiled = lowered.compile()
             t3 = _time.perf_counter()
-            (arrs, cnts, over) = compiled(low.sources)
+            (arrs, marrs, cnts, over) = compiled(low.sources)
             jax.block_until_ready(cnts)
             t4 = _time.perf_counter()
             print(f"[spmd f={out_factor} hit={hit is not None}] "
                   f"lower_py={t1-t0:.2f}s trace={t2-t1:.2f}s "
                   f"compile={t3-t2:.2f}s exec={t4-t3:.2f}s", flush=True)
         else:
-            (arrs, cnts, over) = jitted(low.sources)
+            (arrs, marrs, cnts, over) = jitted(low.sources)
         if int(np.asarray(over).sum()) == 0:
             break
     else:
         raise Unlowerable("static output budget exceeded at factor 64")
-    pulled = _pull_compacted(arrs, cnts)
+    pulled = _pull_compacted(list(arrs) + list(marrs), cnts)
+    masks = dict(zip(mask_names, pulled[len(names):]))
     cols = {}
-    for n, vals in zip(names, pulled):
+    for n, vals in zip(names, pulled[:len(names)]):
         d = out_dt[n]
+        validity = masks.get(n)
+        if validity is not None:
+            validity = validity.astype(np.bool_)
+            if validity.all():
+                validity = None
         if n in low.dicts and (d.is_string or d.is_dictionary):
             dict_col = low.dicts[n]
             if dict_col.dtype.is_string:
@@ -1066,19 +1322,25 @@ def evaluate_spmd(node, mesh, axis: str = "x") -> Table:
                 # sized and the dictionary buffers are host constants —
                 # a device string-gather here costs compiles + round
                 # trips (measured 8.8 s on a 4-row q1 result)
-                cols[n] = _host_decode_dict(dict_col,
-                                            vals.astype(np.int64))
+                codes = vals.astype(np.int64)
+                if validity is not None:
+                    codes = np.where(validity, codes, 0)
+                cols[n] = _host_decode_dict(dict_col, codes)
+                if validity is not None:
+                    cols[n] = cols[n].with_validity(validity)
             else:
                 codes = Column(dt.dictionary_dtype(dict_col.dtype),
                                len(vals),
                                data=jnp.asarray(vals.astype(np.int32)),
-                               children=[dict_col])
+                               children=[dict_col],
+                               validity=validity)
                 cols[n] = codes.decode_dictionary()
         else:
             # keep result buffers on HOST: consumers are to_pandas-bound
             # and a device push per column is another tunnel RPC
             cols[n] = Column(d, len(vals),
-                             data=vals.astype(d.storage, copy=False))
+                             data=vals.astype(d.storage, copy=False),
+                             validity=validity)
     t = Table(cols)
     if head is not None:
         from cudf_tpu.ops import copying

@@ -696,6 +696,57 @@ def _dist_sort_shard(key, pays, valid, *, num_parts, capacity, descending,
             dropped.reshape(1))
 
 
+def _dist_sort_multi_shard(keys, pays, valid, *, num_parts, capacity, axis):
+    """Multi-key sample-sort shard body: lexicographic over a LIST of
+    int64 order-encoded keys (descending already folded into each
+    encoding by the caller — spmd._order_encode).
+
+    The composite-key analogue of _dist_sort_shard (streaming/sort.py
+    role for multi-column sorts on unbounded dtypes, where mixed-radix
+    packing into one int64 is impossible).  Routing compares row tuples
+    against the P-1 splitter tuples lexicographically — O(P·K) fused
+    elementwise compares per row, no tuple searchsorted needed.
+    """
+    n = keys[0].shape[0]
+    K = len(keys)
+    big = jnp.int64(jnp.iinfo(jnp.int64).max)
+    ks = [jnp.where(valid, k.astype(jnp.int64), big) for k in keys]
+    # local tuple sort → evenly spaced sample tuples
+    ks_sorted = jax.lax.sort(ks, num_keys=K)
+    S = min(_SAMPLES_PER_SHARD, n)
+    sel = (jnp.arange(S, dtype=jnp.int64) * n) // S
+    samples = [jnp.take(k, sel) for k in ks_sorted]
+    gathered = [jax.lax.all_gather(s, axis, tiled=True) for s in samples]
+    all_sorted = jax.lax.sort(gathered, num_keys=K)
+    spl_sel = (jnp.arange(1, num_parts, dtype=jnp.int64) * S * num_parts) \
+        // num_parts
+    splitters = [jnp.take(k, spl_sel) for k in all_sorted]  # [K][P-1]
+    # pid = number of splitter tuples <= row tuple (searchsorted-right)
+    le = None                       # lex "splitter <= row", built last→first
+    for j in range(K - 1, -1, -1):
+        s_j = splitters[j][:, None]          # [P-1, 1]
+        r_j = ks[j][None, :]                 # [1, n]
+        if le is None:
+            le = s_j <= r_j
+        else:
+            le = (s_j < r_j) | ((s_j == r_j) & le)
+    pid = jnp.minimum(jnp.sum(le.astype(jnp.int32), axis=0),
+                      num_parts - 1)
+    bufs, counts, dropped = bucketize([*ks, *pays], valid, pid, num_parts,
+                                      capacity)
+    out_bufs, out_counts = exchange(bufs, counts, axis)
+    mask = received_mask(out_counts, capacity)
+    C = capacity
+    flat = [b.reshape((num_parts * C,) + b.shape[2:]) for b in out_bufs]
+    ks_recv = [jnp.where(mask, flat[j], big) for j in range(K)]
+    idx = jnp.arange(num_parts * C, dtype=_idx_dtype(num_parts * C))
+    sorted2 = jax.lax.sort([*ks_recv, idx], num_keys=K, is_stable=True)
+    order = sorted2[-1]
+    pays_out = [jnp.take(p, order) for p in flat[K:]]
+    mask_out = jnp.take(mask, order)
+    return pays_out, mask_out, dropped.reshape(1)
+
+
 def dist_sort(
     mesh: Mesh,
     key: jnp.ndarray,
