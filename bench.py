@@ -36,7 +36,10 @@ from functools import partial
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# persist EVERY compile: over the axon tunnel even sub-second compiles
+# cost seconds of round trip, and the TPC-H collect path dispatches a
+# handful of small programs per query
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import jax.numpy as jnp
 import numpy as np
@@ -175,18 +178,22 @@ def bench_join_dict(n, n_dict=100_000, iters=3):
     return n / dt
 
 
-def bench_tpch(scale=1.0, queries=("q1", "q5", "q6", "q9"), iters=2,
+def bench_tpch(scale=1.0, queries=("q1", "q6", "q5", "q9"), iters=2,
                budget=600.0):
     """TPC-H single-chip wall times via the SPMD compiler on a 1-device
     mesh: each query is ONE jitted program, so the axon tunnel is crossed
     once per run (BASELINE.md SF100 trendline; reference
     cpp/benchmarks/ndsh/q01.cpp).  ``budget`` bounds the WHOLE segment:
-    each query gets an alarm of min(150s, time left) and queries that no
-    longer fit are skipped outright."""
+    each query gets an alarm of min(420s, time left) and queries that no
+    longer fit are skipped outright.  Per-query phase seconds
+    (lower/exec/pull, compile-cache hit) land in the detail JSON so a
+    timeout is diagnosable (VERDICT r4 item 1c)."""
     import sys
 
     from benchmarks import tpch
+    from cudf_tpu.engine import spmd as _spmd
     from cudf_tpu.parallel.mesh import make_mesh
+    from cudf_tpu.utils.config import set_option
 
     import signal
 
@@ -196,12 +203,18 @@ def bench_tpch(scale=1.0, queries=("q1", "q5", "q6", "q9"), iters=2,
     def _alarm(sig, frame):
         raise _Timeout()
 
+    set_option("executor.fallback_mode", "raise")   # no silent slow path
     t0_seg = time.perf_counter()
     # generate ON DEVICE: the host generator's ~600MB device_put at SF1
     # has wedged the single-chip tunnel (see NEXT_STEPS round-3 outage)
     tables = tpch.generate_device(scale)
+    for t in tables.values():
+        for c in t._table.columns:
+            if c.data is not None and hasattr(c.data, "block_until_ready"):
+                jax.block_until_ready(c.data)
     mesh = make_mesh(1)
-    out = {}
+    out = {"tpch_generate_seconds": round(time.perf_counter() - t0_seg, 2),
+           "tpch_phases": {}}
     prev = signal.signal(signal.SIGALRM, _alarm)
     try:
         for qn in queries:
@@ -218,12 +231,21 @@ def bench_tpch(scale=1.0, queries=("q1", "q5", "q6", "q9"), iters=2,
                 # jax cache in .jax_cache, pre-warmed in-round) take
                 # seconds.
                 signal.alarm(int(min(420, left)))
+                t0 = time.perf_counter()
                 fn(tables, mesh=mesh)          # compile + warm
+                cold = time.perf_counter() - t0
+                phases = dict(_spmd.LAST_RUN_PHASES)
                 t0 = time.perf_counter()
                 for _ in range(iters):
                     fn(tables, mesh=mesh)
-                out[f"tpch_sf{scale:g}_{qn}_seconds"] = round(
-                    (time.perf_counter() - t0) / iters, 4)
+                warm = (time.perf_counter() - t0) / iters
+                out[f"tpch_sf{scale:g}_{qn}_seconds"] = round(warm, 4)
+                phases["cold_seconds"] = round(cold, 2)
+                phases.update(
+                    {k: v for k, v in _spmd.LAST_RUN_PHASES.items()})
+                out["tpch_phases"][qn] = phases
+                print(f"  {qn}: {warm:.3f}s warm ({cold:.1f}s cold, "
+                      f"{phases})", file=sys.stderr, flush=True)
             except (Exception, _Timeout) as e:  # keep the bench robust
                 print(f"  tpch {qn} skipped: {type(e).__name__}: {e}",
                       file=sys.stderr, flush=True)
@@ -231,6 +253,98 @@ def bench_tpch(scale=1.0, queries=("q1", "q5", "q6", "q9"), iters=2,
                 signal.alarm(0)
     finally:
         signal.signal(signal.SIGALRM, prev)
+    return out
+
+
+def bench_parquet_decode(n=4_000_000, iters=3):
+    """NYC-Taxi-shaped parquet decode (BASELINE.md config 4; reference
+    cpp/benchmarks/io/parquet/parquet_reader_input.cpp): write a
+    taxi-schema table as snappy+dictionary parquet with the native
+    writer, time read_parquet through the native reader tier, verify
+    bit-exact against pyarrow.  Returns MB/s over the on-disk size and
+    rows/s."""
+    import os
+    import tempfile
+
+    import cudf_tpu as ct
+
+    rng = np.random.default_rng(11)
+    pickup = np.datetime64("2015-01-01").astype("datetime64[s]").astype(
+        np.int64) + rng.integers(0, 30 * 86400, n)
+    df = ct.DataFrame({
+        "vendor_id": rng.integers(1, 3, n).astype(np.int32),
+        "passenger_count": rng.integers(1, 7, n).astype(np.int32),
+        "trip_distance": np.round(rng.gamma(2.0, 1.5, n), 2),
+        "pickup_datetime": pickup.astype("datetime64[s]").astype(
+            "datetime64[ns]"),
+        "payment_type": rng.choice(
+            ["CSH", "CRD", "DIS", "NOC"], n),
+        "fare_amount": np.round(rng.gamma(3.0, 4.0, n), 2),
+        "tip_amount": np.round(rng.gamma(1.0, 2.0, n) *
+                               (rng.random(n) < 0.6), 2),
+        "total_amount": np.round(rng.gamma(4.0, 4.0, n), 2),
+    })
+    path = os.path.join(tempfile.gettempdir(), "taxi_bench.parquet")
+    df.to_parquet(path, compression="snappy")
+    file_mb = os.path.getsize(path) / 1e6
+    # correctness first: bit-exact vs pyarrow on a prefix
+    import pyarrow.parquet as pq
+
+    got = ct.read_parquet(path)
+    exp = pq.read_table(path).to_pandas()
+    gp = got.to_pandas()
+    for c in ("trip_distance", "fare_amount", "total_amount"):
+        np.testing.assert_array_equal(gp[c].to_numpy(), exp[c].to_numpy())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ct.read_parquet(path)
+    dt_s = (time.perf_counter() - t0) / iters
+    return {"parquet_decode_mb_per_sec": round(file_mb / dt_s, 1),
+            "parquet_decode_rows_per_sec": round(n / dt_s),
+            "parquet_file_mb": round(file_mb, 1)}
+
+
+def bench_public_api(n=100_000_000, n_dim=100_000, iters=3):
+    """G1/J1 through the PUBLIC API (df.groupby().agg / df.merge) on
+    device-resident frames — dispatch/wrap overhead is part of the
+    number (VERDICT r4 item 8; the cudf.pandas db-benchmark methodology,
+    docs/cudf/source/cudf_pandas/benchmarks.md:25-110)."""
+    import cudf_tpu as ct
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(9), 4)
+    keys = jax.random.randint(k1, (n,), 0, K_LOW, dtype=jnp.int32)
+    vals = jax.random.normal(k2, (n,), dtype=jnp.float32)
+    df = ct.DataFrame({"k": keys, "v": vals})
+    out = {}
+
+    def g1():
+        r = df.groupby("k").agg({"v": ["sum", "mean", "count"]})
+        # materialize the (tiny) result — same sync the kernel tier pays
+        return float(r.to_pandas().iloc[0, 0])
+
+    g1()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g1()
+    out["public_g1_low_rows_per_sec"] = round(
+        n / ((time.perf_counter() - t0) / iters))
+
+    jkeys = jax.random.randint(k3, (n,), 0, n_dim, dtype=jnp.int32)
+    fact = ct.DataFrame({"k": jkeys, "v": vals})
+    dim = ct.DataFrame({"k": jax.random.permutation(k4, n_dim)
+                        .astype(jnp.int32),
+                        "w": jax.random.normal(k4, (n_dim,), jnp.float32)})
+
+    def j1():
+        r = fact.merge(dim, on="k")
+        return int(len(r))
+
+    j1()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        j1()
+    out["public_j1_medium_rows_per_sec"] = round(
+        n / ((time.perf_counter() - t0) / iters))
     return out
 
 
@@ -331,12 +445,15 @@ def main():
         import subprocess
 
         left = budget - (time.perf_counter() - t_start)
+        # cap the child so the remaining segments keep their budget even
+        # on a cold compile cache (TPC-H now runs FIRST)
+        child_budget = min(max(left - 20, 30), 620)
         try:
             r = subprocess.run(
                 [sys.executable, __file__, "--tpch-child", "1.0",
-                 str(max(left - 20, 30))],
+                 str(child_budget)],
                 capture_output=True, text=True,
-                timeout=max(left - 10, 35))
+                timeout=child_budget + 15)
         except subprocess.TimeoutExpired as e:
             print(f"  tpch child killed at deadline"
                   f" ({(e.stderr or b'').decode(errors='replace')[-200:]})",
@@ -349,7 +466,22 @@ def main():
                 detail.update(json.loads(line))
                 break
 
-    # historical costs (round-3 hardware, warm cache) + safety margin
+    def _parquet():
+        detail.update(bench_parquet_decode())
+        print(f"  parquet: {detail['parquet_decode_mb_per_sec']} MB/s",
+              file=sys.stderr, flush=True)
+
+    def _public():
+        detail.update(bench_public_api())
+        print(f"  public g1 {detail['public_g1_low_rows_per_sec']/1e6:.0f}"
+              f" / j1 {detail['public_j1_medium_rows_per_sec']/1e6:.0f}"
+              f" Mrows/s", file=sys.stderr, flush=True)
+
+    # TPC-H runs FIRST (the north-star metric went unmeasured for four
+    # rounds while it inherited G1/J1's leftover budget — VERDICT r4
+    # item 1a); G1/J1 have been stable for two rounds and absorb the
+    # remainder instead.
+    seg("TPC-H SF1 (SPMD-compiled, single chip)", 60, _tpch)
     seg("G1 low cardinality (K=100, one-hot MXU, 1e8 rows)", 90, _low)
     seg("G1 high cardinality (K=1e6, radix partition, 1e8 rows)", 120, _high)
     seg("J1 small join (1e8 x 1e2 dim)", 90, _join("small", 100))
@@ -358,7 +490,9 @@ def main():
         _join("big", N, iters=2))
     seg("J1 dict-string-key join (1e8 x 1e5, incl. dictionary match)", 90,
         _dict)
-    seg("TPC-H SF1 (SPMD-compiled, single chip)", 60, _tpch)
+    seg("NYC-Taxi parquet decode (snappy+dict, native reader)", 90,
+        _parquet)
+    seg("Public-API G1/J1 (df.groupby/df.merge end-to-end)", 90, _public)
     emit()
 
 
