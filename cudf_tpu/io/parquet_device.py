@@ -200,8 +200,26 @@ def device_delta_binary_decode(data: bytes, count: int = -1):
     (starts, widths, bitoffs, mins, first, total,
      consumed) = parse_delta_miniblocks(data, count)
     if len(widths) and int(widths.max()) > 32:
-        # 5-byte gather window covers width+shift <= 40 bits
-        raise NotImplementedError("delta bit width > 32")
+        # 5-byte gather window covers width+shift <= 40 bits; wider
+        # deltas (full-range int64 jumps) decode on HOST — rare in real
+        # files, and correctness beats the device tier here
+        n = total if count < 0 else min(count, total)
+        out = np.zeros(max(n, 1), np.uint64)
+        out[0] = np.uint64(first & 0xFFFFFFFFFFFFFFFF)
+        big = int.from_bytes(data, "little")
+        done = 1
+        for s, w, bo, md in zip(starts.tolist(), widths.tolist(),
+                                bitoffs.tolist(), mins.tolist()):
+            if done > n - 1:
+                break
+            take = min(n - 1 - s, 32)
+            mask = (1 << w) - 1
+            for i in range(take):
+                d = (big >> (bo + i * w)) & mask
+                out[1 + s + i] = np.uint64(
+                    (int(out[s + i]) + d + md) & 0xFFFFFFFFFFFFFFFF)
+                done += 1
+        return jnp.asarray(out[:n].astype(np.int64)), consumed
     n = total if count < 0 else min(count, total)
     if n <= 0:
         return jnp.zeros((0,), jnp.int64), consumed

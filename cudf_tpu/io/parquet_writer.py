@@ -260,6 +260,79 @@ def _rle_hybrid_encode(values: np.ndarray, bit_width: int) -> bytes:
     return bytes(out)
 
 
+def _varint_bytes(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_bytes(v: int) -> bytes:
+    return _varint_bytes((v << 1) ^ (v >> 63) if v < 0 else (v << 1))
+
+
+def _delta_binary_encode(vals: np.ndarray) -> bytes:
+    """DELTA_BINARY_PACKED encoder (delta_enc.cuh role): blocks of 128
+    deltas in 4 miniblocks of 32, per-block min-delta zigzag + per-
+    miniblock bit widths, little-endian bit packing.  Wrapping int64
+    arithmetic per spec (the decoder wraps identically)."""
+    v = vals.astype(np.int64)
+    n = len(v)
+    header = (_varint_bytes(128) + _varint_bytes(4) + _varint_bytes(n)
+              + _zigzag_bytes(int(v[0]) if n else 0))
+    if n <= 1:
+        return header
+    with np.errstate(over="ignore"):
+        deltas = (v[1:].astype(np.uint64)
+                  - v[:-1].astype(np.uint64)).astype(np.int64)
+    out = bytearray(header)
+    for b0 in range(0, len(deltas), 128):
+        blk = deltas[b0:b0 + 128]
+        md = int(blk.min())
+        out += _zigzag_bytes(md)
+        with np.errstate(over="ignore"):
+            adj = (blk.astype(np.uint64)
+                   - np.uint64(md & 0xFFFFFFFFFFFFFFFF)).astype(np.uint64)
+        padded = np.zeros(128, np.uint64)
+        padded[:len(adj)] = adj
+        widths = []
+        packed = []
+        for m in range(4):
+            mb = padded[m * 32:(m + 1) * 32]
+            first = m * 32
+            if first >= len(adj):
+                widths.append(0)
+                packed.append(b"")
+                continue
+            bw = max(int(x).bit_length() for x in mb.tolist())
+            widths.append(bw)
+            if bw == 0:
+                packed.append(b"")
+                continue
+            acc = 0
+            for i, x in enumerate(mb.tolist()):
+                acc |= int(x) << (i * bw)
+            packed.append(acc.to_bytes(4 * bw, "little"))
+        out += bytes(widths)
+        for p in packed:
+            out += p
+    return bytes(out)
+
+
+def _present_int_values(col) -> np.ndarray:
+    from cudf_tpu.ops._utils import materialize_validity
+
+    data = np.asarray(col.data)
+    if col.validity is not None:
+        data = data[np.asarray(materialize_validity(col))]
+    return data.astype(np.int64)
+
+
 def _try_dictionary(vals: bytes, pt: int, col) -> Optional[Tuple[bytes, np.ndarray]]:
     """(dict_page_values_plain, indices) or None when a dictionary does
     not pay (the chunk_dict.cu plain-fallback heuristic: too many
@@ -462,12 +535,16 @@ def write_parquet_native(df, path: str, row_group_size: int = 1 << 20,
                          data_page_version: int = 1,
                          data_page_rows: int = 0,
                          write_page_index: bool = True,
-                         bloom_filter_columns=None):
-    """Write a DataFrame as a flat-schema parquet file.
+                         bloom_filter_columns=None,
+                         use_delta_binary: bool = False):
+    """Write a DataFrame as a parquet file (flat, one-level list and
+    struct schemas).
 
     compression: uncompressed | snappy | gzip | zstd (page codec);
     use_dictionary: dictionary-encode chunks when it pays, falling back
     to PLAIN on overflow (chunk_dict.cu discipline);
+    use_delta_binary: encode int32/int64 leaves that did not dictionary-
+    encode as DELTA_BINARY_PACKED (delta_enc.cuh role);
     data_page_version: 1 or 2 (v2 keeps levels uncompressed and marks
     is_compressed per page);
     data_page_rows: split chunks into pages of this many rows (0 = one
@@ -538,6 +615,12 @@ def write_parquet_native(df, path: str, row_group_size: int = 1 << 20,
                 indices = None
                 dic = _try_dictionary(vals_all, pt, col) \
                     if (use_dictionary and spec["dict_ok"]) else None
+                delta_vals = None
+                if (dic is None and use_delta_binary
+                        and pt in (_PT_INT32, _PT_INT64)):
+                    delta_vals = _present_int_values(col)
+                    vals_all = _delta_binary_encode(delta_vals)
+                    encoding = 5          # DELTA_BINARY_PACKED
                 if dic is not None:
                     dict_vals, indices = dic
                     nuniq = max(len(indices) and int(indices.max()) + 1, 1)
@@ -601,11 +684,13 @@ def write_parquet_native(df, path: str, row_group_size: int = 1 << 20,
                     else:
                         sub = _slice_col(col, r0, r1)
                         sub_vals, _, mn_p, mx_p = _plain_encode(sub)
+                        a = pv[r0] if pv is not None else r0
+                        b = pv[r1] if pv is not None else r1
                         if indices is not None:
-                            a = pv[r0] if pv is not None else r0
-                            b = pv[r1] if pv is not None else r1
                             vals = bytes([bw]) + _rle_hybrid_encode(
                                 indices[a:b], bw)
+                        elif delta_vals is not None:
+                            vals = _delta_binary_encode(delta_vals[a:b])
                         else:
                             vals = sub_vals
                     has_levels = len(lvl) > 0
