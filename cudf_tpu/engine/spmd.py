@@ -324,6 +324,8 @@ class _Lowering:
 
                 return fn, dict(cdt), set(cmask)
             # Select / HStack: dtypes need a host-side probe (zero-row eval)
+            if any(_over_spec(e) is not None for e in node.exprs):
+                return self._lower_pointwise_over(node, cfn, cdt, cmask)
             self._check_exprs(node.exprs)
             probe = self._make_probe(cdt, cmask)
             hstack = isinstance(node, IRs.HStack)
@@ -398,6 +400,133 @@ class _Lowering:
         raise Unlowerable(f"node {type(node).__name__}")
 
     # -- relational nodes ------------------------------------------------
+    _OVER_OPS = ("sum", "count", "size", "mean", "min", "max")
+
+    def _lower_pointwise_over(self, node, cfn, cdt, cmask):
+        """Select/HStack whose exprs contain TOP-LEVEL ``.over(keys)``
+        window aggregates (optionally under Alias): shuffle the stream
+        by the partition keys, evaluate shard-local (local_over_shard),
+        then restore global row order by a hidden row-id sample sort —
+        the streaming/over.py co-location discipline."""
+        import jax
+        import jax.numpy as jnp
+        from cudf_tpu.parallel.dist import (_dist_sort_shard,
+                                            local_over_shard)
+        from cudf_tpu.parallel.shuffle import shuffle_by_keys
+
+        hstack = isinstance(node, IRs.HStack)
+        specs = []          # (output_name, None | (kind, inner), expr)
+        okeys = None
+        for e in node.exprs:
+            ov = _over_spec(e)
+            if ov is None:
+                self._check_exprs([e])
+                specs.append((e.output_name, None, e))
+                continue
+            kind, inner, keys = ov
+            if kind not in self._OVER_OPS:
+                raise Unlowerable(f"over agg {kind}")
+            self._check_exprs([inner])
+            if okeys is None:
+                okeys = list(keys)
+            elif list(keys) != okeys:
+                raise Unlowerable("mixed over() key sets")
+            specs.append((e.output_name, (kind, inner), e))
+        for k in okeys:
+            if k not in cdt:
+                raise Unlowerable(f"over key {k} not in schema")
+            if k in cmask:
+                raise Unlowerable(f"over key {k} is nullable")
+        probe = self._make_probe(cdt, cmask)
+        out_dt = dict(cdt) if hstack else {}
+        out_mask = set(cmask) if hstack else set()
+        for name, ov, e in specs:
+            if ov is None:
+                d_, m_ = self._probe_meta(e, probe)
+                out_dt[name] = d_
+                out_mask.discard(name)
+                if m_:
+                    out_mask.add(name)
+                src = _col_ref(e)
+                if src is not None and src in self.dicts:
+                    self.dicts[name] = self.dicts[src]
+            else:
+                kind, inner = ov
+                in_dt, in_masked = self._probe_meta(inner, probe)
+                if kind in ("count", "size"):
+                    out_dt[name] = dt.INT64
+                elif kind == "mean":
+                    out_dt[name] = dt.FLOAT64
+                elif kind == "sum":
+                    out_dt[name] = dt.INT64 if (in_dt.is_integer
+                                                or in_dt.is_bool) \
+                        else dt.FLOAT64
+                else:
+                    out_dt[name] = in_dt
+                out_mask.discard(name)
+                if kind in ("mean", "min", "max"):
+                    out_mask.add(name)   # empty/all-null group → null
+        # the restore sort carries every output column + mask
+        out_names = list(out_dt)
+        out_mnames = sorted(out_mask)
+
+        def fn(srcs, tok=None, _cfn=cfn, _cdt=cdt, _specs=specs,
+               _okeys=list(okeys), _hstack=hstack):
+            s = _cfn(srcs, tok)
+            n = s.valid.shape[0]
+            karr = [self._key_cast(s.cols[k]) for k in _okeys]
+            karr[0] = self._after(karr[0], s.tok)
+            gid = jax.lax.axis_index(self.axis).astype(jnp.int64) \
+                * jnp.int64(n) + jnp.arange(n, dtype=jnp.int64)
+            in_names = list(s.cols)
+            in_mnames = sorted(s.masks)
+            pays = [s.cols[c] for c in in_names] \
+                + [s.masks[c] for c in in_mnames] + [gid]
+            cap = int(min(n * 2 * self.out_factor,
+                          max(n * self.num_parts, 16)))
+            krecv, precv, mask2, drop = shuffle_by_keys(
+                karr, pays, s.valid, self.num_parts, cap, self.axis)
+            cols2 = dict(zip(in_names, precv))
+            masks2 = dict(zip(in_mnames, precv[len(in_names):]))
+            gid2 = precv[-1]
+            tok2 = self._mark(mask2, s.tok)
+            s2 = _Stream(cols2, mask2, s.over, tok=tok2, masks=masks2)
+            out_cols = dict(cols2) if _hstack else {}
+            out_ms = dict(masks2) if _hstack else {}
+            for name, ov, e in _specs:
+                if ov is None:
+                    data, m, _ = self._eval_expr(e, s2, _cdt)
+                    out_cols[name] = data
+                    out_ms.pop(name, None)
+                    if m is not None:
+                        out_ms[name] = m
+                else:
+                    kind, inner = ov
+                    vdata, vmask, _ = self._eval_expr(inner, s2, _cdt)
+                    red, ok = local_over_shard(krecv, vdata, mask2, kind,
+                                               vmask=vmask)
+                    out_cols[name] = red
+                    out_ms.pop(name, None)
+                    if kind in ("mean", "min", "max"):
+                        out_ms[name] = ok
+            # restore global row order: sample-sort by the hidden row id
+            sort_pays = [out_cols[c] for c in out_names] \
+                + [out_ms.get(c, jnp.ones_like(mask2)) for c in out_mnames]
+            capacity = max(int(cap * 2) * self.out_factor, 16)
+            gkey = self._after(gid2, tok2)
+            _, pays_out, mask_out, dropped = _dist_sort_shard(
+                gkey, sort_pays, mask2, num_parts=self.num_parts,
+                capacity=capacity, descending=False, axis=self.axis)
+            cols = {c: pays_out[i] for i, c in enumerate(out_names)}
+            masks = {c: pays_out[len(out_names) + i]
+                     for i, c in enumerate(out_mnames)}
+            return _Stream(cols, mask_out,
+                           s.over + drop.astype(jnp.int64).reshape(1)
+                           + dropped,
+                           tok=self._mark(mask_out, tok2), masks=masks)
+
+        return fn, out_dt, out_mask
+
     def _lower_groupby(self, node):
         import jax.numpy as jnp
         from cudf_tpu.parallel.dist import dist_groupby_agg_shard
@@ -871,6 +1000,19 @@ class _Lowering:
             return _Stream(cols, valid, s.over, tok=tok)
 
         return fn, out_dt, set()
+
+
+def _over_spec(e):
+    """(agg_kind, inner_expr, keys) when ``e`` is a top-level
+    ``agg().over(keys)`` (optionally under Alias), else None."""
+    from cudf_tpu.engine.expr import Alias, Over
+
+    while isinstance(e, Alias):
+        e = e.children[0]
+    if isinstance(e, Over):
+        agg = e.children[0]
+        return agg.agg, agg.children[0], list(e.keys)
+    return None
 
 
 def _col_ref(e) -> Optional[str]:

@@ -696,6 +696,67 @@ def _dist_sort_shard(key, pays, valid, *, num_parts, capacity, descending,
             dropped.reshape(1))
 
 
+def local_over_shard(keys, value, valid, op, vmask=None):
+    """Per-row windowed aggregate (SQL ``agg OVER (PARTITION BY k)``)
+    for co-located key groups, fully traced (static shapes): stable sort
+    by keys → run-id segment reduce → broadcast to rows → unsort.
+    The shard-local half of the streaming/over.py role; callers shuffle
+    rows by the partition keys first so groups never straddle shards.
+
+    Returns (per_row_value, per_row_mask): mask is False where the
+    group had no valid inputs (mean/min/max of nothing → null)."""
+    n = keys[0].shape[0]
+    it = _idx_dtype(n)
+    inv = (~valid).astype(jnp.int32)
+    idx = jnp.arange(n, dtype=it)
+    sorted_ = jax.lax.sort([inv, *keys, idx], num_keys=1 + len(keys),
+                           is_stable=True)
+    inv_s, ks_s, order = sorted_[0], sorted_[1:-1], sorted_[-1]
+    diff = inv_s[1:] != inv_s[:-1]
+    for ks in ks_s:
+        diff = diff | (ks[1:] != ks[:-1])
+    neq = jnp.concatenate([jnp.ones((1,), jnp.bool_), diff])
+    run_id = jnp.cumsum(neq.astype(it)) - 1
+    valid_s = inv_s == 0
+    v_s = jnp.take(value, order)
+    m_s = valid_s if vmask is None else (valid_s & jnp.take(vmask, order))
+    cnt = jax.ops.segment_sum(m_s.astype(jnp.int64), run_id,
+                              num_segments=n)
+    if op in ("sum", "mean", "count", "size"):
+        if op == "size":
+            per_run = jax.ops.segment_sum(valid_s.astype(jnp.int64),
+                                          run_id, num_segments=n)
+        elif op == "count":
+            per_run = cnt
+        else:
+            acc_t = jnp.float64 if jnp.issubdtype(v_s.dtype, jnp.floating) \
+                else jnp.int64
+            x = jnp.where(m_s, v_s.astype(acc_t), jnp.zeros((), acc_t))
+            per_run = jax.ops.segment_sum(x, run_id, num_segments=n)
+            if op == "mean":
+                per_run = per_run.astype(jnp.float64) \
+                    / jnp.maximum(cnt, 1).astype(jnp.float64)
+    elif op in ("min", "max"):
+        if jnp.issubdtype(v_s.dtype, jnp.floating):
+            ident = jnp.array(jnp.inf if op == "min" else -jnp.inf,
+                              v_s.dtype)
+        else:
+            info = jnp.iinfo(v_s.dtype)
+            ident = jnp.array(info.max if op == "min" else info.min,
+                              v_s.dtype)
+        x = jnp.where(m_s, v_s, ident)
+        seg = jax.ops.segment_min if op == "min" else jax.ops.segment_max
+        per_run = seg(x, run_id, num_segments=n)
+    else:
+        raise ValueError(op)
+    red_s = jnp.take(per_run, run_id)
+    ok_s = jnp.take(cnt, run_id) > 0 if op not in ("count", "size") \
+        else jnp.ones((n,), jnp.bool_)
+    out = jnp.zeros((n,), red_s.dtype).at[order].set(red_s)
+    ok = jnp.zeros((n,), jnp.bool_).at[order].set(ok_s)
+    return out, ok
+
+
 def _dist_sort_multi_shard(keys, pays, valid, *, num_parts, capacity, axis):
     """Multi-key sample-sort shard body: lexicographic over a LIST of
     int64 order-encoded keys (descending already folded into each

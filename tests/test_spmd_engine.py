@@ -307,3 +307,42 @@ def test_fallback_accounting(rng, mesh):
         assert eng.get_fallback_stats()["count"] == 2
     finally:
         set_option("executor.fallback_mode", prev)
+
+
+def test_over_window_exprs(rng, mesh):
+    """Top-level .over(keys) window aggregates lower: shuffle by the
+    partition keys, shard-local segment reduce, row order restored
+    (streaming/over.py role)."""
+    n = 4000
+    pdf = pd.DataFrame({"k": rng.integers(0, 50, n),
+                        "v": rng.normal(size=n).round(3),
+                        "w": rng.integers(0, 100, n)})
+    from cudf_tpu.engine.expr import col as c
+
+    lf = (_lf(pdf)
+          .with_columns(c("v").sum().over("k").alias("gsum"),
+                        c("v").mean().over("k").alias("gmean"),
+                        c("w").max().over("k").alias("gmax"),
+                        (c("v") * 2.0).alias("v2")))
+    out = _assert_spmd_used(lf.optimized(), mesh)
+    got = pd.DataFrame({n_: np.asarray(col.data) for n_, col in out.items()})
+    g = pdf.groupby("k")["v"]
+    exp_gsum = g.transform("sum")
+    exp_gmean = g.transform("mean")
+    exp_gmax = pdf.groupby("k")["w"].transform("max")
+    # row order must be preserved (the hidden row-id restore sort)
+    np.testing.assert_array_equal(got["k"], pdf["k"])
+    np.testing.assert_allclose(got["gsum"], exp_gsum, rtol=1e-12)
+    np.testing.assert_allclose(got["gmean"], exp_gmean, rtol=1e-12)
+    np.testing.assert_array_equal(got["gmax"], exp_gmax)
+    np.testing.assert_allclose(got["v2"], pdf["v"] * 2.0, rtol=1e-12)
+    # and through the public collect(), composed with a filter
+    lf2 = (_lf(pdf)
+           .with_columns(c("v").sum().over("k").alias("t"))
+           .filter(c("v") > c("t") * 0.1))
+    got2 = lf2.collect(mesh=mesh).to_pandas()
+    sel = pdf[pdf.v > exp_gsum * 0.1]
+    np.testing.assert_allclose(
+        np.sort(got2["v"].to_numpy()), np.sort(sel["v"].to_numpy()),
+        rtol=1e-12)
+    assert len(got2) == len(sel)
