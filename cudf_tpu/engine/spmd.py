@@ -1297,37 +1297,57 @@ def _pull_compacted(arrs, cnts):
         fn = _COMPACT_CACHE.get(sig)
         if fn is None:
             def packer(*xs, _kp=kp):
-                # wire format = int32 words (the TPU backend rejects
-                # sub-word bitcasts): itemsize>=4 dtypes bitcast 1:N,
-                # narrow ints/bools WIDEN to int32 (values preserved,
-                # host casts back)
-                out = []
+                # wire format = one int32-word buffer + separate f64
+                # tails.  The TPU X64-rewrite pass cannot lower ANY
+                # 64-bit bitcast (measured: s64→s32 pairs, f64→s64 both
+                # fail to compile), so int64 splits into lo/hi words
+                # ARITHMETICALLY and float64 arrays skip the packed
+                # buffer entirely (their prefix slices transfer as-is —
+                # the runtime moves emulated f64 natively)
+                words, f64s = [], []
                 for x in xs:
                     y = x[:_kp]
-                    if np.dtype(y.dtype).itemsize < 4:
-                        y = y.astype(jnp.float32 if jnp.issubdtype(
-                            y.dtype, jnp.floating) else jnp.int32)
-                        y = jax.lax.bitcast_convert_type(y, jnp.int32)
-                    else:
-                        y = jax.lax.bitcast_convert_type(y, jnp.int32)
-                    out.append(y.reshape(-1))
-                return jnp.concatenate(out)
+                    d = np.dtype(y.dtype)
+                    if d.kind == "f" and d.itemsize == 8:
+                        f64s.append(y)
+                        continue
+                    if d.itemsize == 8:                   # int64/uint64
+                        lo = (y & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
+                        hi = ((y >> 32) & jnp.int64(0xFFFFFFFF)) \
+                            .astype(jnp.uint32)
+                        w = jnp.stack([lo, hi], axis=-1).reshape(-1)
+                        words.append(jax.lax.bitcast_convert_type(
+                            w, jnp.int32))
+                        continue
+                    if d.itemsize < 4:
+                        y = y.astype(jnp.float32 if d.kind == "f"
+                                     else jnp.int32)
+                    words.append(jax.lax.bitcast_convert_type(
+                        y, jnp.int32).reshape(-1))
+                return (jnp.concatenate(words) if words
+                        else jnp.zeros((0,), jnp.int32), *f64s)
 
             fn = jax.jit(packer)
             while len(_COMPACT_CACHE) >= _AUX_CACHE_CAP:
                 _COMPACT_CACHE.pop(next(iter(_COMPACT_CACHE)))
             _COMPACT_CACHE[sig] = fn
-        buf = np.asarray(fn(*[sh[i].data for sh in shards]))
+        outs = fn(*[sh[i].data for sh in shards])
+        buf = np.asarray(outs[0])
+        f64_iter = iter(outs[1:])
         off = 0
         for p, d in zip(parts, np_dtypes):
-            if d.itemsize < 4:
+            if d.kind == "f" and d.itemsize == 8:
+                p.append(np.asarray(next(f64_iter))[:k_i])
+            elif d.itemsize == 8:
+                p.append(buf[off:off + 2 * kp].view(d)[:k_i])
+                off += 2 * kp
+            elif d.itemsize < 4:
                 wide = np.dtype(np.float32 if d.kind == "f" else np.int32)
                 p.append(buf[off:off + kp].view(wide).astype(d)[:k_i])
                 off += kp
             else:
-                nw = kp * (d.itemsize // 4)
-                p.append(buf[off:off + nw].view(d)[:k_i])
-                off += nw
+                p.append(buf[off:off + kp].view(d)[:k_i])
+                off += kp
     return [np.concatenate(p) if p else np.zeros((0,), d)
             for p, d in zip(parts, np_dtypes)]
 

@@ -685,7 +685,7 @@ def _read_parquet_nested(path, md, columns, filters, row_groups):
     from cudf_tpu.io import parquet_nested as pn
     from cudf_tpu.ops import copying
 
-    fields = pn.schema_fields(md.schema)
+    fields = pn.schema_tree(md.schema)
     wanted = columns or [f.name for f in fields]
     groups = md.row_groups
     if row_groups is not None:
@@ -699,23 +699,11 @@ def _read_parquet_nested(path, md, columns, filters, row_groups):
         for f in fields:
             if f.name not in cols:
                 continue
-            if f.kind == "leaf":
-                leaf = f.leaves[0]
+            streams = {}
+            for leaf in f.leaves():
                 cc = by_path[leaf.path]
-                values, defs, reps = pn.read_chunk_levels(path, cc, leaf)
-                cols[f.name].append(pn._values_column(values, defs, leaf))
-            elif f.kind == "list":
-                leaf = f.leaves[0]
-                cc = by_path[leaf.path]
-                values, defs, reps = pn.read_chunk_levels(path, cc, leaf)
-                cols[f.name].append(pn.assemble_list(values, defs, reps, f))
-            else:
-                parts = []
-                for leaf in f.leaves:
-                    cc = by_path[leaf.path]
-                    values, defs, _ = pn.read_chunk_levels(path, cc, leaf)
-                    parts.append((values, defs))
-                cols[f.name].append(pn.assemble_struct(parts, f))
+                streams[leaf.path] = pn.read_chunk_levels(path, cc, leaf)
+            cols[f.name].append(pn.assemble_node(f, streams))
     out = {}
     for n in wanted:
         parts = cols[n]

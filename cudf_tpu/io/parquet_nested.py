@@ -49,6 +49,202 @@ class FieldInfo:
     field_names: Tuple[str, ...] = ()   # structs
 
 
+@dataclass
+class Node:
+    """Schema-tree node for general-depth nested assembly (the dremel
+    machinery of cpp/src/lists/dremel.cu + decode_preprocess.cu nesting
+    info, host-side): rep = repetition depth (number of repeated
+    ancestors incl. this list's own group), d_present = min def level at
+    which this node is non-null, d_elem (lists) = min def level at which
+    an element slot exists."""
+    name: str
+    kind: str                    # "leaf" | "list" | "struct"
+    optional: bool
+    rep: int
+    d_present: int
+    d_elem: int = 0
+    children: List["Node"] = None
+    leaf: Optional[LeafInfo] = None
+
+    def leaves(self) -> List[LeafInfo]:
+        if self.kind == "leaf":
+            return [self.leaf]
+        out = []
+        for c in self.children:
+            out.extend(c.leaves())
+        return out
+
+
+def schema_tree(schema: List["thrift.SchemaElement"]) -> List[Node]:
+    """Parse the flattened pre-order schema into top-level Node trees of
+    ARBITRARY nesting (list<list<T>>, struct<list>, list<struct>, map as
+    list<struct<key,value>>)."""
+    i = [1]                                   # schema[0] = root
+
+    def take():
+        el = schema[i[0]]
+        i[0] += 1
+        kids = []
+        for _ in range(el.num_children):
+            kids.append(take())
+        return (el, kids)
+
+    def build(el, kids, path, rep, d) -> Node:
+        opt = el.repetition_type == 1
+        repeated = el.repetition_type == 2
+        if repeated:
+            # a repeated node contributes one rep + one def level; the
+            # enclosing (annotated) group supplies name/nullability
+            raise AssertionError("repeated handled by parent")
+        d_pres = d + (1 if opt else 0)
+        if el.num_children == 0:
+            leaf = LeafInfo(tuple(path + [el.name]), el, d_pres, rep,
+                            d_pres, d_pres)
+            return Node(el.name, "leaf", opt, rep, d_pres, leaf=leaf)
+        # group: LIST/MAP (single repeated child) or plain struct
+        if len(kids) == 1 and kids[0][0].repetition_type == 2:
+            rep_el, rep_kids = kids[0]
+            d_elem = d_pres + 1
+            r2 = rep + 1
+            p2 = path + [el.name, rep_el.name]
+            if rep_el.num_children == 0:
+                # legacy 2-level list: repeated leaf directly
+                leaf = LeafInfo(tuple(p2), rep_el, d_elem, r2, d_elem,
+                                d_elem)
+                elem = Node(rep_el.name, "leaf", False, r2, d_elem,
+                            leaf=leaf)
+            elif len(rep_kids) == 1 and el.converted_type == 3:
+                # standard 3-level LIST: element = the single child
+                sub_el, sub_kids = rep_kids[0]
+                elem = build_at(sub_el, sub_kids, p2, r2, d_elem)
+            else:
+                # MAP key_value group, or repeated group with several
+                # children: element = struct of them
+                kids2 = [build_at(se, sk, p2, r2, d_elem)
+                         for se, sk in rep_kids]
+                elem = Node(rep_el.name, "struct", False, r2, d_elem,
+                            children=kids2)
+            return Node(el.name, "list", opt, r2, d_pres, d_elem, [elem])
+        kids2 = [build_at(se, sk, path + [el.name], rep, d_pres)
+                 for se, sk in kids]
+        return Node(el.name, "struct", opt, rep, d_pres, children=kids2)
+
+    def build_at(el, kids, path, rep, d):
+        if el.repetition_type == 2:
+            # bare repeated group/leaf without an annotated wrapper:
+            # synthesize a required list around it
+            d_elem = d + 1
+            r2 = rep + 1
+            if el.num_children == 0:
+                leaf = LeafInfo(tuple(path + [el.name]), el, d_elem, r2,
+                                d_elem, d_elem)
+                elem = Node(el.name, "leaf", False, r2, d_elem, leaf=leaf)
+            else:
+                kids2 = [build_at(se, sk, path + [el.name], r2, d_elem)
+                         for se, sk in kids]
+                elem = Node(el.name, "struct", False, r2, d_elem,
+                            children=kids2)
+            return Node(el.name, "list", False, r2, d, d_elem, [elem])
+        return build(el, kids, path, rep, d)
+
+    out = []
+    while i[0] < len(schema):
+        el, kids = take()
+        out.append(build_at(el, kids, [], 0, 0))
+    return out
+
+
+def assemble_node(node: Node, streams: Dict[Tuple[str, ...], tuple]) -> Column:
+    """Recursive general-depth assembly: per-leaf (values, defs, reps)
+    streams → Column.  Works because every level shared between sibling
+    leaves has identical def/rep prefixes, so any descendant leaf's
+    stream drives offsets/validity at a shared node; leaves keep their
+    own entry cadence through per-leaf selection masks (deeper lists
+    give a leaf more entries per slot)."""
+    sel_map = {leaf.path: np.ones(len(streams[leaf.path][1]), bool)
+               for leaf in node.leaves()}
+    return _assemble_with_sel(node, streams, sel_map)
+
+
+def _assemble_with_sel(node: Node, streams, sel_map) -> Column:
+    import jax.numpy as jnp
+
+    if node.kind == "leaf":
+        leaf = node.leaf
+        values, defs, _ = streams[leaf.path]
+        d = defs[sel_map[leaf.path]]
+        present = d >= leaf.def_present
+        n = len(d)
+        mask = None if present.all() else present
+        if isinstance(values, tuple):
+            po, pc = values
+            lens = np.zeros(n, np.int64)
+            lens[present] = (po[1:] - po[:-1])
+            offs = np.zeros(n + 1, np.int64)
+            np.cumsum(lens, out=offs[1:])
+            return Column(dt.STRING, n, data=jnp.asarray(pc),
+                          offsets=jnp.asarray(offs),
+                          validity=jnp.asarray(mask)
+                          if mask is not None else None)
+        full = np.zeros(n, dtype=values.dtype if getattr(values, "size", 0)
+                        else np.float64)
+        full[present] = values
+        return Column.from_numpy(full, mask=mask)
+
+    if node.kind == "struct":
+        children = [_assemble_with_sel(c, streams, sel_map)
+                    for c in node.children]
+        # slot-axis entries of leaf0 = those with rep <= node.rep
+        # (deeper-list continuations repeat WITHIN a slot)
+        leaf0 = node.leaves()[0]
+        _, defs, reps = streams[leaf0.path]
+        m = sel_map[leaf0.path]
+        d = defs[m]
+        r = reps[m]
+        slot = r <= node.rep
+        mask = None
+        if node.optional:
+            pv = d[slot] >= node.d_present
+            if not pv.all():
+                mask = jnp.asarray(pv)
+        n = children[0].length if children else int(slot.sum())
+        fields = tuple((c_node.name, c.dtype)
+                       for c_node, c in zip(node.children, children))
+        return Column(dt.struct_dtype(fields), n, children=children,
+                      validity=mask)
+
+    # list node at repetition depth node.rep
+    leaf0 = node.leaves()[0]
+    _, defs0, reps0 = streams[leaf0.path]
+    sel0 = sel_map[leaf0.path]
+    d = defs0[sel0]
+    r = reps0[sel0]
+    ell = node.rep
+    starts = r < ell                 # entry begins a parent-axis slot
+    n_slots = int(starts.sum())
+    slot_id = np.cumsum(starts) - 1
+    elem_start = (r <= ell) & (d >= node.d_elem)
+    counts = np.zeros(max(n_slots, 1), np.int64)
+    np.add.at(counts, slot_id[elem_start], 1)
+    counts = counts[:n_slots]
+    offsets = np.zeros(n_slots + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    mask = None
+    if node.optional:
+        pv = d[starts] >= node.d_present
+        if not pv.all():
+            mask = jnp.asarray(pv)
+    # recurse on entries belonging to existing elements (def >= d_elem)
+    child_sel = {}
+    for leaf in node.leaves():
+        _, ldefs, _ = streams[leaf.path]
+        child_sel[leaf.path] = sel_map[leaf.path] & (ldefs >= node.d_elem)
+    col = _assemble_with_sel(node.children[0], streams, child_sel)
+    return Column(dt.list_dtype(col.dtype), n_slots,
+                  offsets=jnp.asarray(offsets), children=[col],
+                  validity=mask)
+
+
 def schema_fields(schema: List["thrift.SchemaElement"]) -> List[FieldInfo]:
     """Walk the flattened pre-order schema into top-level FieldInfos."""
     fields: List[FieldInfo] = []

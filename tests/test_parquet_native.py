@@ -509,3 +509,42 @@ def test_writer_nested_list_struct_roundtrip(tmp_path, rng):
 
     back = read_parquet_native(p)
     assert back["k"].to_arrow().to_pylist() == list(range(8))
+
+
+def test_nested_arbitrary_depth(tmp_path):
+    """General-depth nested read (dremel rep/def assembly,
+    decode_preprocess.cu role): list<list>, list<struct>, struct<list>,
+    map, list<list<list>>, nulls at every level, vs pyarrow."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cudf_tpu.io.parquet_native import read_parquet_native
+
+    t = pa.table({
+        "ll": pa.array([[[1, 2], [3]], [], None, [[4], [], None],
+                        [[5, 6, 7]]], pa.list_(pa.list_(pa.int64()))),
+        "ls": pa.array([[{"a": 1, "b": "x"}, {"a": None, "b": "yy"}],
+                        None, [], [{"a": 4, "b": None}], []],
+                       pa.list_(pa.struct([("a", pa.int64()),
+                                           ("b", pa.string())]))),
+        "sl": pa.array([{"v": [1, 2], "w": 3}, {"v": None, "w": 4}, None,
+                        {"v": [], "w": None}, {"v": [9], "w": 7}],
+                       pa.struct([("v", pa.list_(pa.int64())),
+                                  ("w", pa.int64())])),
+        "mp": pa.array([{"k1": 1, "k2": 2}, {}, None, {"k3": 3},
+                        {"k4": None}], pa.map_(pa.string(), pa.int64())),
+        "lll": pa.array([[[[1], [2, 3]], [[4]]], None, [[]],
+                         [[[5]], [], [[6, 7], [8]]], [[[9]]]],
+                        pa.list_(pa.list_(pa.list_(pa.int64())))),
+        "flat": pa.array([10, 20, 30, None, 50], pa.int64()),
+    })
+    p = str(tmp_path / "deep.pq")
+    pq.write_table(t, p)
+    got = read_parquet_native(p)
+    exp = pq.read_table(p)
+    for c in ("ll", "ls", "sl", "lll", "flat"):
+        assert got[c].to_arrow().to_pylist() == exp.column(c).to_pylist(), c
+    # map reads as list<struct<key,value>> (cudf's own map layout)
+    mp = got["mp"].to_arrow().to_pylist()
+    norm = [None if r is None else [(e["key"], e["value"]) for e in r]
+            for r in mp]
+    assert norm == exp.column("mp").to_pylist()
