@@ -480,16 +480,24 @@ class _Lowering:
                 * jnp.int64(n) + jnp.arange(n, dtype=jnp.int64)
             in_names = list(s.cols)
             in_mnames = sorted(s.masks)
-            pays = [s.cols[c] for c in in_names] \
-                + [s.masks[c] for c in in_mnames] + [gid]
-            cap = int(min(n * 2 * self.out_factor,
-                          max(n * self.num_parts, 16)))
-            krecv, precv, mask2, drop = shuffle_by_keys(
-                karr, pays, s.valid, self.num_parts, cap, self.axis)
-            cols2 = dict(zip(in_names, precv))
-            masks2 = dict(zip(in_mnames, precv[len(in_names):]))
-            gid2 = precv[-1]
-            tok2 = self._mark(mask2, s.tok)
+            if self.num_parts == 1:
+                # groups are already co-located on the single shard:
+                # no shuffle, and row order is untouched
+                krecv, mask2, gid2 = karr, s.valid, gid
+                cols2, masks2 = dict(s.cols), dict(s.masks)
+                drop = jnp.zeros((1,), jnp.int64)
+                tok2 = s.tok
+            else:
+                pays = [s.cols[c] for c in in_names] \
+                    + [s.masks[c] for c in in_mnames] + [gid]
+                cap = int(min(n * 2 * self.out_factor,
+                              max(n * self.num_parts, 16)))
+                krecv, precv, mask2, drop = shuffle_by_keys(
+                    karr, pays, s.valid, self.num_parts, cap, self.axis)
+                cols2 = dict(zip(in_names, precv))
+                masks2 = dict(zip(in_mnames, precv[len(in_names):]))
+                gid2 = precv[-1]
+                tok2 = self._mark(mask2, s.tok)
             s2 = _Stream(cols2, mask2, s.over, tok=tok2, masks=masks2)
             out_cols = dict(cols2) if _hstack else {}
             out_ms = dict(masks2) if _hstack else {}
@@ -509,6 +517,11 @@ class _Lowering:
                     out_ms.pop(name, None)
                     if kind in ("mean", "min", "max"):
                         out_ms[name] = ok
+            if self.num_parts == 1:
+                masks = {c: out_ms.get(c, jnp.ones_like(mask2))
+                         for c in out_mnames}
+                return _Stream(dict(out_cols), mask2, s.over, tok=tok2,
+                               masks=masks)
             # restore global row order: sample-sort by the hidden row id
             sort_pays = [out_cols[c] for c in out_names] \
                 + [out_ms.get(c, jnp.ones_like(mask2)) for c in out_mnames]
@@ -869,7 +882,8 @@ class _Lowering:
                             for b, d in zip(_by, _descs)]
                     keys[0] = self._after(keys[0], s.tok)
                     n = keys[0].shape[0]
-                    capacity = max(int(n * 2.0) * self.out_factor, 16)
+                    capacity = n if self.num_parts == 1 else \
+                        max(int(n * 2.0) * self.out_factor, 16)
                     pays_out, mask_out, dropped = _dist_sort_multi_shard(
                         keys, _pays(s), s.valid,
                         num_parts=self.num_parts, capacity=capacity,
@@ -888,7 +902,8 @@ class _Lowering:
                         c = (sz - 1) - c
                     key = key * sz + c
                 n = key.shape[0]
-                capacity = max(int(n * 2.0) * self.out_factor, 16)
+                capacity = n if self.num_parts == 1 else \
+                    max(int(n * 2.0) * self.out_factor, 16)
                 key = self._after(key, s.tok)
                 k_out, pays_out, mask_out, dropped = _dist_sort_shard(
                     key, _pays(s), s.valid, num_parts=self.num_parts,
@@ -905,7 +920,8 @@ class _Lowering:
                 _null_key(_order_encode(s.cols[_by], _desc), _by, s),
                 s.tok)
             n = key.shape[0]
-            capacity = max(int(n * 2.0) * self.out_factor, 16)
+            capacity = n if self.num_parts == 1 else \
+                max(int(n * 2.0) * self.out_factor, 16)
             k_out, pays_out, mask_out, dropped = _dist_sort_shard(
                 key, _pays(s), s.valid, num_parts=self.num_parts,
                 capacity=capacity, descending=False, axis=self.axis)

@@ -194,6 +194,10 @@ def dist_groupby_agg_shard(keys, vals_ops, valid, *, num_parts, capacity,
     nk = len(gkeys)
     packed, pvalid, pdrop = pack_valid([*gkeys, *outs, cnt], gvalid,
                                        capacity)
+    if num_parts == 1:
+        # single shard already holds every group — no shuffle, no merge
+        return (packed[:nk], packed[nk:-1], packed[-1], pvalid,
+                pdrop.reshape(1))
     k_recv, payload_recv, mask, dropped = shuffle_by_keys(
         packed[:nk], packed[nk:], pvalid, num_parts, capacity, axis)
     merge_ops = [(payload_recv[i], op) for i, (_, op) in enumerate(vals_ops)]
@@ -461,18 +465,21 @@ def _dist_join_shard(lkeys, lpay, lvalid, rkeys, rpay, rvalid, *, how,
                      num_parts, cap_l, cap_r, max_out, axis):
     import jax
 
-    # shuffle both sides by key hash → co-located matching keys
-    lk2, lpay2, lmask, drop_l = shuffle_by_keys(
-        lkeys, list(lpay), lvalid, num_parts, cap_l, axis)
-    if jax.default_backend() == "cpu":
-        # order the right shuffle after the left: XLA's CPU thunk
-        # executor deadlocks when device threads block at DIFFERENT
-        # independent collectives (see engine/spmd.py _Lowering.__init__)
-        rkeys = [jax.lax.optimization_barrier((rkeys[0], drop_l))[0],
-                 *rkeys[1:]]
-    rk2, rpay2, rmask, drop_r = shuffle_by_keys(
-        rkeys, list(rpay), rvalid, num_parts, cap_r, axis)
-    dropped = (drop_l + drop_r).reshape(1)
+    if num_parts == 1:
+        # single-shard: every key pair is already co-located — skip the
+        # hash shuffles entirely (they dominate both compile time and
+        # runtime of the 1-chip program; q5 SF1's 5-join module took
+        # >420 s to compile with them in)
+        lk2, lpay2, lmask = list(lkeys), list(lpay), lvalid
+        rk2, rpay2, rmask = list(rkeys), list(rpay), rvalid
+        dropped = jnp.zeros((1,), jnp.int64)
+    else:
+        lk2, lpay2, lmask, drop_l = shuffle_by_keys(
+            lkeys, list(lpay), lvalid, num_parts, cap_l, axis)
+        rkeys = _order_right_after_left(rkeys, drop_l)
+        rk2, rpay2, rmask, drop_r = shuffle_by_keys(
+            rkeys, list(rpay), rvalid, num_parts, cap_r, axis)
+        dropped = (drop_l + drop_r).reshape(1)
     if how in ("semi", "anti"):
         sel = local_semi_mask(lk2, lmask, rk2, rmask, anti=(how == "anti"))
         return lk2, lpay2, [], sel, jnp.ones_like(sel), dropped
@@ -498,6 +505,18 @@ def _dist_join_shard(lkeys, lpay, lvalid, rkeys, rpay, rvalid, *, how,
     dropped = dropped + jnp.maximum(
         total - max_out, 0).astype(dropped.dtype).reshape(1)
     return out_keys, out_l, out_r, ovalid, rmatch, dropped
+
+
+def _order_right_after_left(rkeys, drop_l):
+    """On the CPU backend, order the right shuffle after the left:
+    XLA's CPU thunk executor deadlocks when device threads block at
+    DIFFERENT independent collectives (engine/spmd.py _Lowering)."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return [jax.lax.optimization_barrier((rkeys[0], drop_l))[0],
+                *rkeys[1:]]
+    return rkeys
 
 
 def dist_join(
@@ -659,6 +678,28 @@ def _dist_sort_shard(key, pays, valid, *, num_parts, capacity, descending,
     k64 = key.astype(jnp.int64)
     if descending:
         k64 = -k64  # caller guarantees keys > INT64_MIN
+    if num_parts == 1:
+        # single shard: plain local sort, no splitters/exchange
+        ks1 = jnp.where(valid, k64, big)
+        idx = jnp.arange(n, dtype=_idx_dtype(n))
+        s1 = jax.lax.sort([ks1, idx], num_keys=1, is_stable=True)
+        k_out, order = s1[0], s1[-1]
+        pays_out = [jnp.take(p, order) for p in pays]
+        mask_out = jnp.take(valid, order)
+        k_out = jnp.where(mask_out, k_out, 0)
+        if descending:
+            k_out = -k_out
+        C = capacity
+        if C != n:
+            pad = lambda x, v: (x[:C] if C <= n else jnp.concatenate(
+                [x, jnp.full((C - n,), v, x.dtype)]))
+            dropped = jnp.maximum(
+                jnp.sum(valid.astype(jnp.int64)) - jnp.int64(C), 0)
+            return (pad(k_out.astype(key.dtype), 0),
+                    [pad(p, 0) for p in pays_out],
+                    pad(mask_out, False), dropped.reshape(1))
+        return (k_out.astype(key.dtype), pays_out, mask_out,
+                jnp.zeros((1,), jnp.int64))
     # NOTE: `big` is only a PADDING value, not an in-band sentinel —
     # validity always flows through counts/masks, never inferred from
     # key == big.  A valid row MAY key as big (e.g. spmd._order_encode's
@@ -772,6 +813,21 @@ def _dist_sort_multi_shard(keys, pays, valid, *, num_parts, capacity, axis):
     K = len(keys)
     big = jnp.int64(jnp.iinfo(jnp.int64).max)
     ks = [jnp.where(valid, k.astype(jnp.int64), big) for k in keys]
+    if num_parts == 1:
+        idx = jnp.arange(n, dtype=_idx_dtype(n))
+        s1 = jax.lax.sort([*ks, idx], num_keys=K, is_stable=True)
+        order = s1[-1]
+        pays_out = [jnp.take(p, order) for p in pays]
+        mask_out = jnp.take(valid, order)
+        C = capacity
+        if C != n:
+            pad = lambda x, v: (x[:C] if C <= n else jnp.concatenate(
+                [x, jnp.full((C - n,), v, x.dtype)]))
+            dropped = jnp.maximum(
+                jnp.sum(valid.astype(jnp.int64)) - jnp.int64(C), 0)
+            return ([pad(p, 0) for p in pays_out], pad(mask_out, False),
+                    dropped.reshape(1))
+        return pays_out, mask_out, jnp.zeros((1,), jnp.int64)
     # local tuple sort → evenly spaced sample tuples
     ks_sorted = jax.lax.sort(ks, num_keys=K)
     S = min(_SAMPLES_PER_SHARD, n)
@@ -847,6 +903,8 @@ def _dist_distinct_shard(keys, valid, *, num_parts, capacity, axis):
     # distinct.py decomposition: duplicates co-locate by key hash)
     gkeys, _, _, gvalid = local_groupby_sum_multi(keys, [], valid)
     packed, pvalid, pdrop = pack_valid(gkeys, gvalid, capacity)
+    if num_parts == 1:
+        return packed, pvalid, pdrop.reshape(1)
     k2, _, mask, dropped = shuffle_by_keys(packed, [], pvalid, num_parts,
                                            capacity, axis)
     m_keys, _, _, m_valid = local_groupby_sum_multi(k2, [], mask)

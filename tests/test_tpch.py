@@ -115,14 +115,15 @@ SPMD_LOWERED = {"q1", "q3", "q4", "q5", "q6", "q9", "q10",
 _ALL = ["q1", "q3", "q4", "q5", "q6", "q9", "q10", "q12", "q14"]
 
 
+@pytest.mark.parametrize("nparts", [1, 4])
 @pytest.mark.parametrize("qn", _ALL)
-def test_spmd_mesh(device_tables, qn):
+def test_spmd_mesh(device_tables, qn, nparts):
     import warnings
 
     import cudf_tpu.engine as eng
     from cudf_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh(4)
+    mesh = make_mesh(nparts)
     eng.reset_fallback_stats()
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
