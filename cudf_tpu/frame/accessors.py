@@ -80,9 +80,12 @@ class StringMethods:
     def contains(self, pat, case=True, regex=True, flags=0):
         import re
 
+        if flags and not regex:
+            # pandas semantics: flags only apply to regex patterns
+            raise ValueError("Cannot use flags with a literal pattern")
         if not case:
             flags |= re.IGNORECASE
-        if regex and _is_regex(pat):
+        if regex and (_is_regex(pat) or flags):
             return self._wrap_bool(str_ops.contains_re(self._col, pat, flags))
         if not case:
             return self._wrap_bool(str_ops.contains_literal(str_ops.lower(self._col), pat.lower()))
@@ -94,20 +97,82 @@ class StringMethods:
     def fullmatch(self, pat, flags=0):
         return self._wrap_bool(str_ops.fullmatch_re(self._col, pat, flags))
 
-    def startswith(self, pat):
-        return self._wrap_bool(str_ops.startswith(self._col, pat))
+    def _affix_match(self, pat, na, op):
+        import jax.numpy as jnp
 
-    def endswith(self, pat):
-        return self._wrap_bool(str_ops.endswith(self._col, pat))
+        pats = pat if isinstance(pat, tuple) else (pat,)
+        out = None
+        for p in pats:
+            c = op(self._col, p)
+            if out is None:
+                out = c
+            else:
+                out = out.with_validity(out.validity)
+                out.data = out.data | c.data
+        if na is not None and na is not False and na is not True:
+            try:
+                import pandas as _pd
 
-    def find(self, sub):
-        return self._wrap(str_ops.find_literal(self._col, sub))
+                if _pd.isna(na):
+                    na = None
+            except Exception:
+                pass
+        if na is not None and out.validity is not None:
+            out = type(out)(out.dtype, out.length,
+                            data=jnp.where(out.validity, out.data,
+                                           jnp.bool_(bool(na))))
+        return self._wrap_bool(out)
 
-    def rfind(self, sub):
-        return self._wrap(str_ops.find_literal(self._col, sub, from_end=True))
+    def startswith(self, pat, na=None):
+        return self._affix_match(pat, na, str_ops.startswith)
 
-    def index(self, sub):
-        out = self.find(sub)
+    def endswith(self, pat, na=None):
+        return self._affix_match(pat, na, str_ops.endswith)
+
+    def _find_impl(self, sub, start, end, from_end):
+        import jax.numpy as jnp
+
+        from cudf_tpu.core import dtypes as dt
+        from cudf_tpu.core.column import Column as _C
+
+        if start == 0 and end is None:
+            return self._wrap(
+                str_ops.find_literal(self._col, sub, from_end=from_end))
+        # python str.find(sub, start, end) slice semantics: search in
+        # s[start:end], report ABSOLUTE position
+        sliced = str_ops.slice_strings(self._col, start or None, end)
+        pos = str_ops.find_literal(sliced, sub, from_end=from_end)
+        L = str_ops.length(self._col).data.astype(jnp.int64)
+        st = jnp.int64(start)
+        norm = jnp.where(st >= 0, jnp.minimum(st, L),
+                         jnp.maximum(L + st, 0))
+        data = jnp.where(pos.data >= 0, pos.data + norm, jnp.int64(-1))
+        return self._wrap(_C(dt.INT64, pos.length, data=data,
+                             validity=pos.validity))
+
+    def find(self, sub, start=0, end=None):
+        return self._find_impl(sub, start, end, False)
+
+    def rfind(self, sub, start=0, end=None):
+        return self._find_impl(sub, start, end, True)
+
+    def findall(self, pat, flags=0):
+        """Per-row regex findall (host tier: list-typed results;
+        reference routes findall through its device regex, findall.cu)."""
+        import re
+
+        rx = re.compile(pat, flags)
+        vals = self._col.to_pylist()
+        import pyarrow as pa
+
+        arr = pa.array([None if v is None else rx.findall(v)
+                        for v in vals], pa.list_(pa.string()))
+        from cudf_tpu.core.column import Column as _C
+
+        return self._wrap(_C.from_arrow(arr))
+
+    def index(self, sub, start=0, end=None):
+        out = self.find(sub, start, end)
         if bool((out == -1).any()):
             raise ValueError("substring not found")
         return out

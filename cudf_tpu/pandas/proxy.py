@@ -187,8 +187,21 @@ def _wrap(result):
                                  "_SeriesLoc", "_SeriesILoc",
                                  "_LocIndexer", "_ILocIndexer"):
         return _IndexerProxy(result)
-    if type(result).__module__ in ("cudf_tpu.frame.accessors",
-                                   "cudf_tpu.frame.groupby",
+    if type(result).__module__ == "cudf_tpu.frame.accessors":
+        # namespace accessors fall back PER-CALL to the pandas accessor
+        # of the same name (exotic signatures, regex long tail) — the
+        # fast_slow_proxy retry discipline
+        acc_attr = {"StringMethods": "str", "DatetimeProperties": "dt",
+                    "CategoricalAccessor": "cat"}.get(
+            type(result).__name__)
+        s = getattr(result, "_s", None)
+        if acc_attr is not None and s is not None:
+            def _slow_acc(_s=s, _a=acc_attr):
+                return getattr(_s.to_pandas(), _a)
+
+            return _AccessorProxy(result, _slow_acc)
+        return _AccessorProxy(result)
+    if type(result).__module__ in ("cudf_tpu.frame.groupby",
                                    "cudf_tpu.frame.window",
                                    "cudf_tpu.frame.resample"):
         return _AccessorProxy(result)
@@ -417,6 +430,18 @@ class _FastSlowProxy:
 
     def _invalidate_slow(self):
         object.__setattr__(self, "_slow", None)
+
+    def __finalize__(self, other, method=None, **kwargs):
+        """pandas NDFrame metadata-propagation hook: user code and
+        pandas internals call result.__finalize__(orig) on proxies
+        (e.g. str methods in upstream tests).  Copy attrs, return self."""
+        try:
+            src = getattr(other, "attrs", None)
+            if src:
+                object.__setattr__(self, "_proxy_attrs", dict(src))
+        except Exception:
+            pass
+        return self
 
     # attribute dispatch ----------------------------------------------
     def __getattr__(self, name):
