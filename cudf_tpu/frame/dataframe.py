@@ -70,6 +70,9 @@ class DataFrame:
             if data and isinstance(data[0], dict):  # records
                 keys = list(dict.fromkeys(k for r in data for k in r))
                 self._table = Table({k: as_column([r.get(k) for r in data]) for k in keys})
+            elif not data and columns is None:
+                # pandas: DataFrame([]) has ZERO columns (not one named 0)
+                self._table = Table({})
             else:
                 names = columns if columns is not None else [0]
                 if data and isinstance(data[0], (list, tuple)):

@@ -331,9 +331,32 @@ class Series:
     def _fill_binop(self, other, op, fill_value):
         if fill_value is None:
             return self._binop(other, op)
+        if isinstance(other, Series):
+            # pandas flex-arithmetic semantics: align FIRST, then
+            # fill_value patches positions missing from exactly ONE
+            # side (incl. alignment-introduced holes); missing from
+            # both stays NaN
+            lhs, rhs, index = _align(self, other)
+            from cudf_tpu.ops._utils import materialize_validity
+
+            lv = materialize_validity(lhs)
+            rv = materialize_validity(rhs)
+            both_missing = None
+            if lhs.validity is not None or rhs.validity is not None:
+                both_missing = ~(lv | rv) if (
+                    lhs.validity is not None
+                    and rhs.validity is not None) else None
+            a = Series._from(lhs, index).fillna(fill_value)
+            b = Series._from(rhs, index).fillna(fill_value)
+            out = a._binop(b, op)
+            if both_missing is not None and bool(both_missing.any()):
+                col = out._column
+                v = (materialize_validity(col) & ~both_missing) \
+                    if col.validity is not None else ~both_missing
+                out = Series._from(col.with_validity(v), index, out.name)
+            return out
         a = self.fillna(fill_value)
-        b = other.fillna(fill_value) if isinstance(other, Series) else other
-        return a._binop(b, op)
+        return a._binop(other, op)
 
     def radd(self, other, fill_value=None):
         return self._fill_binop(other, "add", fill_value)
@@ -1001,7 +1024,19 @@ class Series:
         )
         return Series._from(out, self._index, self.name)
 
-    def map(self, arg) -> "Series":
+    def map(self, arg, na_action=None) -> "Series":
+        if isinstance(arg, Series):
+            # Series mapper: lookup by ITS index (pandas semantics)
+            arg = dict(zip(arg._index.to_pandas().tolist(),
+                           arg.to_pylist()))
+        else:
+            try:
+                import pandas as _pd
+
+                if isinstance(arg, _pd.Series):
+                    arg = arg.to_dict()
+            except Exception:
+                pass
         if isinstance(arg, dict):
             olds = as_column(list(arg.keys()))
             news = as_column(list(arg.values()))

@@ -35,6 +35,29 @@ def gather(col: Column, gather_map: jnp.ndarray, bounds_check: bool = True) -> C
     when bounds_check=True (libcudf out_of_bounds_policy::NULLIFY)."""
     gather_map = gather_map.astype(jnp.int64)
     m = gather_map.shape[0]
+    if col.length == 0 and m:
+        # gathering from an empty column → every row is OOB → all nulls
+        # (out_of_bounds_policy::NULLIFY; jnp.take rejects empty axes)
+        validity = jnp.zeros((m,), jnp.bool_)
+        if col.dtype.is_string:
+            return Column(col.dtype, m, data=jnp.zeros((0,), jnp.uint8),
+                          offsets=jnp.zeros((m + 1,), jnp.int64),
+                          validity=validity)
+        if col.dtype.is_dictionary:
+            return Column(col.dtype, m, data=jnp.zeros((m,), jnp.int32),
+                          validity=validity, children=col.children)
+        if col.dtype.id == dt.TypeId.LIST:
+            return Column(col.dtype, m,
+                          offsets=jnp.zeros((m + 1,), jnp.int64),
+                          children=col.children, validity=validity)
+        if col.dtype.id == dt.TypeId.STRUCT:
+            children = tuple(gather(c, gather_map, bounds_check)
+                             for c in col.children)
+            return Column(col.dtype, m, validity=validity,
+                          children=children)
+        return Column(col.dtype, m,
+                      data=jnp.zeros((m,), col.dtype.storage),
+                      validity=validity)
     if bounds_check:
         valid_idx = (gather_map >= 0) & (gather_map < col.length)
         safe = jnp.where(valid_idx, gather_map, 0)
