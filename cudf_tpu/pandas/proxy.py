@@ -473,7 +473,14 @@ class _FastSlowProxy:
                     # object/Period/Interval axes must not enter the
                     # fast domain (stringification would change dtype)
                     raise TypeError("extension axis — slow path")
-            setattr(self._fast_obj(), name, _unwrap(value, True))
+            fast = self._fast_obj()
+            if hasattr(fast, "_table") and name in fast._table.names:
+                # pandas attribute-style COLUMN assignment (df.col = ...)
+                # only updates existing columns; plain setattr on the
+                # fast frame would silently create an instance attribute
+                fast[name] = _unwrap(value, True)
+            else:
+                setattr(fast, name, _unwrap(value, True))
             self._invalidate_slow()
         except Exception:
             setattr(self._slow_obj(), name, _unwrap(value, False))
@@ -575,6 +582,14 @@ def _force_slow_call(name: str, args, kwargs) -> bool:
         # result dtypes are pandas nullable extension dtypes (Int64,
         # string[pd.NA], boolean) — exactly the types the fast domain
         # declines; no compute involved, only dtype bookkeeping
+        return True
+    if name in ("pivot", "pivot_table", "unstack", "stack", "crosstab",
+                "transpose", "T", "melt", "swaplevel", "reorder_levels"):
+        # reshape results are MultiIndex-heavy (index/columns levels,
+        # names, categorical index classes) — the columnar layer returns
+        # a flattened TPU-first shape, so proxy users get the
+        # metadata-faithful pandas result (the reference's cudf.pandas
+        # treats these as slow-path-prone for the same reason)
         return True
     return False
 
@@ -681,8 +696,9 @@ class _FastSlowAttr:
         self._name = name
 
     # attrs pandas internals consume structurally: must be REAL pandas/
-    # numpy objects (np.dtype etc.), so resolve from the slow object
-    _FORCE_SLOW = {"dtype", "dtypes", "attrs", "flags"}
+    # numpy objects (np.dtype etc.), so resolve from the slow object.
+    # T: the columnar layer can't carry axis names through a transpose
+    _FORCE_SLOW = {"dtype", "dtypes", "attrs", "flags", "T"}
 
     def resolve(self):
         p, name = self._proxy, self._name
