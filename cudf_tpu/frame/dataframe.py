@@ -69,19 +69,25 @@ class DataFrame:
         elif isinstance(data, (list, tuple)):
             if data and isinstance(data[0], dict):  # records
                 keys = list(dict.fromkeys(k for r in data for k in r))
-                self._table = Table({k: as_column([r.get(k) for r in data]) for k in keys})
+                _dt = dt.dtype(dtype) if dtype else None
+                self._table = Table({k: as_column([r.get(k) for r in data],
+                                                  dtype=_dt) for k in keys})
             elif not data and columns is None:
                 # pandas: DataFrame([]) has ZERO columns (not one named 0)
                 self._table = Table({})
             else:
                 names = columns if columns is not None else [0]
+                _dt = dt.dtype(dtype) if dtype else None
                 if data and isinstance(data[0], (list, tuple)):
                     ncol = len(data[0])
                     names = columns if columns is not None else list(range(ncol))
-                    self._table = Table({n: as_column([r[i] for r in data]) for i, n in enumerate(names)})
+                    self._table = Table({n: as_column([r[i] for r in data],
+                                                      dtype=_dt)
+                                         for i, n in enumerate(names)})
                     columns = None
                 else:
-                    self._table = Table({names[0]: as_column(list(data))})
+                    self._table = Table({names[0]: as_column(list(data),
+                                                             dtype=_dt)})
                     columns = None
         else:
             raise TypeError(f"cannot construct DataFrame from {type(data)}")
