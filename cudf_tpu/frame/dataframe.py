@@ -449,7 +449,36 @@ class DataFrame:
             idx = jax.random.permutation(key, len(self))[:n].astype(jnp.int64)
         return self.take(idx)
 
-    def reset_index(self, drop=False) -> "DataFrame":
+    def reset_index(self, level=None, drop=False) -> "DataFrame":
+        if level is not None:
+            # partial reset: named/numbered levels become columns, the
+            # rest stay as the index (pandas level= semantics)
+            levels = [level] if not isinstance(level, (list, tuple)) \
+                else list(level)
+            if isinstance(self._index, MultiIndex):
+                names = list(self._index.names)
+                sel = [names[lv] if isinstance(lv, int) else lv
+                       for lv in levels]
+                keep = [(c, nm) for c, nm in
+                        zip(self._index._columns, names) if nm not in sel]
+                out_cols: Dict[str, Column] = {}
+                if not drop:
+                    for i, (c, nm) in enumerate(
+                            zip(self._index._columns, names)):
+                        if nm in sel:
+                            out_cols[nm if nm is not None
+                                     else f"level_{i}"] = c
+                for n, c in self._table.items():
+                    out_cols[n] = c
+                if len(keep) == 0:
+                    idx = default_index(len(self))
+                elif len(keep) == 1:
+                    idx = Index(column=keep[0][0], name=keep[0][1])
+                else:
+                    idx = MultiIndex([c for c, _ in keep],
+                                     [nm for _, nm in keep])
+                return DataFrame._from(Table(out_cols), idx)
+            # single index: level must refer to it; same as full reset
         if drop:
             return DataFrame._from(self._table, default_index(len(self)))
         out_cols: Dict[str, Column] = {}

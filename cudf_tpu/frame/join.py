@@ -36,6 +36,33 @@ def merge(
         right = DataFrame(right)
     how = {"outer": "outer", "full": "outer"}.get(how, how)
 
+    # pandas merge key resolution: a key may name an INDEX LEVEL instead
+    # of a column (core/join/join.py _match_join_keys role) — materialize
+    # the used levels as columns first
+    def _materialize_levels(df, keys):
+        if not keys:
+            return df
+        missing = [k for k in keys if k not in df._table.names]
+        if not missing:
+            return df
+        idx_names = [n for n in (df._index.names
+                                 if hasattr(df._index, "names")
+                                 else [df._index.name]) if n is not None]
+        used = [k for k in missing if k in idx_names]
+        if not used:
+            return df
+        return df.reset_index(level=used if len(used) != len(idx_names)
+                              else None)
+
+    key_union = [k for k in (
+        ([on] if isinstance(on, str) else list(on or []))
+        + ([left_on] if isinstance(left_on, str) else list(left_on or []))
+        + ([right_on] if isinstance(right_on, str) else list(right_on or []))
+    )]
+    if key_union and not (left_index and right_index):
+        left = _materialize_levels(left, key_union)
+        right = _materialize_levels(right, key_union)
+
     lkeys_names: Sequence
     if how == "cross":
         li, ri = join_ops.cross_join(len(left), len(right))
