@@ -761,14 +761,14 @@ class _Lowering:
                     _bcast_join_shard_multi(
                         rkeys, rpays, rs.valid, lkeys, lpays, ls.valid,
                         how="inner",
-                        max_out=(nr + self.num_parts * nl) * 2
+                        max_out=(nr + self.num_parts * nl)
                         * self.out_factor, axis=self.axis)
             elif bytes_r <= bcast_limit and _how != "full":
                 out_keys, out_l, out_r, ovalid, rmatch, dropped = \
                     _bcast_join_shard_multi(
                         lkeys, lpays, ls.valid, rkeys, rpays, rs.valid,
                         how=_how,
-                        max_out=(nl + self.num_parts * nr) * 2
+                        max_out=(nl + self.num_parts * nr)
                         * self.out_factor, axis=self.axis)
             elif _how == "full":
                 out_keys, out_l, out_r, ovalid, lpres, rpres, dropped = \
@@ -787,7 +787,12 @@ class _Lowering:
                         rkeys, rpays, rs.valid,
                         how=_how, num_parts=self.num_parts,
                         cap_l=nl, cap_r=nr,
-                        max_out=self.num_parts * (nl + nr) * 2
+                        # static budget nl+nr covers FK-shaped joins at
+                        # factor 1 (inner output <= probe matches); the
+                        # overflow ladder widens on skew — halving the
+                        # buffers keeps SF1 multi-join programs inside
+                        # the TPU compiler's envelope
+                        max_out=self.num_parts * (nl + nr)
                         * self.out_factor, axis=self.axis)
             over = ls.over + rs.over + dropped
             otok = self._mark(ovalid, rs.tok)
