@@ -133,7 +133,10 @@ def generate_device(scale: float = 0.01, seed: int = 0):
             state[0], sub = jax.random.split(state[0])
             return sub
 
-        def ints(lo, hi, n, dtype=jnp.int64):
+        def ints(lo, hi, n, dtype=jnp.int32):
+            # key domains at bench scale factors fit int32 (what the
+            # reference reads from SF<=100 parquet); int64 lanes are
+            # emulated 2x-cost on the TPU vector unit
             return jax.random.randint(_key(), (n,), lo, hi, dtype=dtype)
 
         def money(lo, hi, n):
@@ -146,7 +149,7 @@ def generate_device(scale: float = 0.01, seed: int = 0):
                     .astype(np.int64))
             e = int(np.datetime64(end).astype("datetime64[D]")
                     .astype(np.int64))
-            return ints(s, e, n) * 86_400_000_000_000
+            return ints(s, e, n).astype(jnp.int64) * 86_400_000_000_000
 
         def codes(k, n):
             return ints(0, k, n, dtype=jnp.int32)
@@ -206,33 +209,33 @@ def generate_device(scale: float = 0.01, seed: int = 0):
     # host-side code arrays): _register_source would otherwise re-run a
     # device dict_encode per query lowering
     nation = ct.DataFrame({
-        "n_nationkey": np.arange(n_nation),
+        "n_nationkey": np.arange(n_nation, dtype=np.int32),
         "n_name": Column(dt.dictionary_dtype(dt.STRING), n_nation,
                          data=np.arange(n_nation, dtype=np.int32),
                          children=(host_strings(
                              [f"NATION_{i:02d}" for i in range(n_nation)]),)),
-        "n_regionkey": np.arange(n_nation) % n_region,
+        "n_regionkey": (np.arange(n_nation) % n_region).astype(np.int32),
     })
     region = ct.DataFrame({
-        "r_regionkey": np.arange(n_region),
+        "r_regionkey": np.arange(n_region, dtype=np.int32),
         "r_name": Column(dt.dictionary_dtype(dt.STRING), n_region,
                          data=np.arange(n_region, dtype=np.int32),
                          children=(host_strings(_REGIONS),)),
     })
     supplier = ct.DataFrame({
-        "s_suppkey": np.arange(n_supp),
+        "s_suppkey": np.arange(n_supp, dtype=np.int32),
         "s_nationkey": g["s_nationkey"],
         "s_acctbal": g["s_acctbal"],
     })
     customer = ct.DataFrame({
-        "c_custkey": np.arange(n_cust),
+        "c_custkey": np.arange(n_cust, dtype=np.int32),
         "c_name": cat("c_name", [f"Customer#{i:04d}" for i in range(200)]),
         "c_nationkey": g["c_nationkey"],
         "c_mktsegment": cat("c_mktsegment", _SEGMENTS),
         "c_acctbal": g["c_acctbal"],
     })
     part = ct.DataFrame({
-        "p_partkey": np.arange(n_part),
+        "p_partkey": np.arange(n_part, dtype=np.int32),
         "p_name": cat("p_name", ["green apple", "red truck", "blue sky",
                                  "green forest", "yellow sun"]),
         "p_type": cat("p_type", ["ECONOMY ANODIZED STEEL",
@@ -241,7 +244,7 @@ def generate_device(scale: float = 0.01, seed: int = 0):
         "p_retailprice": g["p_retailprice"],
     })
     orders = ct.DataFrame({
-        "o_orderkey": np.arange(n_ord),
+        "o_orderkey": np.arange(n_ord, dtype=np.int32),
         "o_custkey": g["o_custkey"],
         "o_orderstatus": cat("o_orderstatus", _STATUS),
         "o_totalprice": g["o_totalprice"],
