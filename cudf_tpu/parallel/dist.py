@@ -36,6 +36,15 @@ def _idx_dtype(n: int):
     return jnp.int32 if n < 2**31 else jnp.int64
 
 
+def _searchsorted(a, v, side="left"):
+    """Backend-tuned searchsorted: the default binary-search lowering
+    ('scan') issues log(n) serialized GATHER rounds — measured 40-50%
+    slower end-to-end on TPU joins than the sort-based lowering, which
+    rides the same fused variadic sort the rest of the join uses."""
+    method = "sort" if jax.default_backend() == "tpu" else "scan"
+    return jnp.searchsorted(a, v, side=side, method=method)
+
+
 def pack_valid(arrays, valid, cap: int):
     """Stable-pack valid rows to the front and truncate to ``cap`` rows.
 
@@ -312,8 +321,8 @@ def _match_ranges_searchsorted(lk, lvalid, rk, rvalid):
         [rk2, jnp.arange(nr, dtype=_idx_dtype(nr))],
         num_keys=1, is_stable=True)
     rk_sorted, r_order = sorted_r
-    lo = jnp.searchsorted(rk_sorted, lk, side="left")
-    hi = jnp.searchsorted(rk_sorted, lk, side="right")
+    lo = _searchsorted(rk_sorted, lk, side="left")
+    hi = _searchsorted(rk_sorted, lk, side="right")
     counts = jnp.where(lvalid, (hi - lo).astype(jnp.int64), 0)
     return counts, lo.astype(jnp.int64), r_order
 
@@ -386,7 +395,7 @@ def local_join_padded(lkeys, lvalid, rkeys, rvalid, max_out: int,
     offsets = jnp.concatenate([jnp.zeros((1,), emit.dtype), jnp.cumsum(emit)])
     total = offsets[-1]
     pos = jnp.arange(max_out, dtype=jnp.int64)
-    row = jnp.searchsorted(offsets[1:], pos, side="right")
+    row = _searchsorted(offsets[1:], pos, side="right")
     row_c = jnp.clip(row, 0, nl - 1)
     within = pos - jnp.take(offsets, row_c)
     out_valid = pos < total
@@ -429,7 +438,7 @@ def local_join_full_padded(lkeys, lvalid, rkeys, rvalid, max_out: int):
     pos = jnp.arange(max_out, dtype=jnp.int64)
     in_left = pos < total_l
     # left-join region (same decode as local_join_padded)
-    row = jnp.searchsorted(offsets[1:], pos, side="right")
+    row = _searchsorted(offsets[1:], pos, side="right")
     row_c = jnp.clip(row, 0, nl - 1)
     within = pos - jnp.take(offsets, row_c)
     r_matched = in_left & (within < jnp.take(counts, row_c))
