@@ -259,6 +259,18 @@ class StringMethods:
         sep = sep or ""
         if others is None:
             return str_ops.join_strings(self._col, sep)
+        import numpy as _np
+
+        if not isinstance(others, (Series, list, tuple, _np.ndarray)) \
+                and type(others).__name__ not in ("Index", "DataFrame"):
+            # pandas cat() rejects non-list-likes; unbounded-__getitem__
+            # objects (e.g. another .str accessor) would otherwise
+            # iterate forever through the old sequence protocol
+            raise TypeError(
+                "others must be Series, Index, DataFrame, np.ndarray "
+                "or list-like (either containing only strings or "
+                "containing only objects of type Series/Index/"
+                "np.ndarray[1-dim])")
         from cudf_tpu.ops.binaryop import binary_operation
 
         other_col = others._column if isinstance(others, Series) else Column.from_strings(list(others))

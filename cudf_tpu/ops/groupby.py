@@ -910,8 +910,7 @@ def _try_onehot_fast_path(keys: Table, values, dropna: bool):
     radix_tier = K > 4096
     if K > (1 << 27):
         return None
-    supported = ({"sum", "count", "mean", "size"} if radix_tier else
-                 {"sum", "count", "mean", "min", "max", "size"})
+    supported = {"sum", "count", "mean", "min", "max", "size"}
     if any(a not in supported or not (c.dtype.is_numeric or c.dtype.is_bool)
            for _, c, a in values):
         return None
@@ -920,6 +919,12 @@ def _try_onehot_fast_path(keys: Table, values, dropna: bool):
     # that needs a range check — the same inspection the reference's
     # dispatcher makes of its aggregation request list)
     def column_plan(col, agg):
+        if radix_tier and agg in ("min", "max"):
+            # high-cardinality extrema ride XLA segment_min/max in the
+            # column's NATIVE dtype — exact for every dtype, no chunk
+            # range guard needed (compute_single_pass_aggs.cu covers all
+            # agg kinds at any cardinality; this is the T1 equivalent)
+            return "seg", col.data
         if col.dtype.is_bool:
             return "int", col.data.astype(jnp.int32)
         if col.dtype.is_integer:
@@ -950,8 +955,27 @@ def _try_onehot_fast_path(keys: Table, values, dropna: bool):
 
     valid = key.validity if dropna else None
 
-    def run(mode, data, both, with_minmax):
+    def run(mode, data, both, with_minmax, agg=None):
         if radix_tier:
+            if mode == "seg":
+                import jax as _jax
+
+                kk = codes if both is None else jnp.where(
+                    both, codes, jnp.int32(K))
+                if jnp.issubdtype(data.dtype, jnp.floating):
+                    info = jnp.finfo(data.dtype)
+                else:
+                    info = jnp.iinfo(data.dtype)
+                ident = info.max if agg == "min" else info.min
+                filled = data if both is None else jnp.where(
+                    both, data, jnp.asarray(ident, data.dtype))
+                seg = (_jax.ops.segment_min if agg == "min"
+                       else _jax.ops.segment_max)
+                red = seg(filled, kk, num_segments=K + 1)[:K]
+                ones = jnp.ones(kk.shape, jnp.int32) if both is None                     else both.astype(jnp.int32)
+                cnt = _jax.ops.segment_sum(ones, kk,
+                                           num_segments=K + 1)[:K]
+                return None, cnt, red, red
             k_in = codes if both is None else jnp.where(
                 both, codes, jnp.int32(SENTINEL))
             s, c = radix_groupby_sum_count(k_in, data, K,
@@ -974,7 +998,8 @@ def _try_onehot_fast_path(keys: Table, values, dropna: bool):
             both = valid if v is None else (v if valid is None else (v & valid))
         if v is not None and agg != "size":
             need_presence = True
-        s, c, mn, mx = run(mode, data, both, agg in ("min", "max"))
+        s, c, mn, mx = run(mode, data, both, agg in ("min", "max"),
+                           agg=agg)
         occupied = c if occupied is None else jnp.maximum(occupied, c)
         if agg == "sum":
             if mode == "int":
@@ -989,7 +1014,7 @@ def _try_onehot_fast_path(keys: Table, values, dropna: bool):
                                    data=s.astype(jnp.float64)
                                    / jnp.maximum(c, 1).astype(jnp.float64))
         else:
-            out_dt = col.dtype if (mode == "int"
+            out_dt = col.dtype if (mode in ("int", "seg")
                                    or col.dtype == dt.FLOAT32) else dt.FLOAT64
             val = (mn if agg == "min" else mx).astype(out_dt.storage)
             results[name] = Column(out_dt, K, data=val)

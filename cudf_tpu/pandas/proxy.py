@@ -68,6 +68,15 @@ def _unwrap(obj, to_fast: bool):
     """Convert proxies / containers into fast or slow domain objects."""
     if isinstance(obj, _FastSlowProxy):
         return obj._fast_obj() if to_fast else obj._slow_obj()
+    if isinstance(obj, _AccessorProxy):
+        # accessor handed around as a VALUE (e.g. cat(others=s.str)):
+        # unwrap to the domain object so receivers see a real accessor
+        # (pandas iterates unknown objects via the legacy __getitem__
+        # protocol, which never terminates on a proxy)
+        if to_fast:
+            return obj._raw
+        sf = obj.__dict__.get("_slow_factory")
+        return sf() if sf is not None else obj._raw
     if getattr(type(obj), "_wb_base", None) is not None:
         return _plain_index(obj)
     if isinstance(obj, (list, tuple)):

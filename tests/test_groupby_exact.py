@@ -107,3 +107,43 @@ def test_wide_int64_falls_back_exact(rng, kernel_tier):
         "v": rng.integers(2**40, 2**50, 100_000).astype(np.int64),
     })
     _compare(pdf, {"v": "sum"})
+
+
+def test_high_cardinality_min_max_exact(rng):
+    """K>4096 min/max dispatches to the segment-reduce tier in the
+    column's NATIVE dtype (VERDICT r4 item 9; reference hash groupby
+    covers all agg kinds at any cardinality,
+    compute_single_pass_aggs.cu:14-37) — bit-exact vs pandas, f64
+    extremes and wide int64 included."""
+    import jax
+
+    import cudf_tpu as ct
+    from cudf_tpu.utils.config import get_option, set_option
+
+    n, K = 300_000, 50_000
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, K, n),
+        "f": rng.normal(size=n) * 1e12,              # f32-unrepresentable
+        "i": rng.integers(-(1 << 60), 1 << 60, n),   # beyond 2^24 guard
+    })
+    prev = get_option("groupby.fast_path_min_rows")
+    set_option("groupby.fast_path_min_rows", 1)
+    prev_i = get_option("groupby.kernel_interpret")
+    set_option("groupby.kernel_interpret", True)
+    try:
+        df = ct.DataFrame.from_pandas(pdf)
+        got = df.groupby("k").agg({"f": ["min", "max"], "i": ["min", "max"]})
+        gp = got.to_pandas().sort_index()
+        exp = pdf.groupby("k").agg({"f": ["min", "max"],
+                                    "i": ["min", "max"]}).sort_index()
+        np.testing.assert_array_equal(gp[("f", "min")].to_numpy(),
+                                      exp[("f", "min")].to_numpy())
+        np.testing.assert_array_equal(gp[("f", "max")].to_numpy(),
+                                      exp[("f", "max")].to_numpy())
+        np.testing.assert_array_equal(gp[("i", "min")].to_numpy(),
+                                      exp[("i", "min")].to_numpy())
+        np.testing.assert_array_equal(gp[("i", "max")].to_numpy(),
+                                      exp[("i", "max")].to_numpy())
+    finally:
+        set_option("groupby.fast_path_min_rows", prev)
+        set_option("groupby.kernel_interpret", prev_i)
