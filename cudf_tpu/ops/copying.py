@@ -33,7 +33,10 @@ from cudf_tpu.ops._utils import materialize_validity, segment_expand
 def gather(col: Column, gather_map: jnp.ndarray, bounds_check: bool = True) -> Column:
     """out[i] = col[gather_map[i]]; negative or OOB indices produce nulls
     when bounds_check=True (libcudf out_of_bounds_policy::NULLIFY)."""
-    gather_map = gather_map.astype(jnp.int64)
+    # index in the narrowest width that addresses the source: int64
+    # lanes are emulated on TPU, and the gather map is the hot operand
+    it = jnp.int32 if col.length < 2**31 else jnp.int64
+    gather_map = gather_map.astype(it)
     m = gather_map.shape[0]
     if col.length == 0 and m:
         # gathering from an empty column → every row is OOB → all nulls
@@ -89,7 +92,9 @@ def _gathered_validity(col: Column, safe: jnp.ndarray, valid_idx) -> Optional[jn
         validity = jnp.take(col.validity, safe, mode="clip")
     if valid_idx is not None:
         validity = valid_idx if validity is None else (validity & valid_idx)
-        if bool(jnp.all(validity)):
+        # normalizing an all-true mask to None costs a host sync on the
+        # WHOLE pending async graph — only worth it for small columns
+        if validity.shape[0] < (1 << 20) and bool(jnp.all(validity)):
             validity = None
     return validity
 
