@@ -175,7 +175,9 @@ def _decode_data_page(ph: thrift.PageHeader, payload: bytes, phys: int,
             from cudf_tpu.io.parquet_device import device_rle_decode
 
             idx_j = device_rle_decode(bytes(body[1:]), bw, n_present)
-            vals = np.asarray(_jnp.take(_jnp.asarray(dictionary), idx_j))
+            # stays DEVICE-resident: pulling decoded pages to host and
+            # re-pushing them cost ~0.25 s/chunk over the tunnel
+            vals = _jnp.take(_jnp.asarray(dictionary), idx_j)
             return vals, valid, dict_dev
         if device_tier and phys == 6:
             # device string decode for the dict-encoded case
@@ -263,6 +265,13 @@ def read_column_chunk(path: str, meta: thrift.ColumnChunkMeta, nullable: bool = 
             chars_parts.append(pc)
         chars = np.concatenate(chars_parts) if chars_parts else np.zeros(0, np.uint8)
         return (offs, chars), (None if validity.all() else validity)
+    if validity.all() and values_parts and any(
+            not isinstance(v, np.ndarray) for v in values_parts):
+        # device-resident pages: concat on device, never pull
+        parts_d = [v if not isinstance(v, np.ndarray) else jnp.asarray(v)
+                   for v in values_parts]
+        return (parts_d[0] if len(parts_d) == 1
+                else jnp.concatenate(parts_d)), None
     present = np.concatenate([np.asarray(v) for v in values_parts]) if values_parts else np.zeros(0)
     if validity.all():
         return present, None
@@ -606,6 +615,16 @@ def read_parquet_native(path: str, columns: Optional[List[str]] = None,
                 pass
             cols[n] = col
         else:
+            if parts and any(not isinstance(p, np.ndarray) for p in parts):
+                dev = [p if not isinstance(p, np.ndarray)
+                       else jnp.asarray(p) for p in parts]
+                data_dev = dev[0] if len(dev) == 1 else jnp.concatenate(dev)
+                col_d = _device_logical_column(
+                    data_dev, mask, logical.get(n), conv.get(n))
+                if col_d is not None:
+                    cols[n] = col_d
+                    continue
+                parts = [np.asarray(p) for p in parts]
             data = np.concatenate(parts) if parts else np.zeros(0)
             lg = logical.get(n)
             cv = conv.get(n)
@@ -674,6 +693,25 @@ def read_parquet_native_chunked(path: str, columns: Optional[List[str]] = None,
     if batch:
         yield read_parquet_native(path, columns, filters=filters,
                                   row_groups=batch)
+
+
+def _device_logical_column(data, mask, lg, cv):
+    """Device-resident column assembly for the common logical types
+    (None = shape needs the host path; reader_impl.cpp finalize role)."""
+    from cudf_tpu.core.column import Column
+
+    validity = jnp.asarray(mask) if mask is not None else None
+    if (lg and lg[0] == "timestamp") or cv in (9, 10):
+        unit = lg[1] if lg else ("ms" if cv == 9 else "us")
+        return Column(dt.dtype(f"datetime64[{unit}]"), data.shape[0],
+                      data=data.astype(jnp.int64), validity=validity)
+    if (lg and lg[0] == "date") or cv == 6:
+        return Column(dt.DType(dt.TypeId.TIMESTAMP_DAYS), data.shape[0],
+                      data=data.astype(jnp.int32), validity=validity)
+    if lg or cv is not None:
+        return None
+    return Column(dt.dtype(np.dtype(data.dtype)), data.shape[0],
+                  data=data, validity=validity)
 
 
 def _read_parquet_nested(path, md, columns, filters, row_groups):
