@@ -246,23 +246,20 @@ def read_column_chunk(path: str, meta: thrift.ColumnChunkMeta, nullable: bool = 
 
     validity = np.concatenate(validity_parts) if validity_parts else np.zeros(0, bool)
     if phys == 6:
-        # merge string parts (spread valid slots)
+        # merge string parts (spread valid slots) — vectorized: the
+        # per-row python loop cost ~1 s/Mrow
         total = validity.shape[0]
-        offs = np.zeros(total + 1, np.int64)
+        lens_full = np.zeros(total, np.int64)
         chars_parts = []
         row = 0
         for vals, valid in zip(values_parts, validity_parts):
-            po, pc = vals
-            k = 0
-            for v in valid:
-                if v:
-                    ln = po[k + 1] - po[k]
-                    offs[row + 1] = offs[row] + ln
-                    k += 1
-                else:
-                    offs[row + 1] = offs[row]
-                row += 1
+            po, pc = np.asarray(vals[0]), np.asarray(vals[1])
+            n_page = valid.shape[0]
+            lens_full[row:row + n_page][valid] = po[1:] - po[:-1]
+            row += n_page
             chars_parts.append(pc)
+        offs = np.zeros(total + 1, np.int64)
+        np.cumsum(lens_full, out=offs[1:])
         chars = np.concatenate(chars_parts) if chars_parts else np.zeros(0, np.uint8)
         return (offs, chars), (None if validity.all() else validity)
     if validity.all() and values_parts and any(
